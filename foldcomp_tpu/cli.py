@@ -1,0 +1,625 @@
+"""foldcomp-compatible command line interface.
+
+Modes and flags follow the reference CLI (src/main.cpp:65-98): compress,
+decompress, extract, check, rmsd over single files, directories, tars
+(.tar/.tar.gz/.tgz), MMseqs2-style databases and file lists, with
+dir/tar/db output selection, OpenMP-style threading via a thread pool, and
+identical output naming rules.
+"""
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import sys
+import tarfile
+import time
+from concurrent.futures import ThreadPoolExecutor
+from threading import Lock
+
+from .codec import fcz
+from .codec.decoder import decode
+from .codec.encoder import EncodeError, encode
+from .codec.extract import (SUCCESS, VALIDITY_MESSAGES, check_validity,
+                            extract_plddt, extract_sequence, write_fasta_like,
+                            write_tsv)
+from .core import exact
+from .io.db import DatabaseReader, DatabaseWriter, is_database
+from .io.pdb import format_pdb, parse_pdb
+from .io.cif import parse_cif
+from .io.structure import (AtomArray, identify_chains,
+                           identify_discontinuous_fragments,
+                           remove_alternative_positions)
+
+VERSION = "0.1.0"
+
+USAGE = """\
+Usage: foldcomp_tpu compress <pdb|cif> [<fcz>]
+       foldcomp_tpu compress [-t number] <dir|tar(.gz)> [<dir|tar|db>]
+       foldcomp_tpu decompress <fcz|tar> [<pdb>]
+       foldcomp_tpu decompress [-t number] <dir|tar(.gz)|db> [<dir|tar>]
+       foldcomp_tpu extract [--plddt|--amino-acid] <fcz> [<fasta>]
+       foldcomp_tpu extract [--plddt|--amino-acid] [-t number] <dir|tar(.gz)|db> [<fasta_out>]
+       foldcomp_tpu check <fcz>
+       foldcomp_tpu check [-t number] <dir|tar(.gz)|db>
+       foldcomp_tpu rmsd <pdb|cif> <pdb|cif>
+ -h, --help               print this help message
+ -v, --version            print version
+ -t, --threads            threads for (de)compression of folders/tar files [default=1]
+ -r, --recursive          recursively look for files in directory [default=0]
+ -f, --file               input is a list of files [default=0]
+ -a, --alt                use alternative atom order [default=false]
+ -b, --break              interval size to save absolute atom coordinates [default=25]
+ -z, --tar                save as tar file [default=false]
+ -d, --db                 save as database [default=false]
+ -y, --overwrite          overwrite existing files [default=false]
+ -l, --id-list            a file of id list to be processed (only for database input)
+ -m, --id-mode            id mode for database input. 0: database keys, 1: names (.lookup) [default=1]
+ --skip-discontinuous     skip PDB with with discontinuous residues (only batch compression)
+ --check                  check FCZ before and skip entries with error (only for batch decompression)
+ --plddt                  extract pLDDT score (only for extraction mode)
+ -p, --plddt-digits       extract pLDDT score with specified number of digits (only for extraction mode)
+ --fasta, --amino-acid    extract amino acid sequence (only for extraction mode)
+ --no-merge               do not merge output files (only for extraction mode)
+ --use-title              use TITLE as the output file name (only for extraction mode)
+ --time                   measure time for compression/decompression
+ --use-cache              use cached index for database input [default=false]
+ --fast                   use the batched JAX codec instead of the exact path
+"""
+
+
+def base_name(path: str) -> str:
+    return path.rstrip("/").split("/")[-1]
+
+
+def get_file_parts(path: str):
+    """getFileParts parity (utility.cpp:118-127)."""
+    base_pos = max(path.rfind("/"), path.rfind("\\"))
+    base_pos = 0 if base_pos < 0 else base_pos + 1
+    ext_start = path[base_pos:].rfind(".")
+    if ext_start < 0:
+        return path, ""
+    return path[:base_pos + ext_start], path[base_pos + ext_start + 1:]
+
+
+def is_compressible(parts) -> bool:
+    name, ext = parts
+    if ext in ("pdb", "cif"):
+        return True
+    if ext == "gz":
+        return get_file_parts(name)[1] in ("pdb", "cif")
+    return False
+
+
+def parse_structure_buffer(buf: bytes, name: str) -> AtomArray:
+    """Dispatch PDB vs mmCIF like gemmi's format-from-extension, with gz."""
+    if buf[:2] == b"\x1f\x8b":
+        buf = gzip.decompress(buf)
+    lowered = name.lower()
+    if lowered.endswith(".cif") or lowered.endswith(".cif.gz") or \
+            buf.lstrip()[:5] == b"data_":
+        return parse_cif(buf, default_title=name)
+    return parse_pdb(buf, default_title=name)
+
+
+# ---------------------------------------------------------------------------
+# Input processors (input_processor.h:69-346 equivalents)
+
+def iter_directory(path: str, recursive: bool = False):
+    if recursive:
+        for root, _dirs, files in os.walk(path):
+            for fn in sorted(files):
+                full = os.path.join(root, fn)
+                with open(full, "rb") as fh:
+                    yield full, fh.read()
+    else:
+        for fn in sorted(os.listdir(path)):
+            full = os.path.join(path, fn)
+            if os.path.isfile(full):
+                with open(full, "rb") as fh:
+                    yield full, fh.read()
+
+
+def iter_tar(path: str):
+    with tarfile.open(path, "r:*") as tf:
+        for member in tf:
+            if not member.isfile():
+                continue
+            fh = tf.extractfile(member)
+            if fh is None:
+                continue
+            yield member.name, fh.read()
+
+
+def iter_database(path: str, id_file: str | None = None, id_mode: int = 1):
+    reader = DatabaseReader(path, use_lookup=True)
+    try:
+        if id_file:
+            with open(id_file) as fh:
+                wanted = [ln.strip() for ln in fh if ln.strip()]
+            for ident in wanted:
+                if id_mode == 1:
+                    key = reader.lookup_key(ident)
+                    if key == 0xFFFFFFFF:
+                        print(f"[Error] {ident} not found in database",
+                              file=sys.stderr)
+                        continue
+                    name = ident
+                else:
+                    key = int(ident)
+                    name = reader.name_of_key(key) or str(key)
+                pos = reader.position_of_key(key)
+                if pos < 0:
+                    print(f"[Error] {ident} not found in database",
+                          file=sys.stderr)
+                    continue
+                yield name, reader.get_data(pos)
+        else:
+            for key, name, data in reader.entries():
+                yield (name or str(key)), data
+    finally:
+        reader.close()
+
+
+def iter_file_list(paths):
+    for p in paths:
+        with open(p, "rb") as fh:
+            yield p, fh.read()
+
+
+def make_processor(inp: str, recursive: bool, id_file: str | None,
+                   id_mode: int):
+    if inp.endswith((".tar", ".tar.gz", ".tgz")):
+        return iter_tar(inp)
+    if is_database(inp):
+        return iter_database(inp, id_file, id_mode)
+    if os.path.isdir(inp):
+        return iter_directory(inp, recursive)
+    return iter_file_list([inp])
+
+
+# ---------------------------------------------------------------------------
+# Output sinks
+
+class OutputSink:
+    """Serialized writers for file/dir/tar/db outputs (omp critical regions
+    in main.cpp:510-530 / 656-687)."""
+
+    def __init__(self, kind: str, output: str, overwrite: bool):
+        self.kind = kind
+        self.output = output
+        self.overwrite = overwrite
+        self.lock = Lock()
+        self.key = 0
+        self._tar = None
+        self._db = None
+        self._merged = None
+        if kind == "tar":
+            self._tar = tarfile.open(output, "w")
+        elif kind == "db":
+            self._db = DatabaseWriter(output)
+        elif kind == "dir":
+            os.makedirs(output, exist_ok=True)
+        elif kind == "merged":
+            self._merged = open(output, "w")
+
+    def write(self, name: str, data: bytes) -> bool:
+        if self.kind == "db":
+            with self.lock:
+                self._db.append(data, self.key, name)
+                self.key += 1
+        elif self.kind == "tar":
+            with self.lock:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                self._tar.addfile(info, io.BytesIO(data))
+        elif self.kind == "merged":
+            with self.lock:
+                self._merged.write(data.decode("utf-8", "replace"))
+        else:
+            path = name if self.kind == "file" else os.path.join(
+                self.output, name)
+            if os.path.exists(path) and not self.overwrite:
+                print(f"[Error] Output file already exists: {base_name(path)}",
+                      file=sys.stderr)
+                return False
+            with open(path, "wb") as fh:
+                fh.write(data)
+        return True
+
+    def close(self):
+        if self._tar is not None:
+            self._tar.close()
+        if self._db is not None:
+            self._db.close()
+        if self._merged is not None:
+            self._merged.close()
+
+
+# ---------------------------------------------------------------------------
+
+class Options:
+    threads = 1
+    recursive = False
+    file_input = False
+    alt = False
+    anchor_threshold = fcz.DEFAULT_ANCHOR_THRESHOLD
+    save_as_tar = False
+    db_output = False
+    overwrite = False
+    id_file = None
+    id_mode = 1
+    ext_mode = 0
+    ext_plddt_digits = 1
+    ext_merge = True
+    ext_use_title = False
+    measure_time = False
+    skip_discontinuous = False
+    check_before = False
+    use_cache = False
+    fast = False
+
+
+def parse_args(argv):
+    opts = Options()
+    pos = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in ("-h", "--help"):
+            print(USAGE, end="")
+            raise SystemExit(0)
+        elif a in ("-v", "--version"):
+            print(f"foldcomp_tpu {VERSION}")
+            raise SystemExit(0)
+        elif a in ("-t", "--threads"):
+            i += 1
+            opts.threads = int(argv[i])
+        elif a in ("-r", "--recursive"):
+            opts.recursive = True
+        elif a in ("-f", "--file"):
+            opts.file_input = True
+        elif a in ("-a", "--alt"):
+            opts.alt = True
+        elif a in ("-b", "--break"):
+            i += 1
+            opts.anchor_threshold = int(argv[i])
+        elif a in ("-z", "--tar"):
+            opts.save_as_tar = True
+        elif a in ("-d", "--db"):
+            opts.db_output = True
+        elif a in ("-y", "--overwrite"):
+            opts.overwrite = True
+        elif a in ("-l", "--id-list"):
+            i += 1
+            opts.id_file = argv[i]
+        elif a in ("-m", "--id-mode"):
+            i += 1
+            opts.id_mode = int(argv[i])
+            if opts.id_mode not in (0, 1):
+                print("[Error] Invalid id mode. Please use 0 or 1.",
+                      file=sys.stderr)
+                raise SystemExit(1)
+        elif a == "--plddt":
+            opts.ext_mode = 0
+        elif a in ("--fasta", "--amino-acid"):
+            opts.ext_mode = 1
+        elif a in ("-p", "--plddt-digits"):
+            i += 1
+            opts.ext_plddt_digits = int(argv[i])
+        elif a == "--no-merge":
+            opts.ext_merge = False
+        elif a == "--use-title":
+            opts.ext_use_title = True
+        elif a == "--time":
+            opts.measure_time = True
+        elif a == "--skip-discontinuous":
+            opts.skip_discontinuous = True
+        elif a == "--check":
+            opts.check_before = True
+        elif a == "--use-cache":
+            opts.use_cache = True
+        elif a == "--fast":
+            opts.fast = True
+        elif a.startswith("-"):
+            print(USAGE, end="")
+            raise SystemExit(1)
+        else:
+            pos.append(a)
+        i += 1
+    return opts, pos
+
+
+def compress_entry(name: str, buf: bytes, opts: Options):
+    """Per-entry compression (main.cpp:438-536): returns [(name, fcz_bytes)]."""
+    base = base_name(name)
+    parts = get_file_parts(base)
+    atoms = parse_structure_buffer(buf, base)
+    if len(atoms) == 0:
+        print(f"[Error] No atoms found in the input file: {base}",
+              file=sys.stderr)
+        return None
+    title = parts[0] if atoms.title == base else atoms.title
+    atoms = remove_alternative_positions(atoms)
+    chains = identify_chains(atoms)
+    results = []
+    for ci, (cs, ce) in enumerate(chains):
+        frags = identify_discontinuous_fragments(atoms, cs, ce)
+        if opts.skip_discontinuous and len(frags) > 1:
+            print(f"Skipping discontinuous chain: {base}", file=sys.stderr)
+            continue
+        for fi, (fs, fe) in enumerate(frags):
+            frag = atoms.slice(fs, fe)
+            try:
+                f = encode(frag, anchor_threshold=opts.anchor_threshold,
+                           title=title)
+            except EncodeError as e:
+                print(f"[Error] {base}: {e}", file=sys.stderr)
+                continue
+            fname = parts[0]
+            if len(chains) > 1:
+                fname += atoms.chain[cs]
+            if len(frags) > 1:
+                fname += f"_{fi}"
+            results.append((fname, fcz.serialize(f), parts))
+    return results
+
+
+def run_compress(opts: Options, entries, output: str, single: bool):
+    sink_kind = ("db" if opts.db_output else
+                 "tar" if opts.save_as_tar else
+                 "file" if single else "dir")
+    sink = OutputSink(sink_kind, output, opts.overwrite)
+    ok = True
+
+    def handle(item):
+        name, buf = item
+        t0 = time.perf_counter()
+        results = compress_entry(name, buf, opts)
+        if results is None:
+            return False
+        for fname, blob, parts in results:
+            if sink_kind == "db":
+                # db entries are keyed by the base output name without
+                # chain/fragment suffixes (main.cpp:449-450,516)
+                sink.write(parts[0], blob)
+            elif sink_kind == "tar":
+                out_name = fname + (".fcz" if is_compressible(parts)
+                                    else "." + parts[1])
+                sink.write(base_name(out_name), blob)
+            elif sink_kind == "file":
+                sink.write(output, blob)
+            else:
+                out_name = fname + (".fcz" if is_compressible(parts)
+                                    else "." + parts[1])
+                sink.write(base_name(out_name), blob)
+        if opts.measure_time:
+            print(f"{name}\t{time.perf_counter() - t0:.6f}", file=sys.stderr)
+        return True
+
+    if opts.threads > 1:
+        with ThreadPoolExecutor(opts.threads) as ex:
+            for r in ex.map(handle, entries):
+                ok = ok and r
+    else:
+        for item in entries:
+            ok = handle(item) and ok
+    sink.close()
+    return 0
+
+
+def run_decompress(opts: Options, entries, output: str, single: bool):
+    sink_kind = ("db" if opts.db_output else
+                 "tar" if opts.save_as_tar else
+                 "file" if single else "dir")
+    sink = OutputSink(sink_kind, output, opts.overwrite)
+
+    def handle(item):
+        name, buf = item
+        t0 = time.perf_counter()
+        try:
+            f = fcz.parse(bytes(buf))
+        except fcz.FczFormatError:
+            print("[Error] File is not a valid fcz file", file=sys.stderr)
+            return False
+        if opts.check_before:
+            err = check_validity(f)
+            if err != SUCCESS:
+                print(VALIDITY_MESSAGES[err] + f.title, file=sys.stderr)
+                return True
+        atoms = decode(f, use_alt_order=opts.alt)
+        text = format_pdb(atoms, f.title)
+        base = base_name(name)
+        parts = get_file_parts(base)
+        if sink_kind == "db":
+            sink.write(parts[0], text.encode() + b"\x00")
+        elif sink_kind == "tar":
+            sink.write(parts[0] + ".pdb", text.encode())
+        elif sink_kind == "file":
+            sink.write(output, text.encode())
+        else:
+            sink.write(parts[0] + ".pdb", text.encode())
+        if opts.measure_time:
+            print(f"{name}\t{time.perf_counter() - t0:.6f}", file=sys.stderr)
+        return True
+
+    if opts.threads > 1:
+        with ThreadPoolExecutor(opts.threads) as ex:
+            list(ex.map(handle, entries))
+    else:
+        for item in entries:
+            handle(item)
+    sink.close()
+    return 0
+
+
+def run_extract(opts: Options, entries, output: str, single: bool,
+                suffix: str):
+    merged = (not opts.save_as_tar and not opts.db_output and not single
+              and opts.ext_merge)
+    sink_kind = ("db" if opts.db_output else
+                 "tar" if opts.save_as_tar else
+                 "merged" if merged else
+                 "file" if single else "dir")
+    sink = OutputSink(sink_kind, output, opts.overwrite)
+
+    def handle(item):
+        name, buf = item
+        try:
+            f = fcz.parse(bytes(buf))
+        except fcz.FczFormatError:
+            print("[Error] File is not a valid fcz file", file=sys.stderr)
+            return False
+        title = f.title if opts.ext_use_title else name
+        if opts.ext_mode == 0:
+            data = extract_plddt(f, opts.ext_plddt_digits)
+        else:
+            data = extract_sequence(f)
+        if opts.ext_mode == 0 and opts.ext_plddt_digits > 1:
+            text = write_tsv(title, f.n_residue, data)
+        else:
+            text = write_fasta_like(title, data)
+        base = base_name(name)
+        parts = get_file_parts(base)
+        if sink_kind == "db":
+            sink.write(parts[0], text.encode() + b"\x00")
+        elif sink_kind == "tar":
+            sink.write(parts[0] + "." + suffix, text.encode())
+        elif sink_kind == "merged":
+            sink.write("", text.encode())
+        elif sink_kind == "file":
+            sink.write(output, text.encode())
+        else:
+            sink.write(parts[0] + "." + suffix, text.encode())
+        return True
+
+    if opts.threads > 1:
+        with ThreadPoolExecutor(opts.threads) as ex:
+            list(ex.map(handle, entries))
+    else:
+        for item in entries:
+            handle(item)
+    sink.close()
+    return 0
+
+
+def run_check(opts: Options, entries):
+    for name, buf in entries:
+        try:
+            f = fcz.parse(bytes(buf))
+        except fcz.FczFormatError:
+            print("[Error] File is not a valid fcz file", file=sys.stderr)
+            continue
+        err = check_validity(f)
+        if err != SUCCESS:
+            print(VALIDITY_MESSAGES[err] + name, file=sys.stderr)
+    return 0
+
+
+def run_rmsd(path1: str, path2: str):
+    def load(p):
+        with open(p, "rb") as fh:
+            return parse_structure_buffer(fh.read(), base_name(p))
+    a1 = load(path1)
+    a2 = load(path2)
+    if len(a1) == 0 or len(a2) == 0:
+        print("[Error] No atoms found in the input file", file=sys.stderr)
+        return 1
+    if len(a1) != len(a2):
+        print("[Error] The number of atoms in the two files are different.",
+              file=sys.stderr)
+        return 1
+    bb1 = [i for i in range(len(a1)) if a1.atom_name[i] in ("N", "CA", "C")]
+    bb2 = [i for i in range(len(a2)) if a2.atom_name[i] in ("N", "CA", "C")]
+    r_bb = exact.rmsd(a1.coords[bb1], a2.coords[bb2])
+    r_all = exact.rmsd(a1.coords, a2.coords)
+    print(f"{path1}\t{path2}\t{len(bb1) // 3}\t{len(a1)}\t{r_bb:g}\t{r_all:g}")
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(USAGE, end="")
+        return 0
+    opts, pos = parse_args(argv)
+    if len(pos) < 2:
+        print("[Error] Not enough arguments.", file=sys.stderr)
+        print(USAGE, end="")
+        return 1
+    mode = pos[0]
+    inp = pos[1].rstrip("/") if pos[1] != "/" else pos[1]
+    output = pos[2].rstrip("/") if len(pos) > 2 else None
+
+    if mode == "rmsd":
+        return run_rmsd(pos[1], pos[2])
+
+    if mode not in ("compress", "decompress", "extract", "check"):
+        print(USAGE, end="")
+        return 1
+
+    if not os.path.exists(inp) and not is_database(inp):
+        print(f"[Error] {inp} does not exist.", file=sys.stderr)
+        return 1
+
+    inputs = [inp]
+    single_files = []
+    if opts.file_input:
+        inputs = []
+        with open(inp) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.endswith((".pdb", ".pdb.gz", ".cif", ".cif.gz",
+                                  ".fcz")):
+                    single_files.append(line)
+                else:
+                    inputs.append(line)
+
+    if output and output.endswith(".tar"):
+        opts.save_as_tar = True
+
+    single = (not opts.file_input and os.path.isfile(inp)
+              and not inp.endswith((".tar", ".tar.gz", ".tgz"))
+              and not is_database(inp))
+
+    suffix = {"compress": "fcz", "decompress": "pdb"}.get(mode, "")
+    if mode == "extract":
+        if opts.ext_mode == 0:
+            suffix = "plddt" if opts.ext_plddt_digits == 1 else "plddt.tsv"
+        else:
+            suffix = "fasta"
+
+    if output is None:
+        if opts.db_output:
+            output = inp + "_db"
+        elif opts.save_as_tar:
+            output = inp + "." + suffix + ".tar"
+        elif single:
+            output = get_file_parts(inp)[0] + "." + suffix
+        else:
+            output = inp + "_" + suffix
+
+    rc = 0
+    entry_sources = []
+    for item in inputs:
+        entry_sources.append(
+            make_processor(item, opts.recursive, opts.id_file, opts.id_mode))
+    if single_files:
+        entry_sources.append(iter_file_list(single_files))
+
+    for entries in entry_sources:
+        if mode == "compress":
+            rc |= run_compress(opts, entries, output, single)
+        elif mode == "decompress":
+            rc |= run_decompress(opts, entries, output, single)
+        elif mode == "extract":
+            rc |= run_extract(opts, entries, output, single, suffix)
+        elif mode == "check":
+            rc |= run_check(opts, entries)
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,166 @@
+"""MMseqs2-style database reader/writer.
+
+Format parity with the reference's C-ABI reader/writer
+(database_reader.cpp / database_writer.cpp):
+
+  <db>         concatenated entry payloads
+  <db>.index   text lines "id\toffset\tlength\n", sorted by id on close
+  <db>.lookup  text lines "id\tname\t0\n"
+  <db>.dbtype  4 bytes, little-endian int 12 (generic)
+
+Reader memory-maps the data file and serves entries by position or by name.
+Used by the Python API (foldcomp.open) and by the sharded input pipeline
+(foldcomp_tpu.parallel.pipeline), which hands each host a contiguous range of
+index entries.
+"""
+from __future__ import annotations
+
+import mmap
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+GENERIC_DB_TYPE = 12
+
+
+class DatabaseReader:
+    """mmap-backed reader (database_reader.cpp:60-167)."""
+
+    def __init__(self, data_name: str, index_name: str | None = None,
+                 use_lookup: bool = False):
+        self.data_name = data_name
+        index_name = index_name or data_name + ".index"
+        ids, offsets, lengths = [], [], []
+        with open(index_name, "r") as fh:
+            for line in fh:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) < 3:
+                    continue
+                ids.append(int(parts[0]))
+                offsets.append(int(parts[1]))
+                lengths.append(int(parts[2]))
+        order = np.argsort(np.asarray(ids, np.int64), kind="stable")
+        self.ids = np.asarray(ids, np.int64)[order]
+        self.offsets = np.asarray(offsets, np.int64)[order]
+        self.lengths = np.asarray(lengths, np.int64)[order]
+        self._file = open(data_name, "rb")
+        size = os.fstat(self._file.fileno()).st_size
+        self._mm = mmap.mmap(self._file.fileno(), size,
+                             access=mmap.ACCESS_READ) if size else b""
+        self._name_to_key = None
+        self._key_to_name = None
+        if use_lookup or os.path.exists(data_name + ".lookup"):
+            self._load_lookup(data_name + ".lookup")
+
+    def _load_lookup(self, path: str):
+        if not os.path.exists(path):
+            return
+        self._name_to_key = {}
+        self._key_to_name = {}
+        with open(path, "r") as fh:
+            for line in fh:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 2:
+                    key = int(parts[0])
+                    self._name_to_key.setdefault(parts[1], key)
+                    self._key_to_name.setdefault(key, parts[1])
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def get_data(self, pos: int) -> bytes:
+        off = int(self.offsets[pos])
+        ln = int(self.lengths[pos])
+        return bytes(self._mm[off:off + ln])
+
+    def get_key(self, pos: int) -> int:
+        return int(self.ids[pos])
+
+    def get_length(self, pos: int) -> int:
+        return int(self.lengths[pos])
+
+    def get_offset(self, pos: int) -> int:
+        return int(self.offsets[pos])
+
+    def position_of_key(self, key: int) -> int:
+        """reader_get_id: binary search by key; -1 if missing."""
+        i = int(np.searchsorted(self.ids, key))
+        if i < len(self.ids) and self.ids[i] == key:
+            return i
+        return -1
+
+    def lookup_key(self, name: str) -> int:
+        """reader_lookup_entry: name -> key via .lookup; UINT32_MAX if missing."""
+        if self._name_to_key is None:
+            return 0xFFFFFFFF
+        return self._name_to_key.get(name, 0xFFFFFFFF)
+
+    def name_of_key(self, key: int) -> str | None:
+        if self._key_to_name is None:
+            return None
+        return self._key_to_name.get(key)
+
+    def entries(self):
+        """Iterate (key, name_or_None, payload) in id order."""
+        for pos in range(len(self)):
+            key = self.get_key(pos)
+            yield key, self.name_of_key(key), self.get_data(pos)
+
+    def close(self):
+        if getattr(self, "_mm", None) is not None and self._mm != b"":
+            self._mm.close()
+        if getattr(self, "_file", None) is not None:
+            self._file.close()
+        self._mm = None
+        self._file = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class DatabaseWriter:
+    """Append-only writer (database_writer.cpp:36-98)."""
+
+    def __init__(self, data_name: str, index_name: str | None = None):
+        self.data_name = data_name
+        self.index_name = index_name or data_name + ".index"
+        self._data = open(data_name, "wb")
+        self._entries = []  # (id, offset, length, name)
+        self._sorted = True
+        with open(data_name + ".dbtype", "wb") as fh:
+            fh.write(GENERIC_DB_TYPE.to_bytes(4, "little"))
+
+    def append(self, data: bytes, key: int, name: str):
+        offset = self._data.tell()
+        self._data.write(data)
+        if self._entries and self._entries[-1][0] >= key:
+            self._sorted = False
+        self._entries.append((key, offset, len(data), name))
+
+    def close(self):
+        if self._data is None:
+            return
+        entries = self._entries
+        if not self._sorted:
+            entries = sorted(entries, key=lambda e: e[0])
+        with open(self.index_name, "w") as idx, \
+                open(self.data_name + ".lookup", "w") as lkp:
+            for key, offset, length, name in entries:
+                idx.write(f"{key}\t{offset}\t{length}\n")
+                lkp.write(f"{key}\t{name}\t0\n")
+        self._data.close()
+        self._data = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def is_database(path: str) -> bool:
+    return os.path.exists(path + ".dbtype")
