@@ -1,0 +1,300 @@
+"""Host <-> device batching for the fast (TPU) codec paths.
+
+Packs lists of parsed FCZ payloads into padded, bucket-shaped device arrays
+for kernels/decode.py, and expands the resulting atom14 tensors back into
+AtomArray records for PDB output. The exact byte-level FCZ parse/serialize
+stays in codec/fcz.py; this module only moves numbers.
+
+Padded shapes are rounded up to buckets so XLA compiles a handful of shapes
+for an entire database instead of one per protein.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.aatable import ALT_PERM, ATOM_NAMES, N_ATOMS, N_SC_TORSION
+from ..core.codes import (NUM_AA, THREE_LETTER, three_letter_from_one)
+from ..io.structure import AtomArray
+from .fcz import FczData, unpack_records
+
+F32 = np.float32
+I32 = np.int32
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((max(x, 1) + m - 1) // m) * m
+
+
+def segments_of(f: FczData):
+    """Per-segment (start_residue, record_count) from the anchor indices.
+
+    Derived from the decompression loop bounds (foldcomp.cpp:812-858): every
+    segment's records and torsions are contiguous from its anchor; the final
+    segment runs to the last residue.
+    """
+    n = f.n_residue
+    anchors = [int(a) for a in f.anchor_indices]
+    starts, counts = [], []
+    for s in range(f.n_anchor - 1):
+        first = min(anchors[s], n - 1)
+        if s == f.n_anchor - 2:
+            m = n - first
+        else:
+            m = min(anchors[s + 1] + 1, n - 1) - first
+        starts.append(first)
+        counts.append(max(m, 1))
+    return starts, counts
+
+
+@dataclass
+class DecodeMeta:
+    """Per-protein bookkeeping the device kernel does not need."""
+    n_residue: int
+    idx_residue: int
+    idx_atom: int
+    chain: str
+    title: str
+    first_residue: str
+    last_residue: str
+    has_oxt: bool
+    oxt_coords: np.ndarray
+
+
+def pack_decode_batch(fczs, l_bucket: int = 32, s_bucket: int = 4,
+                      seg_bucket: int = 8):
+    """List[FczData] -> (dict of padded numpy arrays, List[DecodeMeta])."""
+    b = len(fczs)
+    seg_info = [segments_of(f) for f in fczs]
+    l_pad = _round_up(max(f.n_residue for f in fczs), l_bucket)
+    s_pad = _round_up(max(len(st) for st, _ in seg_info), s_bucket)
+    seg_pad = _round_up(max(max(cn) for _, cn in seg_info), seg_bucket)
+
+    records = np.zeros((b, l_pad, 8), np.uint8)
+    mins = np.zeros((b, 6), F32)
+    cont_fs = np.zeros((b, 6), F32)
+    sc_codes = np.zeros((b, l_pad, 11), np.uint8)
+    tf_codes = np.zeros((b, l_pad), np.uint8)
+    tf_min = np.zeros(b, F32)
+    tf_cont = np.zeros(b, F32)
+    anchor_xyz = np.zeros((b, s_pad + 1, 3, 3), F32)
+    # padded segments must never win the "last segment starting <= r" stitch
+    seg_start = np.full((b, s_pad), l_pad + seg_pad + 1, I32)
+    seg_m = np.ones((b, s_pad), I32)
+    n_res = np.zeros(b, I32)
+
+    metas = []
+    for i, f in enumerate(fczs):
+        n = f.n_residue
+        n_res[i] = n
+        records[i, :n] = f.records
+        mins[i] = f.mins
+        cont_fs[i] = f.cont_fs
+        tf_codes[i, :n] = f.tf_codes
+        tf_min[i] = f.tf_min
+        tf_cont[i] = f.tf_cont
+
+        starts, counts = seg_info[i]
+        ns = len(starts)
+        seg_start[i, :ns] = starts
+        seg_m[i, :ns] = counts
+        anchor_xyz[i, :f.n_anchor] = f.anchor_coords
+
+        # side-chain stream -> per-residue [11] slots
+        res_code = unpack_records(f.records)[0]
+        counts_sc = np.where(res_code < NUM_AA, N_SC_TORSION[res_code], 0)
+        ends = np.cumsum(counts_sc)
+        begins = ends - counts_sc
+        for r in range(n):
+            c = counts_sc[r]
+            if c:
+                sc_codes[i, r, :c] = f.sc_codes[begins[r]:ends[r]]
+
+        metas.append(DecodeMeta(
+            n_residue=n, idx_residue=f.idx_residue, idx_atom=f.idx_atom,
+            chain=f.chain, title=f.title, first_residue=f.first_residue,
+            last_residue=f.last_residue, has_oxt=f.has_oxt,
+            oxt_coords=np.asarray(f.oxt_coords, F32)))
+
+    arrays = dict(records=records, mins=mins, cont_fs=cont_fs,
+                  sc_codes=sc_codes, tf_codes=tf_codes, tf_min=tf_min,
+                  tf_cont=tf_cont, anchor_xyz=anchor_xyz,
+                  seg_start=seg_start, seg_m=seg_m)
+    return arrays, metas, seg_pad
+
+
+def unpack_decode_result(atom14, res_code, temp, metas,
+                         use_alt_order: bool = False):
+    """Device outputs -> List[AtomArray] (decoder.decode-compatible)."""
+    atom14 = np.asarray(atom14)
+    res_code = np.asarray(res_code)
+    temp = np.asarray(temp)
+    out = []
+    for i, meta in enumerate(metas):
+        n = meta.n_residue
+        codes = res_code[i, :n]
+        names, rnames, chains, ridx, coords, temps = [], [], [], [], [], []
+        first_three = three_letter_from_one(meta.first_residue)
+        for r in range(n):
+            code = int(codes[r])
+            rname = first_three if r == 0 else (
+                THREE_LETTER[code] if code < len(THREE_LETTER) else "UNK")
+            if code < NUM_AA:
+                cnt = int(N_ATOMS[code])
+                order = list(range(cnt))
+                if use_alt_order:
+                    order = [int(x) for x in ALT_PERM[code, :cnt]]
+                names.extend(ATOM_NAMES[code][k] for k in order)
+                coords.extend(atom14[i, r, k] for k in order)
+            else:
+                cnt = 3
+                names.extend(("N", "CA", "C"))
+                coords.extend(atom14[i, r, k] for k in range(3))
+            rnames.extend([rname] * cnt)
+            chains.extend([meta.chain] * cnt)
+            ridx.extend([meta.idx_residue + r] * cnt)
+            temps.extend([temp[i, r]] * cnt)
+        if meta.has_oxt:
+            names.append("OXT")
+            rnames.append(three_letter_from_one(meta.last_residue))
+            chains.append(meta.chain)
+            # reference quirk: OXT residue_index = header.nResidue
+            # (foldcomp.cpp:962-965)
+            ridx.append(n)
+            coords.append(meta.oxt_coords)
+            temps.append(temp[i, n - 1])
+        n_total = len(names)
+        out.append(AtomArray(
+            names, rnames, chains,
+            np.arange(meta.idx_atom, meta.idx_atom + n_total, dtype=I32),
+            np.asarray(ridx, I32), np.asarray(coords, F32),
+            np.ones(n_total, F32), np.asarray(temps, F32), meta.title))
+    return out
+
+
+def decode_fcz_batch(fczs, refine_iters: int = 2, use_alt_order: bool = False):
+    """Convenience: parse payloads through the batched device decoder."""
+    from ..kernels.decode import decode_batch_core
+    arrays, metas, seg_pad = pack_decode_batch(fczs)
+    atom14, res_code, temp = decode_batch_core(
+        arrays["records"], arrays["mins"], arrays["cont_fs"],
+        arrays["sc_codes"], arrays["tf_codes"], arrays["tf_min"],
+        arrays["tf_cont"], arrays["anchor_xyz"], arrays["seg_start"],
+        arrays["seg_m"], seg_width=seg_pad, refine_iters=refine_iters)
+    return unpack_decode_result(atom14, res_code, temp, metas,
+                                use_alt_order=use_alt_order)
+
+
+# ---------------------------------------------------------------------------
+# Encode batching
+# ---------------------------------------------------------------------------
+
+def fragment_to_tensors(atoms: AtomArray):
+    """One continuous single-chain fragment -> dense per-residue tensors.
+
+    Returns (atom14 [L,14,3] f32, res_code [L] i32, tf_ca [L] f32, meta dict).
+    Missing atoms are zeroed (findFirstAtomCoords parity,
+    sidechain.cpp:140-147); atoms land in reference-table slots.
+    """
+    from ..core.aatable import NAME_TO_SLOT
+    from ..core.codes import int_from_three_letter, one_letter_from_three
+    from .encoder import EncodeError, residue_name_vector, split_by_residue
+
+    groups = split_by_residue(atoms)
+    rnames = residue_name_vector(atoms)
+    n = len(groups)
+    if n < 2:
+        raise EncodeError("fragment must contain at least 2 residues")
+    atom14 = np.zeros((n, 14, 3), F32)
+    res_code = np.zeros(n, I32)
+    tf_ca = np.zeros(n, F32)
+    for r, ((start, end), rname) in enumerate(zip(groups, rnames)):
+        code = int_from_three_letter(rname)
+        res_code[r] = code
+        slot_of = NAME_TO_SLOT[code] if code < NUM_AA else \
+            {"N": 0, "CA": 1, "C": 2}
+        seen = set()
+        for i in range(start, end):
+            nm = atoms.atom_name[i]
+            if nm in seen:
+                continue
+            seen.add(nm)
+            if nm == "CA":
+                tf_ca[r] = atoms.temp_factor[i]
+            slot = slot_of.get(nm)
+            if slot is not None:
+                atom14[r, slot] = atoms.coords[i]
+    meta = dict(
+        n_atom=len(atoms),
+        idx_residue=int(atoms.residue_index[0]),
+        idx_atom=int(atoms.atom_index[0]),
+        chain=atoms.chain[0][:1] if atoms.chain[0] else "\x00",
+        first_residue=one_letter_from_three(atoms.residue_name[0]),
+        last_residue=one_letter_from_three(atoms.residue_name[-1]),
+        title=atoms.title,
+        has_oxt=atoms.atom_name[-1] == "OXT",
+        oxt_coords=(atoms.coords[-1].astype(F32)
+                    if atoms.atom_name[-1] == "OXT" else np.zeros(3, F32)),
+    )
+    return atom14, res_code, tf_ca, meta
+
+
+def _anchor_indices(n_res: int, threshold: int):
+    """_setAnchor parity (foldcomp.cpp:745-761)."""
+    n_inner = n_res // threshold
+    n_all = n_inner + 2
+    interval = n_res // (n_all - 1)
+    return np.asarray([i * interval for i in range(n_all - 1)] + [n_res - 1],
+                      I32)
+
+
+def encode_fragment_batch(fragments, anchor_threshold: int = 25,
+                          l_bucket: int = 32):
+    """Batched (device) encode of AtomArray fragments -> List[FczData]."""
+    from ..kernels.encode import encode_batch_core
+
+    tensors = [fragment_to_tensors(a) for a in fragments]
+    b = len(tensors)
+    l_pad = _round_up(max(t[0].shape[0] for t in tensors), l_bucket)
+    atom14 = np.zeros((b, l_pad, 14, 3), F32)
+    res_code = np.zeros((b, l_pad), I32)
+    tf_ca = np.zeros((b, l_pad), F32)
+    res_mask = np.zeros((b, l_pad), bool)
+    for i, (a14, rc, tf, _) in enumerate(tensors):
+        n = a14.shape[0]
+        atom14[i, :n] = a14
+        res_code[i, :n] = rc
+        tf_ca[i, :n] = tf
+        res_mask[i, :n] = True
+
+    out = encode_batch_core(atom14[:, :, :3], atom14, res_code, tf_ca,
+                            res_mask)
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    fczs = []
+    for i, (a14, rc, tf, meta) in enumerate(tensors):
+        n = a14.shape[0]
+        anchors = _anchor_indices(n, anchor_threshold)
+        # side-chain stream compaction (table order per residue)
+        counts = np.where(rc < NUM_AA, N_SC_TORSION[rc], 0)
+        sc_stream = np.concatenate(
+            [out["sc_q"][i, r, :counts[r]] for r in range(n)]) \
+            if counts.sum() else np.zeros(0, np.uint8)
+        fczs.append(FczData(
+            n_residue=n, n_atom=meta["n_atom"],
+            idx_residue=meta["idx_residue"], idx_atom=meta["idx_atom"],
+            n_anchor=len(anchors), chain=meta["chain"],
+            n_sc_torsion=len(sc_stream),
+            first_residue=meta["first_residue"],
+            last_residue=meta["last_residue"], title=meta["title"],
+            mins=out["mins"][i], cont_fs=out["cont_fs"][i],
+            anchor_indices=anchors,
+            anchor_coords=a14[anchors, :3].astype(F32),
+            has_oxt=meta["has_oxt"], oxt_coords=meta["oxt_coords"],
+            records=out["records"][i, :n],
+            sc_codes=sc_stream.astype(np.uint8),
+            tf_min=np.float32(out["tf_min"][i]),
+            tf_cont=np.float32(out["tf_cont"][i]),
+            tf_codes=out["tf_q"][i, :n].astype(np.uint8)))
+    return fczs

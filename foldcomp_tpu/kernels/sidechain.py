@@ -1,0 +1,93 @@
+"""Batched side-chain torsion extraction and reconstruction.
+
+The reference walks a string-keyed per-AA dependency graph atom by atom
+(sidechain.cpp:149-180, nerf.cpp:106-160). Here the chemistry lives in dense
+[NUM_CODES, 14] tensors (core/aatable.py) and every residue of every protein
+is an independent lane: atom slot k >= 3 is placed from predecessor slots
+PRED_IDX[code, k] with ideal geometry and the decoded torsion, in a static
+11-step loop (TRP depth) over the slot axis — gathers + masking instead of
+per-residue control flow.
+
+Atom14 layout: slot order is the reference table order (N, CA, C, O, CB, ...),
+so side-chain torsion j maps to slot 3 + j.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.aatable import (BOND_ANG, BOND_LEN, MAX_ATOM, N_ATOMS, PRED_IDX)
+from .geometry import dihedral, place_atom
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+_PRED_IDX = jnp.asarray(PRED_IDX, I32)      # [24, 14, 3]
+_BOND_LEN = jnp.asarray(BOND_LEN, F32)      # [24, 14]
+_BOND_ANG = jnp.asarray(BOND_ANG, F32)      # [24, 14]
+_N_ATOMS = jnp.asarray(N_ATOMS, I32)        # [24]
+
+
+def _gather_slot(atom14, slot_idx):
+    """atom14 [..., 14, 3] gathered at per-lane slot indices [...] -> [..., 3]."""
+    return jnp.take_along_axis(atom14, slot_idx[..., None, None], axis=-2)[..., 0, :]
+
+
+def place_sidechains(bb, res_code, sc_torsions):
+    """Reconstruct all non-backbone atoms (reconstructAminoAcid, nerf.cpp:106).
+
+    bb:          f32 [..., 3, 3] decoded backbone N/CA/C per residue
+    res_code:    i32 [...] 5-bit residue codes
+    sc_torsions: f32 [..., 11] continuized side-chain torsions (slot 3+j)
+    Returns atom14 coords f32 [..., 14, 3] (invalid slots hold garbage; mask
+    with slot < N_ATOMS[res_code]).
+    """
+    code = jnp.clip(res_code, 0, 23)
+    batch_shape = code.shape
+    atom14 = jnp.zeros(batch_shape + (MAX_ATOM, 3), F32)
+    atom14 = atom14.at[..., :3, :].set(bb)
+
+    preds = _PRED_IDX[code]     # [..., 14, 3]
+    bls = _BOND_LEN[code]       # [..., 14]
+    bas = _BOND_ANG[code]       # [..., 14]
+
+    for k in range(3, MAX_ATOM):
+        p = preds[..., k, :]
+        a = _gather_slot(atom14, p[..., 0])
+        b = _gather_slot(atom14, p[..., 1])
+        c = _gather_slot(atom14, p[..., 2])
+        xyz = place_atom(a, b, c, bls[..., k], bas[..., k],
+                         sc_torsions[..., k - 3])
+        atom14 = atom14.at[..., k, :].set(xyz)
+    return atom14
+
+
+def extract_sidechain_torsions(atom14, res_code):
+    """Per-residue side-chain dihedrals over the AA dependency graph.
+
+    atom14:   f32 [..., 14, 3] input atoms in table slots (missing atoms must
+              be zeroed — findFirstAtomCoords parity, sidechain.cpp:140-147)
+    res_code: i32 [...]
+    Returns f32 [..., 11] dihedrals for slots 3..13 (mask with N_SC_TORSION).
+
+    Parity: calculateSideChainTorsionAnglesPerResidue (sidechain.cpp:149-180).
+    """
+    code = jnp.clip(res_code, 0, 23)
+    preds = _PRED_IDX[code]                          # [..., 14, 3]
+    sc = []
+    for k in range(3, MAX_ATOM):
+        p = preds[..., k, :]
+        p0 = _gather_slot(atom14, p[..., 0])
+        p1 = _gather_slot(atom14, p[..., 1])
+        p2 = _gather_slot(atom14, p[..., 2])
+        p3 = atom14[..., k, :]
+        sc.append(dihedral(p0, p1, p2, p3))
+    return jnp.stack(sc, axis=-1)
+
+
+def atom_mask(res_code):
+    """bool [..., 14]: slot exists for this residue code."""
+    code = jnp.clip(res_code, 0, 23)
+    n = _N_ATOMS[code]
+    slots = jnp.arange(MAX_ATOM, dtype=I32)
+    return slots < n[..., None]

@@ -3,11 +3,17 @@ import pathlib
 
 # Tests run on CPU with a virtual 8-device mesh so multi-chip sharding paths
 # are exercised without TPU hardware (the driver benches on the real chip).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Note: the axon TPU plugin (sitecustomize) registers itself with priority
+# and rewrites jax_platforms to "axon,cpu", so the env var alone is not
+# enough — the config must be forced after importing jax.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

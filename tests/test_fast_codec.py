@@ -1,0 +1,106 @@
+"""Batched (TPU fast-path) codec vs the exact host codec.
+
+The fast path runs plain float32 on device; parity targets are
+quantization-level, not byte-level: record bins may flip only at ~1-ulp
+boundaries, decoded coordinates must stay far inside the reference CI RMSD
+gate (build.sh:34-38: 0.0826751 +/- 0.001 for test.pdb).
+"""
+import numpy as np
+import pytest
+
+from foldcomp_tpu.codec import fcz
+from foldcomp_tpu.codec.batch import decode_fcz_batch, encode_fragment_batch
+from foldcomp_tpu.codec.decoder import decode as decode_exact
+from foldcomp_tpu.codec.encoder import encode as encode_exact
+from foldcomp_tpu.core.exact import rmsd
+from foldcomp_tpu.io.pdb import parse_pdb
+from foldcomp_tpu.io.structure import (identify_chains,
+                                       identify_discontinuous_fragments,
+                                       remove_alternative_positions)
+
+from conftest import require_fixture
+
+
+def _load_fragment(path):
+    atoms = parse_pdb(path.read_bytes())
+    atoms = remove_alternative_positions(atoms)
+    (cs, ce), = identify_chains(atoms)
+    (fs, fe), = identify_discontinuous_fragments(atoms, cs, ce)
+    return atoms.slice(fs, fe)
+
+
+@pytest.fixture(scope="module")
+def test_pdb_fragment():
+    return _load_fragment(require_fixture("test.pdb"))
+
+
+@pytest.fixture(scope="module")
+def test_af_fcz():
+    return fcz.parse(require_fixture("test_af.fcz").read_bytes())
+
+
+def test_fast_decode_matches_exact(test_af_fcz):
+    exact = decode_exact(test_af_fcz)
+    fast = decode_fcz_batch([test_af_fcz], refine_iters=2)[0]
+    assert exact.atom_name == fast.atom_name
+    assert np.abs(exact.coords - fast.coords).max() < 1e-3
+    assert np.abs(np.asarray(exact.temp_factor)
+                  - np.asarray(fast.temp_factor)).max() < 1e-3
+
+
+def test_fast_decode_large(test_pdb_fragment):
+    f = encode_exact(test_pdb_fragment)
+    exact = decode_exact(f)
+    fast = decode_fcz_batch([f], refine_iters=2)[0]
+    assert exact.atom_name == fast.atom_name
+    # max atom deviation well below the quantization noise floor
+    assert np.abs(exact.coords - fast.coords).max() < 0.02
+    assert rmsd(exact.coords, fast.coords) < 2e-3
+
+
+def test_fast_roundtrip_rmsd_gate(test_pdb_fragment):
+    """Fast encode + fast decode must hold the reference all-atom RMSD gate."""
+    f = encode_fragment_batch([test_pdb_fragment])[0]
+    dec = decode_fcz_batch([f], refine_iters=2)[0]
+    # pair decoded atoms against the source by order (both canonical)
+    n = min(len(dec), len(test_pdb_fragment))
+    r = rmsd(test_pdb_fragment.coords[:n], dec.coords[:n])
+    assert abs(r - 0.0826751) < 1e-3, r
+
+
+def test_fast_encode_bins_match_exact(test_pdb_fragment):
+    f_exact = encode_exact(test_pdb_fragment)
+    f_fast = encode_fragment_batch([test_pdb_fragment])[0]
+    assert f_fast.n_residue == f_exact.n_residue
+    assert f_fast.n_sc_torsion == f_exact.n_sc_torsion
+    assert (f_fast.anchor_indices == f_exact.anchor_indices).all()
+    assert np.allclose(f_fast.anchor_coords, f_exact.anchor_coords)
+    assert np.allclose(f_fast.mins, f_exact.mins, atol=1e-3)
+    assert np.allclose(f_fast.cont_fs, f_exact.cont_fs, atol=1e-5)
+    rec_eq = (f_fast.records == f_exact.records).all(axis=-1).mean()
+    assert rec_eq > 0.98, rec_eq
+    assert (f_fast.sc_codes == f_exact.sc_codes).mean() > 0.99
+    assert (f_fast.tf_codes == f_exact.tf_codes).mean() > 0.99
+
+
+def test_fast_batch_mixed_lengths(test_pdb_fragment, test_af_fcz):
+    """A ragged batch (28-residue + 736-residue proteins) decodes correctly."""
+    f_big = encode_exact(test_pdb_fragment)
+    batch = decode_fcz_batch([test_af_fcz, f_big, test_af_fcz],
+                             refine_iters=2)
+    singles = [decode_fcz_batch([f], refine_iters=2)[0]
+               for f in (test_af_fcz, f_big, test_af_fcz)]
+    for got, want in zip(batch, singles):
+        assert got.atom_name == want.atom_name
+        assert np.abs(got.coords - want.coords).max() < 1e-4
+
+
+def test_fast_encoded_bytes_decode_with_exact_decoder(test_pdb_fragment):
+    """Serialized fast-encoded FCZ parses and decodes via the exact path."""
+    f_fast = encode_fragment_batch([test_pdb_fragment])[0]
+    blob = fcz.serialize(f_fast)
+    f2 = fcz.parse(blob)
+    dec = decode_exact(f2)
+    n = min(len(dec), len(test_pdb_fragment))
+    r = rmsd(test_pdb_fragment.coords[:n], dec.coords[:n])
+    assert abs(r - 0.0826751) < 1e-3, r
