@@ -19,6 +19,6 @@ def __getattr__(name):
         from . import api
         return getattr(api, name)
     if name == "split_pdb_by_chain":
-        from .util import split_pdb_by_chain
+        from .api import split_pdb_by_chain
         return split_pdb_by_chain
     raise AttributeError(f"module 'foldcomp_tpu' has no attribute {name!r}")

@@ -365,11 +365,101 @@ def compress_entry(name: str, buf: bytes, opts: Options):
     return results
 
 
+def _compress_write(sink, sink_kind, output, fname, blob, parts):
+    if sink_kind == "db":
+        # db entries are keyed by the base output name without
+        # chain/fragment suffixes (main.cpp:449-450,516)
+        sink.write(parts[0], blob)
+    elif sink_kind == "tar":
+        out_name = fname + (".fcz" if is_compressible(parts)
+                            else "." + parts[1])
+        sink.write(base_name(out_name), blob)
+    elif sink_kind == "file":
+        sink.write(output, blob)
+    else:
+        out_name = fname + (".fcz" if is_compressible(parts)
+                            else "." + parts[1])
+        sink.write(base_name(out_name), blob)
+
+
+def _run_compress_fast(opts: Options, entries, sink, sink_kind, output: str):
+    """Batched device encode: parse + fragment on host, encode FAST_BATCH
+    fragments per device call (codec/batch.py)."""
+    from .backend import ensure_backend
+    from .codec.batch import encode_fragment_batch
+    ensure_backend()
+
+    pending = []  # (fname, parts, fragment)
+
+    def flush():
+        if not pending:
+            return
+        try:
+            fczs = encode_fragment_batch(
+                [frag for _, _, frag in pending],
+                anchor_threshold=opts.anchor_threshold)
+        except EncodeError:
+            # a bad fragment poisons the batch: fall back to per-fragment
+            # exact encode so only the broken entries are skipped
+            fczs = []
+            for fname, parts, frag in pending:
+                try:
+                    fczs.append(encode(
+                        frag, anchor_threshold=opts.anchor_threshold,
+                        title=frag.title))
+                except EncodeError as e:
+                    print(f"[Error] {fname}: {e}", file=sys.stderr)
+                    fczs.append(None)
+        for (fname, parts, _), f in zip(pending, fczs):
+            if f is not None:
+                _compress_write(sink, sink_kind, output, fname,
+                                fcz.serialize(f), parts)
+        pending.clear()
+
+    for name, buf in entries:
+        base = base_name(name)
+        parts = get_file_parts(base)
+        try:
+            atoms = parse_structure_buffer(buf, base)
+        except Exception as e:
+            print(f"[Error] {base}: {e}", file=sys.stderr)
+            continue
+        if len(atoms) == 0:
+            print(f"[Error] No atoms found in the input file: {base}",
+                  file=sys.stderr)
+            continue
+        title = parts[0] if atoms.title == base else atoms.title
+        atoms = remove_alternative_positions(atoms)
+        chains = identify_chains(atoms)
+        for ci, (cs, ce) in enumerate(chains):
+            frags = identify_discontinuous_fragments(atoms, cs, ce)
+            if opts.skip_discontinuous and len(frags) > 1:
+                print(f"Skipping discontinuous chain: {base}",
+                      file=sys.stderr)
+                continue
+            for fi, (fs, fe) in enumerate(frags):
+                frag = atoms.slice(fs, fe)
+                frag.title = title
+                fname = parts[0]
+                if len(chains) > 1:
+                    fname += atoms.chain[cs]
+                if len(frags) > 1:
+                    fname += f"_{fi}"
+                pending.append((fname, parts, frag))
+                if len(pending) >= FAST_BATCH:
+                    flush()
+    flush()
+    sink.close()
+    return 0
+
+
 def run_compress(opts: Options, entries, output: str, single: bool):
     sink_kind = ("db" if opts.db_output else
                  "tar" if opts.save_as_tar else
                  "file" if single else "dir")
     sink = OutputSink(sink_kind, output, opts.overwrite)
+    if opts.fast:
+        return _run_compress_fast(opts, entries, sink, sink_kind, output)
     ok = True
 
     def handle(item):
@@ -408,11 +498,69 @@ def run_compress(opts: Options, entries, output: str, single: bool):
     return 0
 
 
+FAST_BATCH = 128
+
+
+def _decompress_write(sink, sink_kind, output, name, text):
+    base = base_name(name)
+    parts = get_file_parts(base)
+    if sink_kind == "db":
+        sink.write(parts[0], text.encode() + b"\x00")
+    elif sink_kind == "tar":
+        sink.write(parts[0] + ".pdb", text.encode())
+    elif sink_kind == "file":
+        sink.write(output, text.encode())
+    else:
+        sink.write(parts[0] + ".pdb", text.encode())
+
+
+def _run_decompress_fast(opts: Options, entries, sink, sink_kind,
+                         output: str):
+    """Batched device decode: parse FCZ on host, decode FAST_BATCH proteins
+    per device call (codec/batch.py), write PDB text in input order."""
+    from .backend import ensure_backend
+    from .codec.batch import decode_fcz_batch
+    ensure_backend()
+
+    pending = []
+
+    def flush():
+        if not pending:
+            return
+        names = [n for n, _ in pending]
+        fczs = [f for _, f in pending]
+        decoded = decode_fcz_batch(fczs, use_alt_order=opts.alt)
+        for name, f, atoms in zip(names, fczs, decoded):
+            _decompress_write(sink, sink_kind, output, name,
+                              format_pdb(atoms, f.title))
+        pending.clear()
+
+    for name, buf in entries:
+        try:
+            f = fcz.parse(bytes(buf))
+        except fcz.FczFormatError:
+            print("[Error] File is not a valid fcz file", file=sys.stderr)
+            continue
+        if opts.check_before:
+            err = check_validity(f)
+            if err != SUCCESS:
+                print(VALIDITY_MESSAGES[err] + f.title, file=sys.stderr)
+                continue
+        pending.append((name, f))
+        if len(pending) >= FAST_BATCH:
+            flush()
+    flush()
+    sink.close()
+    return 0
+
+
 def run_decompress(opts: Options, entries, output: str, single: bool):
     sink_kind = ("db" if opts.db_output else
                  "tar" if opts.save_as_tar else
                  "file" if single else "dir")
     sink = OutputSink(sink_kind, output, opts.overwrite)
+    if opts.fast:
+        return _run_decompress_fast(opts, entries, sink, sink_kind, output)
 
     def handle(item):
         name, buf = item

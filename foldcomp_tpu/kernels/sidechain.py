@@ -22,10 +22,12 @@ from .geometry import dihedral, place_atom
 F32 = jnp.float32
 I32 = jnp.int32
 
-_PRED_IDX = jnp.asarray(PRED_IDX, I32)      # [24, 14, 3]
-_BOND_LEN = jnp.asarray(BOND_LEN, F32)      # [24, 14]
-_BOND_ANG = jnp.asarray(BOND_ANG, F32)      # [24, 14]
-_N_ATOMS = jnp.asarray(N_ATOMS, I32)        # [24]
+# kept as host numpy so importing this module never initializes a backend;
+# they become compile-time constants inside jit
+_PRED_IDX = np.asarray(PRED_IDX, np.int32)      # [24, 14, 3]
+_BOND_LEN = np.asarray(BOND_LEN, np.float32)    # [24, 14]
+_BOND_ANG = np.asarray(BOND_ANG, np.float32)    # [24, 14]
+_N_ATOMS = np.asarray(N_ATOMS, np.int32)        # [24]
 
 
 def _gather_slot(atom14, slot_idx):
@@ -47,9 +49,9 @@ def place_sidechains(bb, res_code, sc_torsions):
     atom14 = jnp.zeros(batch_shape + (MAX_ATOM, 3), F32)
     atom14 = atom14.at[..., :3, :].set(bb)
 
-    preds = _PRED_IDX[code]     # [..., 14, 3]
-    bls = _BOND_LEN[code]       # [..., 14]
-    bas = _BOND_ANG[code]       # [..., 14]
+    preds = jnp.asarray(_PRED_IDX)[code]     # [..., 14, 3]
+    bls = jnp.asarray(_BOND_LEN)[code]       # [..., 14]
+    bas = jnp.asarray(_BOND_ANG)[code]       # [..., 14]
 
     for k in range(3, MAX_ATOM):
         p = preds[..., k, :]
@@ -73,7 +75,7 @@ def extract_sidechain_torsions(atom14, res_code):
     Parity: calculateSideChainTorsionAnglesPerResidue (sidechain.cpp:149-180).
     """
     code = jnp.clip(res_code, 0, 23)
-    preds = _PRED_IDX[code]                          # [..., 14, 3]
+    preds = jnp.asarray(_PRED_IDX)[code]             # [..., 14, 3]
     sc = []
     for k in range(3, MAX_ATOM):
         p = preds[..., k, :]
@@ -88,6 +90,6 @@ def extract_sidechain_torsions(atom14, res_code):
 def atom_mask(res_code):
     """bool [..., 14]: slot exists for this residue code."""
     code = jnp.clip(res_code, 0, 23)
-    n = _N_ATOMS[code]
+    n = jnp.asarray(_N_ATOMS)[code]
     slots = jnp.arange(MAX_ATOM, dtype=I32)
     return slots < n[..., None]

@@ -1,0 +1,74 @@
+"""Multi-device data-parallel pipeline tests (8 virtual CPU devices)."""
+import jax
+import numpy as np
+import pytest
+
+from foldcomp_tpu.parallel.pipeline import (device_segments, make_mesh,
+                                            make_roundtrip_step, shard_batch)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def test_device_segments_match_host():
+    """Device anchor segmentation equals the host/_setAnchor-derived layout."""
+    from foldcomp_tpu.codec.batch import segments_of
+    from foldcomp_tpu.codec.fcz import FczData
+
+    for n in (2, 24, 25, 26, 49, 50, 51, 276, 737):
+        thr = 25
+        n_inner = n // thr
+        n_all = n_inner + 2
+        interval = n // (n_all - 1)
+        anchors = np.asarray(
+            [i * interval for i in range(n_all - 1)] + [n - 1], np.int32)
+        f = FczData(
+            n_residue=n, n_atom=0, idx_residue=0, idx_atom=0, n_anchor=n_all,
+            chain="A", n_sc_torsion=0, first_residue="A", last_residue="A",
+            title="", mins=np.zeros(6, np.float32),
+            cont_fs=np.zeros(6, np.float32), anchor_indices=anchors,
+            anchor_coords=np.zeros((n_all, 3, 3), np.float32), has_oxt=False,
+            oxt_coords=np.zeros(3, np.float32),
+            records=np.zeros((n, 8), np.uint8), sc_codes=np.zeros(0, np.uint8),
+            tf_min=np.float32(0), tf_cont=np.float32(0),
+            tf_codes=np.zeros(n, np.uint8))
+        host_starts, host_counts = segments_of(f)
+
+        s_max = len(host_starts)
+        anchor_idx, seg_start, seg_m = device_segments(
+            np.asarray([n], np.int32), n, s_max, thr)
+        assert list(np.asarray(seg_start)[0]) == host_starts, n
+        assert list(np.asarray(seg_m)[0]) == host_counts, n
+        assert list(np.asarray(anchor_idx)[0]) == list(anchors), n
+
+
+def test_sharded_roundtrip(mesh):
+    b, l = 16, 32
+    rng = np.random.default_rng(7)
+    ca = np.cumsum(rng.normal(0, 1.5, (b, l, 3)), axis=1).astype(np.float32)
+    atom14 = np.tile(ca[:, :, None, :], (1, 1, 14, 1))
+    atom14 += rng.normal(0, 0.5, atom14.shape).astype(np.float32)
+    res_code = rng.integers(0, 20, (b, l)).astype(np.int32)
+    tf_ca = rng.uniform(0, 100, (b, l)).astype(np.float32)
+    res_mask = np.ones((b, l), bool)
+
+    step = make_roundtrip_step(mesh, s_max=4, seg_width=12, threshold=10)
+    arrays = shard_batch(mesh, (atom14, res_code, tf_ca, res_mask))
+    records, atom14_dec, global_rmsd = step(*arrays)
+    assert records.shape == (b, l, 8)
+    assert np.isfinite(float(global_rmsd))
+
+    # sharded result must equal the single-device pipeline bit-for-bit
+    from foldcomp_tpu.parallel.pipeline import roundtrip_core
+    rec1, dec1, ss, na = jax.jit(
+        lambda *a: roundtrip_core(*a, s_max=4, seg_width=12, threshold=10)
+    )(atom14, res_code, tf_ca, res_mask)
+    assert np.array_equal(np.asarray(records), np.asarray(rec1))
+    np.testing.assert_allclose(np.asarray(atom14_dec), np.asarray(dec1),
+                               atol=1e-5)
+    single_rmsd = float(np.sqrt(np.asarray(ss) / np.asarray(na)))
+    assert abs(single_rmsd - float(global_rmsd)) < 1e-4
