@@ -330,7 +330,8 @@ def parse_args(argv):
     return opts, pos
 
 
-def compress_entry(name: str, buf: bytes, opts: Options):
+def compress_entry(name: str, buf: bytes, opts: Options,
+                   out_base: str | None = None):
     """Per-entry compression (main.cpp:438-536): returns [(name, fcz_bytes)]."""
     base = base_name(name)
     parts = get_file_parts(base)
@@ -339,7 +340,10 @@ def compress_entry(name: str, buf: bytes, opts: Options):
         print(f"[Error] No atoms found in the input file: {base}",
               file=sys.stderr)
         return None
-    title = parts[0] if atoms.title == base else atoms.title
+    # title fallback uses the OUTPUT base name when the parsed title is just
+    # the input file name (main.cpp:464-465)
+    fallback = out_base if out_base is not None else parts[0]
+    title = fallback if atoms.title == base else atoms.title
     atoms = remove_alternative_positions(atoms)
     chains = identify_chains(atoms)
     results = []
@@ -428,7 +432,9 @@ def _run_compress_fast(opts: Options, entries, sink, sink_kind, output: str):
             print(f"[Error] No atoms found in the input file: {base}",
                   file=sys.stderr)
             continue
-        title = parts[0] if atoms.title == base else atoms.title
+        fallback = get_file_parts(output)[0] \
+            if sink_kind == "file" else parts[0]
+        title = fallback if atoms.title == base else atoms.title
         atoms = remove_alternative_positions(atoms)
         chains = identify_chains(atoms)
         for ci, (cs, ce) in enumerate(chains):
@@ -465,7 +471,9 @@ def run_compress(opts: Options, entries, output: str, single: bool):
     def handle(item):
         name, buf = item
         t0 = time.perf_counter()
-        results = compress_entry(name, buf, opts)
+        out_base = get_file_parts(output)[0] \
+            if sink_kind == "file" else None
+        results = compress_entry(name, buf, opts, out_base=out_base)
         if results is None:
             return False
         for fname, blob, parts in results:
@@ -519,7 +527,7 @@ def _run_decompress_fast(opts: Options, entries, sink, sink_kind,
     """Batched device decode: parse FCZ on host, decode FAST_BATCH proteins
     per device call (codec/batch.py), write PDB text in input order."""
     from .backend import ensure_backend
-    from .codec.batch import decode_fcz_batch
+    from .codec.batch import decode_fcz_to_pdb_batch
     ensure_backend()
 
     pending = []
@@ -529,10 +537,9 @@ def _run_decompress_fast(opts: Options, entries, sink, sink_kind,
             return
         names = [n for n, _ in pending]
         fczs = [f for _, f in pending]
-        decoded = decode_fcz_batch(fczs, use_alt_order=opts.alt)
-        for name, f, atoms in zip(names, fczs, decoded):
-            _decompress_write(sink, sink_kind, output, name,
-                              format_pdb(atoms, f.title))
+        texts = decode_fcz_to_pdb_batch(fczs, use_alt_order=opts.alt)
+        for name, text in zip(names, texts):
+            _decompress_write(sink, sink_kind, output, name, text)
         pending.clear()
 
     for name, buf in entries:

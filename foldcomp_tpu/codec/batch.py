@@ -186,6 +186,47 @@ def decode_fcz_batch(fczs, refine_iters: int = 2, use_alt_order: bool = False):
                                 use_alt_order=use_alt_order)
 
 
+def decode_fcz_to_pdb_batch(fczs, refine_iters: int = 2,
+                            use_alt_order: bool = False):
+    """Parse payloads -> device decode -> PDB text, one string per protein.
+
+    When the native formatter is available the atom14 tensors go straight to
+    text (no per-atom Python); otherwise falls back through AtomArray.
+    """
+    from ..kernels.decode import decode_batch_core
+    arrays, metas, seg_pad = pack_decode_batch(fczs)
+    atom14, res_code, temp = decode_batch_core(
+        arrays["records"], arrays["mins"], arrays["cont_fs"],
+        arrays["sc_codes"], arrays["tf_codes"], arrays["tf_min"],
+        arrays["tf_cont"], arrays["anchor_xyz"], arrays["seg_start"],
+        arrays["seg_m"], seg_width=seg_pad, refine_iters=refine_iters)
+
+    try:
+        from ..native import format_atom14_native, get_lib
+        have_native = get_lib() is not None
+    except Exception:
+        have_native = False
+
+    if have_native:
+        atom14 = np.asarray(atom14)
+        res_code = np.asarray(res_code)
+        temp = np.asarray(temp)
+        out = []
+        for i, m in enumerate(metas):
+            n = m.n_residue
+            out.append(format_atom14_native(
+                atom14[i, :n], temp[i, :n], res_code[i, :n], n,
+                m.idx_residue, m.idx_atom, m.chain, m.first_residue,
+                m.last_residue, m.has_oxt, m.oxt_coords, use_alt_order,
+                m.title))
+        return out
+
+    from ..io.pdb import format_pdb
+    decoded = unpack_decode_result(atom14, res_code, temp, metas,
+                                   use_alt_order=use_alt_order)
+    return [format_pdb(a, f.title) for a, f in zip(decoded, fczs)]
+
+
 # ---------------------------------------------------------------------------
 # Encode batching
 # ---------------------------------------------------------------------------

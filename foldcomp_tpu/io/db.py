@@ -25,29 +25,46 @@ GENERIC_DB_TYPE = 12
 
 
 class DatabaseReader:
-    """mmap-backed reader (database_reader.cpp:60-167)."""
+    """Reader over the native C runtime (native/fcio.c fcdb_reader_*) with a
+    pure-Python mmap fallback (database_reader.cpp:60-167 parity)."""
 
     def __init__(self, data_name: str, index_name: str | None = None,
                  use_lookup: bool = False):
         self.data_name = data_name
         index_name = index_name or data_name + ".index"
-        ids, offsets, lengths = [], [], []
-        with open(index_name, "r") as fh:
-            for line in fh:
-                parts = line.rstrip("\n").split("\t")
-                if len(parts) < 3:
-                    continue
-                ids.append(int(parts[0]))
-                offsets.append(int(parts[1]))
-                lengths.append(int(parts[2]))
-        order = np.argsort(np.asarray(ids, np.int64), kind="stable")
-        self.ids = np.asarray(ids, np.int64)[order]
-        self.offsets = np.asarray(offsets, np.int64)[order]
-        self.lengths = np.asarray(lengths, np.int64)[order]
-        self._file = open(data_name, "rb")
-        size = os.fstat(self._file.fileno()).st_size
-        self._mm = mmap.mmap(self._file.fileno(), size,
-                             access=mmap.ACCESS_READ) if size else b""
+        self._h = None
+        self._lib = None
+        self._mm = None
+        self._file = None
+        try:
+            from ..native import get_lib
+            lib = get_lib()
+        except Exception:
+            lib = None
+        if lib is not None:
+            h = lib.fcdb_reader_open(data_name.encode(),
+                                     index_name.encode(), 1)
+            if h:
+                self._h = h
+                self._lib = lib
+        if self._h is None:
+            ids, offsets, lengths = [], [], []
+            with open(index_name, "r") as fh:
+                for line in fh:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) < 3:
+                        continue
+                    ids.append(int(parts[0]))
+                    offsets.append(int(parts[1]))
+                    lengths.append(int(parts[2]))
+            order = np.argsort(np.asarray(ids, np.int64), kind="stable")
+            self.ids = np.asarray(ids, np.int64)[order]
+            self.offsets = np.asarray(offsets, np.int64)[order]
+            self.lengths = np.asarray(lengths, np.int64)[order]
+            self._file = open(data_name, "rb")
+            size = os.fstat(self._file.fileno()).st_size
+            self._mm = mmap.mmap(self._file.fileno(), size,
+                                 access=mmap.ACCESS_READ) if size else b""
         self._name_to_key = None
         self._key_to_name = None
         if use_lookup or os.path.exists(data_name + ".lookup"):
@@ -67,24 +84,42 @@ class DatabaseReader:
                     self._key_to_name.setdefault(key, parts[1])
 
     def __len__(self) -> int:
+        if self._h is not None:
+            return int(self._lib.fcdb_reader_size(self._h))
         return len(self.ids)
 
     def get_data(self, pos: int) -> bytes:
+        if self._h is not None:
+            import ctypes
+            ptr = ctypes.c_char_p()
+            ln = ctypes.c_int64()
+            if self._lib.fcdb_reader_get(self._h, pos, ctypes.byref(ptr),
+                                         ctypes.byref(ln)) != 0:
+                raise IndexError(pos)
+            return ctypes.string_at(ptr, ln.value)
         off = int(self.offsets[pos])
         ln = int(self.lengths[pos])
         return bytes(self._mm[off:off + ln])
 
     def get_key(self, pos: int) -> int:
+        if self._h is not None:
+            return int(self._lib.fcdb_reader_key(self._h, pos))
         return int(self.ids[pos])
 
     def get_length(self, pos: int) -> int:
+        if self._h is not None:
+            return int(self._lib.fcdb_reader_length(self._h, pos))
         return int(self.lengths[pos])
 
     def get_offset(self, pos: int) -> int:
+        if self._h is not None:
+            return int(self._lib.fcdb_reader_offset(self._h, pos))
         return int(self.offsets[pos])
 
     def position_of_key(self, key: int) -> int:
         """reader_get_id: binary search by key; -1 if missing."""
+        if self._h is not None:
+            return int(self._lib.fcdb_reader_id(self._h, key))
         i = int(np.searchsorted(self.ids, key))
         if i < len(self.ids) and self.ids[i] == key:
             return i
@@ -108,6 +143,9 @@ class DatabaseReader:
             yield key, self.name_of_key(key), self.get_data(pos)
 
     def close(self):
+        if getattr(self, "_h", None) is not None:
+            self._lib.fcdb_reader_close(self._h)
+            self._h = None
         if getattr(self, "_mm", None) is not None and self._mm != b"":
             self._mm.close()
         if getattr(self, "_file", None) is not None:

@@ -17,7 +17,25 @@ F32 = np.float32
 
 
 def parse_pdb(text, default_title: str = "") -> AtomArray:
-    """Parse ATOM/HETATM lines of a PDB file into an AtomArray."""
+    """Parse ATOM/HETATM lines of a PDB file into an AtomArray.
+
+    Uses the native parser (native/fcio.c) when available; the pure-Python
+    fallback below is semantics-identical.
+    """
+    if isinstance(text, str):
+        raw = text.encode("utf-8", "replace")
+    else:
+        raw = bytes(text)
+    try:
+        from ..native import parse_pdb_native
+        d = parse_pdb_native(raw)
+    except Exception:
+        d = None
+    if d is not None:
+        return AtomArray(
+            d["atom_name"], d["residue_name"], d["chain"], d["atom_index"],
+            d["residue_index"], d["coords"], d["occupancy"],
+            d["temp_factor"], d["title"] or default_title)
     if isinstance(text, bytes):
         text = text.decode("utf-8", "replace")
     atom_name, residue_name, chain = [], [], []
@@ -95,7 +113,18 @@ def _fast_ftoa(n: float, t: int, p: int) -> str:
 
 
 def format_pdb(atoms: AtomArray, title: str = "") -> str:
-    """writeAtomCoordinatesToPDB replica (atom_coordinate.cpp:220-291)."""
+    """writeAtomCoordinatesToPDB replica (atom_coordinate.cpp:220-291).
+
+    Uses the native formatter (native/fcio.c) when available; the
+    pure-Python fallback below is byte-identical.
+    """
+    try:
+        from ..native import format_pdb_native
+        text = format_pdb_native(atoms, title)
+    except Exception:
+        text = None
+    if text is not None:
+        return text
     out = []
     if title:
         out.append(f"TITLE     {title[:70]}\n")

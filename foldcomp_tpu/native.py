@@ -1,0 +1,202 @@
+"""ctypes bindings for the native IO runtime (native/fcio.c).
+
+Compiled on demand with the system C compiler into native/build/libfcio.so;
+every caller has a pure-Python fallback, so a missing toolchain degrades
+performance, not functionality. Set FOLDCOMP_TPU_NO_NATIVE=1 to disable.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libfcio.so")
+_SRC = os.path.join(_NATIVE_DIR, "fcio.c")
+
+
+def _build() -> bool:
+    os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
+    cc = os.environ.get("CC", "cc")
+    cmd = [cc, "-O3", "-fPIC", "-shared", "-o", _SO_PATH, _SRC]
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    if res.returncode != 0:
+        print(f"[Warning] native build failed:\n{res.stderr[:2000]}",
+              file=sys.stderr)
+        return False
+    return True
+
+
+def _bind(lib):
+    c = ctypes
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.fcio_format_pdb.restype = c.c_int64
+    lib.fcio_format_pdb.argtypes = [
+        c.c_int32, i32p, i32p, c.c_char_p, c.c_char_p, c.c_char_p, f32p,
+        f32p, c.c_char_p, c.c_int32, c.c_char_p]
+    lib.fcio_format_atom14.restype = c.c_int64
+    lib.fcio_format_atom14.argtypes = [
+        f32p, f32p, i32p, c.c_int32, c.c_int32, c.c_int32, c.c_char,
+        c.c_char, c.c_char, c.c_int32, f32p, c.c_int32, c.c_char_p,
+        c.c_int32, c.c_char_p]
+    lib.fcio_count_atoms.restype = c.c_int64
+    lib.fcio_count_atoms.argtypes = [c.c_char_p, c.c_int64]
+    lib.fcio_parse_pdb.restype = c.c_int64
+    lib.fcio_parse_pdb.argtypes = [
+        c.c_char_p, c.c_int64, i32p, i32p, c.c_char_p, c.c_char_p,
+        c.c_char_p, f32p, f32p, f32p, c.c_char_p,
+        c.POINTER(c.c_int32), c.c_int32]
+    lib.fcdb_reader_open.restype = c.c_void_p
+    lib.fcdb_reader_open.argtypes = [c.c_char_p, c.c_char_p, c.c_int]
+    lib.fcdb_reader_size.restype = c.c_int64
+    lib.fcdb_reader_size.argtypes = [c.c_void_p]
+    lib.fcdb_reader_get.restype = c.c_int64
+    lib.fcdb_reader_get.argtypes = [c.c_void_p, c.c_int64,
+                                    c.POINTER(c.c_char_p),
+                                    c.POINTER(c.c_int64)]
+    lib.fcdb_reader_key.restype = c.c_uint32
+    lib.fcdb_reader_key.argtypes = [c.c_void_p, c.c_int64]
+    lib.fcdb_reader_offset.restype = c.c_int64
+    lib.fcdb_reader_offset.argtypes = [c.c_void_p, c.c_int64]
+    lib.fcdb_reader_length.restype = c.c_int64
+    lib.fcdb_reader_length.argtypes = [c.c_void_p, c.c_int64]
+    lib.fcdb_reader_id.restype = c.c_int64
+    lib.fcdb_reader_id.argtypes = [c.c_void_p, c.c_uint32]
+    lib.fcdb_reader_close.restype = None
+    lib.fcdb_reader_close.argtypes = [c.c_void_p]
+    lib.fcdb_writer_open.restype = c.c_void_p
+    lib.fcdb_writer_open.argtypes = [c.c_char_p]
+    lib.fcdb_writer_append.restype = c.c_int64
+    lib.fcdb_writer_append.argtypes = [c.c_void_p, c.c_char_p, c.c_int64,
+                                       c.c_uint32, c.c_char_p]
+    lib.fcdb_writer_close.restype = c.c_int64
+    lib.fcdb_writer_close.argtypes = [c.c_void_p]
+    return lib
+
+
+def get_lib():
+    """The loaded native library, or None when unavailable."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get("FOLDCOMP_TPU_NO_NATIVE"):
+            return None
+        try:
+            if not os.path.exists(_SO_PATH) or (
+                    os.path.exists(_SRC) and
+                    os.path.getmtime(_SRC) > os.path.getmtime(_SO_PATH)):
+                if not _build():
+                    return None
+            _LIB = _bind(ctypes.CDLL(_SO_PATH))
+        except OSError as e:
+            print(f"[Warning] native library unavailable: {e}",
+                  file=sys.stderr)
+            _LIB = None
+    return _LIB
+
+
+# ---------------------------------------------------------------------------
+# High-level wrappers
+# ---------------------------------------------------------------------------
+
+def format_pdb_native(atoms, title: str = "") -> str | None:
+    """Native writeAtomCoordinatesToPDB; None if the library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(atoms)
+    names = np.asarray(atoms.atom_name, dtype="U4")
+    len4 = np.char.str_len(names) == 4
+    fields = np.where(len4, names,
+                      np.char.add(" ", np.char.ljust(names, 3)))
+    name4 = np.char.ljust(fields, 4).astype("S4").tobytes()
+    res3 = np.char.rjust(np.asarray(atoms.residue_name, dtype="U3"), 3) \
+        .astype("S3").tobytes()
+    chain = np.asarray([c[:1] or " " for c in atoms.chain],
+                       dtype="S1").tobytes()
+    coords = np.ascontiguousarray(atoms.coords, np.float32)
+    temp = np.ascontiguousarray(atoms.temp_factor, np.float32)
+    aidx = np.ascontiguousarray(atoms.atom_index, np.int32)
+    ridx = np.ascontiguousarray(atoms.residue_index, np.int32)
+    tbytes = title.encode("latin1", "replace")
+    cap = len(tbytes) + 16 + (len(tbytes) // 70 + 2) * 12 + n * 120 + 64
+    out = ctypes.create_string_buffer(cap)
+    written = lib.fcio_format_pdb(
+        n, aidx, ridx, name4, res3, chain, coords, temp, tbytes,
+        len(tbytes), out)
+    return out.raw[:written].decode("latin1")
+
+
+def format_atom14_native(atom14, temp, codes, n_res, idx_residue, idx_atom,
+                         chain, first_res, last_res, has_oxt, oxt_xyz,
+                         use_alt, title) -> str | None:
+    """Native atom14 -> PDB text; None if the library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    atom14 = np.ascontiguousarray(atom14, np.float32)
+    temp = np.ascontiguousarray(temp, np.float32)
+    codes = np.ascontiguousarray(codes, np.int32)
+    oxt = np.ascontiguousarray(oxt_xyz, np.float32)
+    tbytes = title.encode("latin1", "replace")
+    cap = len(tbytes) + 16 + (len(tbytes) // 70 + 2) * 12 \
+        + (n_res * 14 + 2) * 120 + 64
+    out = ctypes.create_string_buffer(cap)
+    written = lib.fcio_format_atom14(
+        atom14, temp, codes, n_res, idx_residue, idx_atom,
+        (chain[:1] or " ").encode("latin1"),
+        (first_res[:1] or "X").encode("latin1"),
+        (last_res[:1] or "X").encode("latin1"),
+        1 if has_oxt else 0, oxt, 1 if use_alt else 0, tbytes,
+        len(tbytes), out)
+    return out.raw[:written].decode("latin1")
+
+
+def parse_pdb_native(data: bytes):
+    """Native ATOM-line parse -> dict of arrays; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = lib.fcio_count_atoms(data, len(data))
+    atom_index = np.empty(n, np.int32)
+    residue_index = np.empty(n, np.int32)
+    name4 = ctypes.create_string_buffer(int(n) * 4 + 1)
+    res3 = ctypes.create_string_buffer(int(n) * 3 + 1)
+    chain = ctypes.create_string_buffer(int(n) + 1)
+    coords = np.empty((n, 3), np.float32)
+    occ = np.empty(n, np.float32)
+    temp = np.empty(n, np.float32)
+    title_buf = ctypes.create_string_buffer(8192)
+    title_len = ctypes.c_int32(0)
+    got = lib.fcio_parse_pdb(data, len(data), atom_index, residue_index,
+                             name4, res3, chain, coords, occ, temp,
+                             title_buf, ctypes.byref(title_len), 8192)
+    assert got == n
+    names = np.char.strip(np.frombuffer(
+        name4.raw[:n * 4], dtype="S4").astype("U4"))
+    resnames = np.char.strip(np.frombuffer(
+        res3.raw[:n * 3], dtype="S3").astype("U3"))
+    chains = np.frombuffer(chain.raw[:n], dtype="S1").astype("U1")
+    return dict(
+        atom_name=names.tolist(), residue_name=resnames.tolist(),
+        chain=chains.tolist(), atom_index=atom_index,
+        residue_index=residue_index, coords=coords, occupancy=occ,
+        temp_factor=temp,
+        title=title_buf.raw[:title_len.value].decode("latin1"))

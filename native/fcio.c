@@ -1,0 +1,631 @@
+/* fcio — native IO runtime for foldcomp_tpu.
+ *
+ * TPU-native re-implementation of the reference's C++ IO layer:
+ *   - fixed-column PDB ATOM formatting with fast float->ascii
+ *     (reference: writeAtomCoordinatesToPDB + fast_ftoa,
+ *      src/atom_coordinate.cpp:186-291)
+ *   - direct atom14-tensor -> PDB text expansion (no per-atom Python),
+ *     the host half of the batched TPU decode path
+ *   - PDB ATOM-line parsing into struct-of-arrays
+ *     (reference: gemmi subset used by structure_reader.cpp:31-61)
+ *   - MMseqs2-style database reader/writer
+ *     (reference: src/database_reader.cpp / database_writer.cpp)
+ *
+ * Exposed via ctypes (foldcomp_tpu/native.py); every entry point is plain C.
+ */
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#ifdef _WIN32
+#error "POSIX only"
+#endif
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#include "aatable_gen.h"
+
+/* ------------------------------------------------------------------ */
+/* number formatting                                                   */
+/* ------------------------------------------------------------------ */
+
+static inline char* put_int(char* p, int64_t v) {
+    char tmp[24];
+    int n = 0;
+    uint64_t u;
+    if (v < 0) { *p++ = '-'; u = (uint64_t)(-v); } else u = (uint64_t)v;
+    do { tmp[n++] = (char)('0' + (u % 10)); u /= 10; } while (u);
+    while (n) *p++ = tmp[--n];
+    return p;
+}
+
+/* right-justified integer in a fixed-width field (grows if too wide,
+ * matching printf %Nd) */
+static inline char* put_int_rj(char* p, int64_t v, int width) {
+    char tmp[24];
+    char* e = put_int(tmp, v);
+    int len = (int)(e - tmp);
+    for (int i = len; i < width; i++) *p++ = ' ';
+    memcpy(p, tmp, (size_t)len);
+    return p + len;
+}
+
+/* fast_ftoa<T,P> replica (atom_coordinate.cpp:186-218): add +-0.5f/T,
+ * truncate both parts toward zero, zero-pad fraction to P digits;
+ * result right-justified in `width`. All arithmetic in float. */
+static inline char* put_ftoa_rj(char* p, float n, int t, int pdigits,
+                                int width) {
+    float half = 0.5f / (float)t;
+    float rounded = n + (n < 0 ? -half : half);
+    int64_t integer = (int64_t)rounded;
+    int64_t decimal = (int64_t)((rounded - (float)integer) * (float)t);
+    char tmp[32];
+    char* q = tmp;
+    if (n < 0) {
+        *q++ = '-';
+        if (integer < 0) integer = -integer;
+        if (decimal < 0) decimal = -decimal;
+    }
+    q = put_int(q, integer);
+    *q++ = '.';
+    char dtmp[24];
+    char* de = put_int(dtmp, decimal);
+    int dlen = (int)(de - dtmp);
+    for (int i = dlen; i < pdigits; i++) *q++ = '0';
+    memcpy(q, dtmp, (size_t)dlen);
+    q += dlen;
+    int len = (int)(q - tmp);
+    for (int i = len; i < width; i++) *p++ = ' ';
+    memcpy(p, tmp, (size_t)len);
+    return p + len;
+}
+
+/* ------------------------------------------------------------------ */
+/* PDB formatting                                                      */
+/* ------------------------------------------------------------------ */
+
+static char* put_title(char* p, const char* title, int32_t title_len) {
+    /* TITLE records (atom_coordinate writer's caller emits these via
+     * writeStream; layout mirrors io/pdb.py format_pdb) */
+    if (title_len <= 0) return p;
+    int32_t off = 0, cont = 1;
+    while (off < title_len) {
+        int32_t n = title_len - off;
+        if (n > 70) n = 70;
+        if (cont == 1) {
+            memcpy(p, "TITLE     ", 10); p += 10;
+        } else {
+            memcpy(p, "TITLE  ", 7); p += 7;
+            p = put_int_rj(p, cont, 3);
+        }
+        memcpy(p, title + off, (size_t)n); p += n;
+        *p++ = '\n';
+        off += n;
+        cont++;
+    }
+    return p;
+}
+
+static inline char* put_atom_line(char* p, int64_t serial, const char* name4,
+                                  const char* res3, char chain, int64_t resid,
+                                  float x, float y, float z, float temp) {
+    memcpy(p, "ATOM  ", 6); p += 6;
+    p = put_int_rj(p, serial, 5);
+    *p++ = ' ';
+    memcpy(p, name4, 4); p += 4;
+    *p++ = ' ';
+    /* residue name right-justified 3 */
+    {
+        int len = 0;
+        while (len < 3 && res3[len]) len++;
+        for (int i = len; i < 3; i++) *p++ = ' ';
+        memcpy(p, res3, (size_t)len); p += len;
+    }
+    *p++ = ' ';
+    *p++ = chain;
+    p = put_int_rj(p, resid, 4);
+    memcpy(p, "    ", 4); p += 4;
+    p = put_ftoa_rj(p, x, 1000, 3, 8);
+    p = put_ftoa_rj(p, y, 1000, 3, 8);
+    p = put_ftoa_rj(p, z, 1000, 3, 8);
+    memcpy(p, "  1.00", 6); p += 6;
+    p = put_ftoa_rj(p, temp, 100, 2, 6);
+    memcpy(p, "          ", 10); p += 10;
+    /* element = first non-space char of the name field, right-justified 2 */
+    {
+        char e = name4[0] == ' ' ? name4[1] : name4[0];
+        *p++ = ' ';
+        *p++ = e;
+    }
+    *p++ = ' '; *p++ = ' '; *p++ = '\n';
+    return p;
+}
+
+static inline char* put_ter(char* p, int64_t serial, const char* res3,
+                            char chain, int64_t resid) {
+    memcpy(p, "TER   ", 6); p += 6;
+    p = put_int_rj(p, serial, 5);
+    memcpy(p, "      ", 6); p += 6;
+    {
+        int len = 0;
+        while (len < 3 && res3[len]) len++;
+        for (int i = len; i < 3; i++) *p++ = ' ';
+        memcpy(p, res3, (size_t)len); p += len;
+    }
+    *p++ = ' ';
+    *p++ = chain;
+    p = put_int_rj(p, resid, 4);
+    *p++ = '\n';
+    return p;
+}
+
+/* Generic formatter over pre-packed per-atom fields.
+ * name4: [n*4] name fields; res3: [n*3]; chain: [n]. Returns bytes written. */
+int64_t fcio_format_pdb(int32_t n, const int32_t* atom_index,
+                        const int32_t* residue_index, const char* name4,
+                        const char* res3, const char* chain,
+                        const float* coords, const float* temp,
+                        const char* title, int32_t title_len, char* out) {
+    char* p = out;
+    p = put_title(p, title, title_len);
+    char r3[4] = {0, 0, 0, 0};
+    for (int32_t i = 0; i < n; i++) {
+        memcpy(r3, res3 + 3 * i, 3);
+        p = put_atom_line(p, atom_index[i], name4 + 4 * i, r3, chain[i],
+                          residue_index[i], coords[3 * i], coords[3 * i + 1],
+                          coords[3 * i + 2], temp[i]);
+    }
+    if (n > 0) {
+        memcpy(r3, res3 + 3 * (n - 1), 3);
+        p = put_ter(p, (int64_t)atom_index[n - 1] + 1, r3, chain[n - 1],
+                    residue_index[n - 1]);
+    }
+    return (int64_t)(p - out);
+}
+
+static int code_of_one_letter(char c) {
+    for (int i = 0; i < FC_NUM_CODES; i++)
+        if (FC_ONE[i] == c) return i;
+    return 23; /* UNK */
+}
+
+/* Direct atom14-tensor -> PDB text (the decode fast path's host half).
+ * atom14: [n_res*14*3]; temp: [n_res]; codes: [n_res].
+ * Naming parity with codec/batch.py unpack_decode_result:
+ * residue 0 displays the header's first_residue letter; OXT appended with
+ * residue_index = n_res (reference quirk, foldcomp.cpp:962-965).
+ * Returns bytes written. */
+int64_t fcio_format_atom14(const float* atom14, const float* temp,
+                           const int32_t* codes, int32_t n_res,
+                           int32_t idx_residue, int32_t idx_atom, char chain,
+                           char first_res, char last_res, int32_t has_oxt,
+                           const float* oxt_xyz, int32_t use_alt,
+                           const char* title, int32_t title_len, char* out) {
+    char* p = out;
+    p = put_title(p, title, title_len);
+    int64_t serial = idx_atom;
+    const char* last_r3 = FC_THREE[23];
+    int64_t last_resid = idx_residue;
+    for (int32_t r = 0; r < n_res; r++) {
+        int code = codes[r];
+        if (code < 0 || code >= FC_NUM_CODES) code = 23;
+        int cnt = FC_N_ATOMS[code];
+        const char* r3 = (r == 0) ? FC_THREE[code_of_one_letter(first_res)]
+                                  : FC_THREE[code];
+        int64_t resid = (int64_t)idx_residue + r;
+        const float* base = atom14 + (size_t)r * FC_MAX_ATOM * 3;
+        for (int k = 0; k < cnt; k++) {
+            int slot = use_alt ? FC_ALT_PERM[code][k] : k;
+            const float* xyz = base + slot * 3;
+            p = put_atom_line(p, serial++, FC_NAME4[code][slot], r3, chain,
+                              resid, xyz[0], xyz[1], xyz[2], temp[r]);
+        }
+        last_r3 = r3;
+        last_resid = resid;
+    }
+    if (has_oxt) {
+        const char* r3 = FC_THREE[code_of_one_letter(last_res)];
+        p = put_atom_line(p, serial++, " OXT", r3, chain, n_res, oxt_xyz[0],
+                          oxt_xyz[1], oxt_xyz[2],
+                          n_res > 0 ? temp[n_res - 1] : 0.0f);
+        last_r3 = r3;
+        last_resid = n_res;
+    }
+    if (n_res > 0)
+        p = put_ter(p, serial, last_r3, chain, last_resid);
+    return (int64_t)(p - out);
+}
+
+/* ------------------------------------------------------------------ */
+/* PDB parsing                                                         */
+/* ------------------------------------------------------------------ */
+
+static inline int parse_int_field(const char* s, int len) {
+    int v = 0, sign = 1, i = 0;
+    while (i < len && s[i] == ' ') i++;
+    if (i < len && (s[i] == '-' || s[i] == '+')) {
+        if (s[i] == '-') sign = -1;
+        i++;
+    }
+    for (; i < len && s[i] >= '0' && s[i] <= '9'; i++)
+        v = v * 10 + (s[i] - '0');
+    return sign * v;
+}
+
+static inline float parse_float_field(const char* s, int len) {
+    /* fixed-column decimal like -123.456; parse in double, round to float */
+    double v = 0.0, frac = 0.0, scale = 1.0;
+    int sign = 1, i = 0, in_frac = 0;
+    while (i < len && s[i] == ' ') i++;
+    if (i < len && (s[i] == '-' || s[i] == '+')) {
+        if (s[i] == '-') sign = -1;
+        i++;
+    }
+    for (; i < len; i++) {
+        char c = s[i];
+        if (c == '.') { in_frac = 1; continue; }
+        if (c < '0' || c > '9') break;
+        if (in_frac) { scale *= 10.0; frac = frac * 10.0 + (c - '0'); }
+        else v = v * 10.0 + (c - '0');
+    }
+    return (float)(sign * (v + frac / scale));
+}
+
+/* Count ATOM/HETATM records (pass 1). */
+int64_t fcio_count_atoms(const char* text, int64_t len) {
+    int64_t count = 0;
+    const char* p = text;
+    const char* end = text + len;
+    while (p < end) {
+        const char* nl = memchr(p, '\n', (size_t)(end - p));
+        int64_t ll = nl ? (nl - p) : (end - p);
+        if (ll >= 54 && (memcmp(p, "ATOM  ", 6) == 0 ||
+                         memcmp(p, "HETATM", 6) == 0))
+            count++;
+        p = nl ? nl + 1 : end;
+    }
+    return count;
+}
+
+/* Parse ATOM/HETATM records (pass 2) into struct-of-arrays. Also extracts
+ * the title (HEADER idCode preferred, else concatenated TITLE columns 11+,
+ * right-trimmed — structure_reader.cpp:37-45 parity). name4/res3 are the
+ * raw 4/3-char columns (un-stripped). Returns atoms filled. */
+int64_t fcio_parse_pdb(const char* text, int64_t len, int32_t* atom_index,
+                       int32_t* residue_index, char* name4, char* res3,
+                       char* chain, float* coords, float* occ, float* temp,
+                       char* title, int32_t* title_len, int32_t title_cap) {
+    int64_t n = 0;
+    int32_t tlen = 0;
+    int have_header_id = 0;
+    const char* p = text;
+    const char* end = text + len;
+    while (p < end) {
+        const char* nl = memchr(p, '\n', (size_t)(end - p));
+        int64_t ll = nl ? (nl - p) : (end - p);
+        if (ll >= 54 && (memcmp(p, "ATOM  ", 6) == 0 ||
+                         memcmp(p, "HETATM", 6) == 0)) {
+            atom_index[n] = parse_int_field(p + 6, 5);
+            memcpy(name4 + 4 * n, p + 12, 4);
+            memcpy(res3 + 3 * n, p + 17, 3);
+            chain[n] = p[21];
+            residue_index[n] = parse_int_field(p + 22, 4);
+            coords[3 * n] = parse_float_field(p + 30, 8);
+            coords[3 * n + 1] = parse_float_field(p + 38, 8);
+            coords[3 * n + 2] = parse_float_field(p + 46, 8);
+            occ[n] = ll >= 60 ? parse_float_field(p + 54, 6) : 1.0f;
+            temp[n] = ll >= 66 ? parse_float_field(p + 60, 6) : 0.0f;
+            n++;
+        } else if (ll > 62 && memcmp(p, "HEADER", 6) == 0) {
+            int32_t m = (int32_t)(ll - 62 < 4 ? ll - 62 : 4);
+            int32_t s = 0, e = m;
+            while (s < e && p[62 + s] == ' ') s++;
+            while (e > s && p[62 + e - 1] == ' ') e--;
+            if (e > s && e - s <= title_cap) {
+                memcpy(title, p + 62 + s, (size_t)(e - s));
+                tlen = e - s;
+                have_header_id = 1;
+            }
+        } else if (!have_header_id && ll > 10 &&
+                   memcmp(p, "TITLE ", 6) == 0) {
+            int64_t e = ll;
+            while (e > 10 && (p[e - 1] == ' ' || p[e - 1] == '\r')) e--;
+            int32_t m = (int32_t)(e - 10);
+            if (m > 0 && tlen + m <= title_cap) {
+                memcpy(title + tlen, p + 10, (size_t)m);
+                tlen += m;
+            }
+        }
+        p = nl ? nl + 1 : end;
+    }
+    *title_len = tlen;
+    return n;
+}
+
+/* ------------------------------------------------------------------ */
+/* MMseqs2-style database reader                                       */
+/* (reference: database_reader.cpp — mmap data, text .index of          */
+/*  "id\toffset\tlength" lines sorted by id)                            */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    char* data;        /* mmap'd data file (may be NULL without USE_DATA) */
+    int64_t data_size;
+    int data_fd;
+    int64_t size;      /* entry count */
+    uint32_t* ids;
+    int64_t* offsets;
+    int64_t* lengths;
+} fcdb_reader;
+
+static int64_t count_lines(const char* p, int64_t n) {
+    int64_t c = 0;
+    const char* end = p + n;
+    while (p < end) {
+        const char* nl = memchr(p, '\n', (size_t)(end - p));
+        if (!nl) { c++; break; }
+        c++;
+        p = nl + 1;
+    }
+    return c;
+}
+
+void* fcdb_reader_open(const char* data_path, const char* index_path,
+                       int use_data) {
+    fcdb_reader* r = (fcdb_reader*)calloc(1, sizeof(fcdb_reader));
+    if (!r) return NULL;
+    r->data_fd = -1;
+    if (use_data) {
+        int fd = open(data_path, O_RDONLY);
+        if (fd < 0) { free(r); return NULL; }
+        struct stat st;
+        if (fstat(fd, &st) != 0) { close(fd); free(r); return NULL; }
+        r->data_size = st.st_size;
+        r->data = (char*)mmap(NULL, (size_t)st.st_size, PROT_READ,
+                              MAP_PRIVATE, fd, 0);
+        if (r->data == MAP_FAILED) { close(fd); free(r); return NULL; }
+        r->data_fd = fd;
+    }
+    /* read index file */
+    FILE* f = fopen(index_path, "rb");
+    if (!f) { free(r); return NULL; }
+    fseek(f, 0, SEEK_END);
+    long isz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    char* buf = (char*)malloc((size_t)isz + 1);
+    if (!buf || fread(buf, 1, (size_t)isz, f) != (size_t)isz) {
+        fclose(f); free(buf); free(r); return NULL;
+    }
+    fclose(f);
+    buf[isz] = 0;
+    int64_t lines = count_lines(buf, isz);
+    r->ids = (uint32_t*)malloc((size_t)lines * 4);
+    r->offsets = (int64_t*)malloc((size_t)lines * 8);
+    r->lengths = (int64_t*)malloc((size_t)lines * 8);
+    int64_t n = 0;
+    char* p = buf;
+    while (*p && n < lines) {
+        char* q;
+        uint32_t id = (uint32_t)strtoul(p, &q, 10);
+        if (q == p) break;
+        p = q;
+        int64_t off = strtoll(p, &q, 10);
+        p = q;
+        int64_t ln = strtoll(p, &q, 10);
+        p = q;
+        r->ids[n] = id;
+        r->offsets[n] = off;
+        r->lengths[n] = ln;
+        n++;
+        while (*p && *p != '\n') p++;
+        if (*p) p++;
+    }
+    free(buf);
+    r->size = n;
+    /* the on-disk index is sorted by id (database_writer.cpp close); sort
+     * defensively if a foreign producer wrote it unsorted */
+    int sorted = 1;
+    for (int64_t i = 1; i < n; i++)
+        if (r->ids[i] < r->ids[i - 1]) { sorted = 0; break; }
+    if (!sorted) {
+        /* simple index-permutation sort (n log n) */
+        int64_t* ord = (int64_t*)malloc((size_t)n * 8);
+        for (int64_t i = 0; i < n; i++) ord[i] = i;
+        /* insertion-free: stdlib qsort with global-free comparator via
+         * packing key+index into 96-bit records */
+        typedef struct { uint32_t key; int64_t idx; } rec_t;
+        rec_t* recs = (rec_t*)malloc((size_t)n * sizeof(rec_t));
+        for (int64_t i = 0; i < n; i++) {
+            recs[i].key = r->ids[i];
+            recs[i].idx = i;
+        }
+        /* shell sort (stable enough: ties broken by original index) */
+        for (int64_t gap = n / 2; gap > 0; gap /= 2)
+            for (int64_t i = gap; i < n; i++) {
+                rec_t tmp = recs[i];
+                int64_t j = i;
+                while (j >= gap && (recs[j - gap].key > tmp.key ||
+                       (recs[j - gap].key == tmp.key &&
+                        recs[j - gap].idx > tmp.idx))) {
+                    recs[j] = recs[j - gap];
+                    j -= gap;
+                }
+                recs[j] = tmp;
+            }
+        uint32_t* nids = (uint32_t*)malloc((size_t)n * 4);
+        int64_t* noff = (int64_t*)malloc((size_t)n * 8);
+        int64_t* nlen = (int64_t*)malloc((size_t)n * 8);
+        for (int64_t i = 0; i < n; i++) {
+            int64_t j = recs[i].idx;
+            nids[i] = r->ids[j];
+            noff[i] = r->offsets[j];
+            nlen[i] = r->lengths[j];
+        }
+        free(r->ids); free(r->offsets); free(r->lengths);
+        free(recs); free(ord);
+        r->ids = nids; r->offsets = noff; r->lengths = nlen;
+    }
+    return r;
+}
+
+int64_t fcdb_reader_size(void* h) { return ((fcdb_reader*)h)->size; }
+
+int64_t fcdb_reader_get(void* h, int64_t pos, const char** ptr,
+                        int64_t* length) {
+    fcdb_reader* r = (fcdb_reader*)h;
+    if (pos < 0 || pos >= r->size || !r->data) return -1;
+    *ptr = r->data + r->offsets[pos];
+    *length = r->lengths[pos];
+    return 0;
+}
+
+uint32_t fcdb_reader_key(void* h, int64_t pos) {
+    fcdb_reader* r = (fcdb_reader*)h;
+    return (pos >= 0 && pos < r->size) ? r->ids[pos] : 0xFFFFFFFFu;
+}
+
+int64_t fcdb_reader_offset(void* h, int64_t pos) {
+    fcdb_reader* r = (fcdb_reader*)h;
+    return (pos >= 0 && pos < r->size) ? r->offsets[pos] : -1;
+}
+
+int64_t fcdb_reader_length(void* h, int64_t pos) {
+    fcdb_reader* r = (fcdb_reader*)h;
+    return (pos >= 0 && pos < r->size) ? r->lengths[pos] : -1;
+}
+
+/* binary search by key (index sorted by id, database_reader.cpp:169-200) */
+int64_t fcdb_reader_id(void* h, uint32_t key) {
+    fcdb_reader* r = (fcdb_reader*)h;
+    int64_t lo = 0, hi = r->size - 1;
+    while (lo <= hi) {
+        int64_t mid = lo + (hi - lo) / 2;
+        if (r->ids[mid] == key) return mid;
+        if (r->ids[mid] < key) lo = mid + 1;
+        else hi = mid - 1;
+    }
+    return -1;
+}
+
+void fcdb_reader_close(void* h) {
+    fcdb_reader* r = (fcdb_reader*)h;
+    if (r->data && r->data != MAP_FAILED)
+        munmap(r->data, (size_t)r->data_size);
+    if (r->data_fd >= 0) close(r->data_fd);
+    free(r->ids);
+    free(r->offsets);
+    free(r->lengths);
+    free(r);
+}
+
+/* ------------------------------------------------------------------ */
+/* MMseqs2-style database writer (database_writer.cpp parity:           */
+/* appends to data, tracks entries, writes .index/.lookup/.dbtype)      */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    FILE* data;
+    char* base_path;
+    uint32_t* keys;
+    int64_t* offsets;
+    int64_t* lengths;
+    char** names;
+    int64_t n, cap;
+    int64_t pos;
+} fcdb_writer;
+
+void* fcdb_writer_open(const char* data_path) {
+    fcdb_writer* w = (fcdb_writer*)calloc(1, sizeof(fcdb_writer));
+    if (!w) return NULL;
+    w->data = fopen(data_path, "wb");
+    if (!w->data) { free(w); return NULL; }
+    w->base_path = strdup(data_path);
+    w->cap = 1024;
+    w->keys = (uint32_t*)malloc((size_t)w->cap * 4);
+    w->offsets = (int64_t*)malloc((size_t)w->cap * 8);
+    w->lengths = (int64_t*)malloc((size_t)w->cap * 8);
+    w->names = (char**)malloc((size_t)w->cap * sizeof(char*));
+    return w;
+}
+
+int64_t fcdb_writer_append(void* h, const char* buf, int64_t len,
+                           uint32_t key, const char* name) {
+    fcdb_writer* w = (fcdb_writer*)h;
+    if (w->n == w->cap) {
+        w->cap *= 2;
+        w->keys = (uint32_t*)realloc(w->keys, (size_t)w->cap * 4);
+        w->offsets = (int64_t*)realloc(w->offsets, (size_t)w->cap * 8);
+        w->lengths = (int64_t*)realloc(w->lengths, (size_t)w->cap * 8);
+        w->names = (char**)realloc(w->names, (size_t)w->cap * sizeof(char*));
+    }
+    if (fwrite(buf, 1, (size_t)len, w->data) != (size_t)len) return -1;
+    w->keys[w->n] = key;
+    w->offsets[w->n] = w->pos;
+    w->lengths[w->n] = len;
+    w->names[w->n] = strdup(name ? name : "");
+    w->pos += len;
+    w->n++;
+    return 0;
+}
+
+static int cmp_by_key(const void* a, const void* b, void* ctx) {
+    fcdb_writer* w = (fcdb_writer*)ctx;
+    int64_t ia = *(const int64_t*)a, ib = *(const int64_t*)b;
+    if (w->keys[ia] != w->keys[ib])
+        return w->keys[ia] < w->keys[ib] ? -1 : 1;
+    return ia < ib ? -1 : (ia > ib ? 1 : 0); /* stable */
+}
+
+int64_t fcdb_writer_close(void* h) {
+    fcdb_writer* w = (fcdb_writer*)h;
+    fclose(w->data);
+    size_t plen = strlen(w->base_path);
+    char* path = (char*)malloc(plen + 16);
+
+    /* stable sort by key (writer_append out-of-order parity) */
+    int64_t* order = (int64_t*)malloc((size_t)w->n * 8);
+    for (int64_t i = 0; i < w->n; i++) order[i] = i;
+    qsort_r(order, (size_t)w->n, 8, cmp_by_key, w);
+
+    memcpy(path, w->base_path, plen);
+    strcpy(path + plen, ".index");
+    FILE* f = fopen(path, "wb");
+    if (f) {
+        for (int64_t i = 0; i < w->n; i++) {
+            int64_t j = order[i];
+            fprintf(f, "%u\t%lld\t%lld\n", w->keys[j],
+                    (long long)w->offsets[j], (long long)w->lengths[j]);
+        }
+        fclose(f);
+    }
+    strcpy(path + plen, ".lookup");
+    f = fopen(path, "wb");
+    if (f) {
+        for (int64_t i = 0; i < w->n; i++) {
+            int64_t j = order[i];
+            fprintf(f, "%u\t%s\t0\n", w->keys[j], w->names[j]);
+        }
+        fclose(f);
+    }
+    strcpy(path + plen, ".dbtype");
+    f = fopen(path, "wb");
+    if (f) {
+        /* generic dbtype 12 (database_writer.cpp close parity) */
+        const unsigned char dbtype[4] = {12, 0, 0, 0};
+        fwrite(dbtype, 1, 4, f);
+        fclose(f);
+    }
+    free(order);
+    free(path);
+    for (int64_t i = 0; i < w->n; i++) free(w->names[i]);
+    free(w->names);
+    free(w->keys);
+    free(w->offsets);
+    free(w->lengths);
+    free(w->base_path);
+    free(w);
+    return 0;
+}

@@ -1,0 +1,127 @@
+"""Native IO runtime (native/fcio.c) vs pure-Python fallbacks."""
+import os
+
+import numpy as np
+import pytest
+
+from conftest import require_fixture
+
+from foldcomp_tpu import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    return lib
+
+
+def _python_format(atoms, title):
+    os.environ["FOLDCOMP_TPU_NO_NATIVE"] = "1"
+    try:
+        # force the pure-python path by calling the module internals
+        from foldcomp_tpu.io import pdb
+
+        saved_lib, saved_tried = native._LIB, native._TRIED
+        native._LIB, native._TRIED = None, True
+        try:
+            return pdb.format_pdb(atoms, title)
+        finally:
+            native._LIB, native._TRIED = saved_lib, saved_tried
+    finally:
+        del os.environ["FOLDCOMP_TPU_NO_NATIVE"]
+
+
+def test_format_parity(lib):
+    from foldcomp_tpu.io.pdb import parse_pdb
+
+    data = require_fixture("test.pdb").read_bytes()
+    atoms = parse_pdb(data)
+    py = _python_format(atoms, "SOME TITLE " * 10)
+    nat = native.format_pdb_native(atoms, "SOME TITLE " * 10)
+    assert py == nat
+
+
+def test_parse_parity(lib):
+    data = require_fixture("test_af.pdb").read_bytes()
+    d = native.parse_pdb_native(data)
+    # python reference parse
+    saved_lib, saved_tried = native._LIB, native._TRIED
+    native._LIB, native._TRIED = None, True
+    try:
+        from foldcomp_tpu.io.pdb import parse_pdb
+        atoms = parse_pdb(data)
+    finally:
+        native._LIB, native._TRIED = saved_lib, saved_tried
+    assert d["atom_name"] == atoms.atom_name
+    assert d["residue_name"] == atoms.residue_name
+    assert d["chain"] == atoms.chain
+    assert np.array_equal(d["coords"], atoms.coords)
+    assert np.array_equal(d["temp_factor"], atoms.temp_factor)
+    assert d["title"] == atoms.title
+
+
+def test_negative_coords_and_bfactors(lib):
+    """fast_ftoa edge: negative values round toward zero then negate."""
+    from foldcomp_tpu.io.structure import AtomArray
+
+    coords = np.asarray([[-0.0005, -123.9999, 0.0004],
+                         [9999.1234, -0.001, 1.0]], np.float32)
+    atoms = AtomArray(["N", "CA"], ["ALA", "ALA"], ["A", "A"],
+                      np.asarray([1, 2], np.int32),
+                      np.asarray([1, 1], np.int32), coords,
+                      np.ones(2, np.float32),
+                      np.asarray([-3.21, 99.999], np.float32), "")
+    py = _python_format(atoms, "")
+    nat = native.format_pdb_native(atoms, "")
+    assert py == nat
+
+
+def test_db_reader_native(lib, ref_test_dir):
+    from foldcomp_tpu.io.db import DatabaseReader
+
+    db = str(ref_test_dir / "example_db")
+    r = DatabaseReader(db)
+    assert r._h is not None, "native reader should be active"
+    n = len(r)
+    assert n > 0
+    # parity with the pure-python reader
+    saved_lib, saved_tried = native._LIB, native._TRIED
+    native._LIB, native._TRIED = None, True
+    try:
+        rp = DatabaseReader(db)
+    finally:
+        native._LIB, native._TRIED = saved_lib, saved_tried
+    assert rp._h is None
+    assert len(rp) == n
+    for pos in range(n):
+        assert r.get_key(pos) == rp.get_key(pos)
+        assert r.get_data(pos) == rp.get_data(pos)
+    key = r.get_key(n // 2)
+    assert r.position_of_key(key) == rp.position_of_key(key)
+    assert r.position_of_key(10 ** 9) == -1
+    r.close()
+    rp.close()
+
+
+def test_db_writer_native_roundtrip(lib, tmp_path):
+    import ctypes
+
+    from foldcomp_tpu.io.db import DatabaseReader
+
+    db = str(tmp_path / "natdb")
+    h = lib.fcdb_writer_open(db.encode())
+    assert h
+    # append out of order: close() must stable-sort by key
+    for key, name, payload in ((2, "b", b"BBBB\x00"), (1, "a", b"AA\x00"),
+                               (3, "c", b"CCCCCC\x00")):
+        assert lib.fcdb_writer_append(h, payload, len(payload), key,
+                                      name.encode()) == 0
+    assert lib.fcdb_writer_close(h) == 0
+
+    r = DatabaseReader(db)
+    assert [r.get_key(i) for i in range(len(r))] == [1, 2, 3]
+    assert r.get_data(r.position_of_key(2)) == b"BBBB\x00"
+    assert r.lookup_key("c") == 3
+    r.close()
