@@ -72,9 +72,28 @@ def compress(name: str, pdb_content: str,
 
 
 def decompress(fcz_bytes: bytes):
-    """FCZ bytes -> (name, pdb_str) (foldcomp.cxx:222-239 parity)."""
+    """FCZ bytes -> (name, pdb_str) (foldcomp.cxx:222-239 parity).
+
+    Note the binding calls decompress(..., /*use_title=*/false), so the PDB
+    text carries no TITLE records; the title is returned separately.
+    """
     try:
-        f = fcz.parse(bytes(fcz_bytes))
+        blob = bytes(fcz_bytes)
+        f = fcz.parse(blob)
+    except Exception as e:
+        raise FoldcompError("Error decompressing.") from e
+    try:
+        from .native import decode_fcz_pdb_native
+        text = decode_fcz_pdb_native(blob)
+    except Exception:
+        text = None
+    if text is not None:
+        # strip TITLE records: the native decoder embeds them
+        if text.startswith("TITLE"):
+            lines = text.splitlines(keepends=True)
+            text = "".join(l for l in lines if not l.startswith("TITLE"))
+        return f.title, text
+    try:
         atoms = _decode_exact(f)
     except Exception as e:
         raise FoldcompError("Error decompressing.") from e

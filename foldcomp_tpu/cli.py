@@ -569,21 +569,40 @@ def run_decompress(opts: Options, entries, output: str, single: bool):
     if opts.fast:
         return _run_decompress_fast(opts, entries, sink, sink_kind, output)
 
+    try:
+        from .native import decode_fcz_pdb_native, get_lib
+        have_native = get_lib() is not None
+    except Exception:
+        have_native = False
+
     def handle(item):
         name, buf = item
         t0 = time.perf_counter()
-        try:
-            f = fcz.parse(bytes(buf))
-        except fcz.FczFormatError:
-            print("[Error] File is not a valid fcz file", file=sys.stderr)
-            return False
+        buf = bytes(buf)
         if opts.check_before:
+            try:
+                f = fcz.parse(buf)
+            except fcz.FczFormatError:
+                print("[Error] File is not a valid fcz file", file=sys.stderr)
+                return False
             err = check_validity(f)
             if err != SUCCESS:
                 print(VALIDITY_MESSAGES[err] + f.title, file=sys.stderr)
                 return True
-        atoms = decode(f, use_alt_order=opts.alt)
-        text = format_pdb(atoms, f.title)
+        if have_native:
+            try:
+                text = decode_fcz_pdb_native(buf, use_alt=opts.alt)
+            except ValueError:
+                print("[Error] File is not a valid fcz file", file=sys.stderr)
+                return False
+        else:
+            try:
+                f = fcz.parse(buf)
+            except fcz.FczFormatError:
+                print("[Error] File is not a valid fcz file", file=sys.stderr)
+                return False
+            atoms = decode(f, use_alt_order=opts.alt)
+            text = format_pdb(atoms, f.title)
         base = base_name(name)
         parts = get_file_parts(base)
         if sink_kind == "db":

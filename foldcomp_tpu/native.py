@@ -21,13 +21,15 @@ _TRIED = False
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "build", "libfcio.so")
-_SRC = os.path.join(_NATIVE_DIR, "fcio.c")
+_SRCS = [os.path.join(_NATIVE_DIR, "fcio.c"),
+         os.path.join(_NATIVE_DIR, "fccodec.c")]
+_SRC = _SRCS[0]
 
 
 def _build() -> bool:
     os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
     cc = os.environ.get("CC", "cc")
-    cmd = [cc, "-O3", "-fPIC", "-shared", "-o", _SO_PATH, _SRC]
+    cmd = [cc, "-O3", "-fPIC", "-shared", "-o", _SO_PATH, *_SRCS, "-lm"]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired):
@@ -84,6 +86,11 @@ def _bind(lib):
                                        c.c_uint32, c.c_char_p]
     lib.fcdb_writer_close.restype = c.c_int64
     lib.fcdb_writer_close.argtypes = [c.c_void_p]
+    lib.fcz_decode_pdb.restype = c.c_int64
+    lib.fcz_decode_pdb.argtypes = [c.c_char_p, c.c_int64, c.c_int,
+                                   c.c_char_p]
+    lib.fcz_decode_pdb_cap.restype = c.c_int64
+    lib.fcz_decode_pdb_cap.argtypes = [c.c_char_p, c.c_int64]
     return lib
 
 
@@ -99,9 +106,11 @@ def get_lib():
         if os.environ.get("FOLDCOMP_TPU_NO_NATIVE"):
             return None
         try:
-            if not os.path.exists(_SO_PATH) or (
-                    os.path.exists(_SRC) and
-                    os.path.getmtime(_SRC) > os.path.getmtime(_SO_PATH)):
+            stale = not os.path.exists(_SO_PATH) or any(
+                os.path.exists(s) and
+                os.path.getmtime(s) > os.path.getmtime(_SO_PATH)
+                for s in _SRCS)
+            if stale:
                 if not _build():
                     return None
             _LIB = _bind(ctypes.CDLL(_SO_PATH))
@@ -166,6 +175,25 @@ def format_atom14_native(atom14, temp, codes, n_res, idx_residue, idx_atom,
         (last_res[:1] or "X").encode("latin1"),
         1 if has_oxt else 0, oxt, 1 if use_alt else 0, tbytes,
         len(tbytes), out)
+    return out.raw[:written].decode("latin1")
+
+
+def decode_fcz_pdb_native(blob: bytes, use_alt: bool = False) -> str | None:
+    """Native exact FCZ decode -> PDB text; None if library missing.
+
+    Raises ValueError on a malformed stream (same conditions as
+    codec/fcz.py parse + decoder.decode).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = lib.fcz_decode_pdb_cap(blob, len(blob))
+    if cap < 0:
+        raise ValueError("not a valid fcz stream (bad magic)")
+    out = ctypes.create_string_buffer(int(cap))
+    written = lib.fcz_decode_pdb(blob, len(blob), 1 if use_alt else 0, out)
+    if written < 0:
+        raise ValueError(f"fcz decode failed (error {written})")
     return out.raw[:written].decode("latin1")
 
 

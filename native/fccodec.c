@@ -1,0 +1,382 @@
+/* fccodec — native exact FCZ decoder.
+ *
+ * Bit-compatible re-implementation of the reference decompression pipeline
+ * (Foldcomp::read + Foldcomp::decompress, src/foldcomp.cpp:904-1036 and
+ * 779-902): continuize the quantized angle streams, per-anchor-segment
+ * forward NeRF reconstruction, reverse reconstruction seeded by the stored
+ * next-anchor coordinates, position-weighted blend, per-residue side-chain
+ * placement over the amino-acid geometry tables, then fixed-column PDB
+ * text. Float semantics follow the reference exactly: float arithmetic
+ * with double promotion in norm()/acos()/degree-radian conversions
+ * (float3d.h:19-65, nerf.cpp:39-104), so the output is byte-identical to
+ * the reference binary's. This is the default CLI decompress path; the
+ * batched TPU kernels (foldcomp_tpu/kernels) are the --fast path.
+ *
+ * Compiled together with fcio.c into libfcio.so (see foldcomp_tpu/native.py).
+ */
+#include <math.h>
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include "aatable_gen.h"
+
+/* formatting helpers from fcio.c */
+extern int64_t fcio_format_pdb(int32_t n, const int32_t* atom_index,
+                               const int32_t* residue_index,
+                               const char* name4, const char* res3,
+                               const char* chain, const float* coords,
+                               const float* temp, const char* title,
+                               int32_t title_len, char* out);
+
+typedef struct { float x, y, z; } v3;
+
+/* backbone NeRF bond lengths (foldcomp.h:51-54, nerf.h:37-43) */
+#define BL_C_TO_N 1.3311f
+#define BL_N_TO_CA 1.4581f
+#define BL_PRO_N_TO_CA 1.353f
+#define BL_CA_TO_C 1.5281f
+
+/* norm() parity (float3d.h:32-34): double accumulation via pow() */
+static inline float v3norm(v3 v) {
+    return (float)sqrt((double)v.x * v.x + (double)v.y * v.y
+                       + (double)v.z * v.z);
+}
+
+/* Nerf::place_atom parity (nerf.cpp:39-104) */
+static v3 place_atom(v3 a, v3 b, v3 c, float bond_length, float bond_angle,
+                     float torsion_angle) {
+    v3 ab = {b.x - a.x, b.y - a.y, b.z - a.z};
+    v3 bc = {c.x - b.x, c.y - b.y, c.z - b.z};
+    float bc_norm = v3norm(bc);
+    v3 bcn = {bc.x / bc_norm, bc.y / bc_norm, bc.z / bc_norm};
+    float ba = (float)(bond_angle * M_PI / 180.0);
+    float ta = (float)(torsion_angle * M_PI / 180.0);
+    v3 d = {
+        -1 * bond_length * cosf(ba),
+        bond_length * cosf(ta) * sinf(ba),
+        bond_length * sinf(ta) * sinf(ba),
+    };
+    v3 n = {ab.y * bcn.z - bcn.y * ab.z,
+            ab.z * bcn.x - bcn.z * ab.x,
+            ab.x * bcn.y - bcn.x * ab.y};
+    float n_norm = v3norm(n);
+    n.x = n.x / n_norm;
+    n.y = n.y / n_norm;
+    n.z = n.z / n_norm;
+    v3 nbc = {n.y * bcn.z - bcn.y * n.z,
+              n.z * bcn.x - bcn.z * n.x,
+              n.x * bcn.y - bcn.x * n.y};
+    v3 out = {0.0f, 0.0f, 0.0f};
+    out.x += bcn.x * d.x; out.x += nbc.x * d.y; out.x += n.x * d.z;
+    out.y += bcn.y * d.x; out.y += nbc.y * d.y; out.y += n.y * d.z;
+    out.z += bcn.z * d.x; out.z += nbc.z * d.y; out.z += n.z * d.z;
+    out.x += c.x; out.y += c.y; out.z += c.z;
+    return out;
+}
+
+/* 3-point angle parity (float3d.h:36-65): f32 vector math, double acos */
+static float bond_angle3(v3 a, v3 b, v3 c) {
+    v3 d1 = {a.x - b.x, a.y - b.y, a.z - b.z};
+    v3 d2 = {c.x - b.x, c.y - b.y, c.z - b.z};
+    float inner = (d1.x * d2.x) + (d1.y * d2.y) + (d1.z * d2.z);
+    float s1 = d1.x * d1.x + d1.y * d1.y + d1.z * d1.z;
+    float s2 = d2.x * d2.x + d2.y * d2.y + d2.z * d2.z;
+    float cos_t = (float)(inner / sqrt((double)(s1 * s2)));
+    return (float)(acos((double)cos_t) * 180.0 / M_PI);
+}
+
+static inline float continuize1(uint32_t q, float min, float cont_f) {
+    return (float)q * cont_f + min;
+}
+
+/* ---- FCZ stream parsing (codec/fcz.py / foldcomp.cpp:904-1036) ---- */
+
+typedef struct {
+    uint16_t n_residue, n_atom, idx_residue, idx_atom;
+    uint8_t n_anchor;
+    char chain;
+    uint32_t n_sc;
+    char first_res, last_res;
+    uint32_t len_title;
+    float mins[6], cont_fs[6];
+    const int32_t* anchor_idx;
+    const char* title;
+    const float* anchor_xyz;   /* [n_anchor][3][3] */
+    uint8_t has_oxt;
+    const float* oxt;
+    const uint8_t* records;    /* [n_residue][8] */
+    const uint8_t* sc_codes;   /* [n_sc] */
+    float tf_min, tf_cont;
+    const uint8_t* tf_codes;   /* [n_residue] */
+} fcz_view;
+
+static int fcz_parse_view(const uint8_t* p, int64_t len, fcz_view* v) {
+    if (len < 76 || memcmp(p, "FCMP", 4) != 0) return -1;
+    const uint8_t* h = p + 4;
+    memcpy(&v->n_residue, h + 0, 2);
+    memcpy(&v->n_atom, h + 2, 2);
+    memcpy(&v->idx_residue, h + 4, 2);
+    memcpy(&v->idx_atom, h + 6, 2);
+    v->n_anchor = h[8];
+    v->chain = (char)h[9];
+    memcpy(&v->n_sc, h + 12, 4);
+    v->first_res = (char)h[16];
+    v->last_res = (char)h[17];
+    memcpy(&v->len_title, h + 20, 4);
+    memcpy(v->mins, h + 24, 24);
+    memcpy(v->cont_fs, h + 48, 24);
+    int64_t off = 4 + 72;
+    v->anchor_idx = (const int32_t*)(p + off);
+    off += 4 * v->n_anchor;
+    v->title = (const char*)(p + off);
+    off += v->len_title;
+    v->anchor_xyz = (const float*)(p + off);
+    off += 36 * v->n_anchor;
+    if (off >= len) return -2;
+    v->has_oxt = p[off];
+    off += 1;
+    v->oxt = (const float*)(p + off);
+    off += 12;
+    v->records = p + off;
+    off += 8 * (int64_t)v->n_residue;
+    v->sc_codes = p + off;
+    off += v->n_sc;
+    v->tf_min = 0; v->tf_cont = 0;
+    if (off + 8 > len) return -2;
+    memcpy(&v->tf_min, p + off, 4);
+    memcpy(&v->tf_cont, p + off + 4, 4);
+    off += 8;
+    v->tf_codes = p + off;
+    off += v->n_residue;
+    if (off > len) return -2;
+    return 0;
+}
+
+static int code_of_one(char c) {
+    for (int i = 0; i < FC_NUM_CODES; i++)
+        if (FC_ONE[i] == c) return i;
+    return 23;
+}
+
+/* Full exact decode of one FCZ payload to PDB text.
+ * Returns bytes written, or negative error. `out` must hold
+ * >= title + (nAtom+2)*120 bytes (caller sizes it). */
+int64_t fcz_decode_pdb(const uint8_t* buf, int64_t len, int use_alt,
+                       char* out) {
+    fcz_view v;
+    int err = fcz_parse_view(buf, len, &v);
+    if (err) return err;
+    int n = v.n_residue;
+    if (n < 1 || v.n_anchor < 2) return -3;
+
+    /* unpack + continuize records (convertBytesToBackboneChain
+     * foldcomp.cpp:60-77; continuize foldcomp.cpp:784-805) */
+    int* rc = (int*)malloc((size_t)n * sizeof(int));
+    float *phi = (float*)malloc((size_t)n * 4);
+    float *psi = (float*)malloc((size_t)n * 4);
+    float *omg = (float*)malloc((size_t)n * 4);
+    float *ncac = (float*)malloc((size_t)n * 4);
+    float *cacn = (float*)malloc((size_t)n * 4);
+    float *cnca = (float*)malloc((size_t)n * 4);
+    for (int i = 0; i < n; i++) {
+        const uint8_t* r = v.records + 8 * i;
+        rc[i] = r[0] >> 3;
+        uint32_t omega_q = ((uint32_t)(r[0] & 0x7) << 8) | r[1];
+        uint32_t psi_q = ((uint32_t)r[2] << 4) | (r[3] >> 4);
+        uint32_t phi_q = ((uint32_t)(r[3] & 0xF) << 8) | r[4];
+        phi[i] = continuize1(phi_q, v.mins[0], v.cont_fs[0]);
+        psi[i] = continuize1(psi_q, v.mins[1], v.cont_fs[1]);
+        omg[i] = continuize1(omega_q, v.mins[2], v.cont_fs[2]);
+        ncac[i] = continuize1(r[7], v.mins[3], v.cont_fs[3]);
+        cacn[i] = continuize1(r[5], v.mins[4], v.cont_fs[4]);
+        cnca[i] = continuize1(r[6], v.mins[5], v.cont_fs[5]);
+    }
+
+    /* interleaved torsion stream (foldcomp.cpp:789-793) */
+    int ts_len = 3 * (n - 1);
+    if (ts_len < 1) ts_len = 1;
+    float* tstream = (float*)calloc((size_t)ts_len, 4);
+    for (int i = 0; i < n - 1; i++) {
+        tstream[3 * i] = psi[i];
+        tstream[3 * i + 1] = omg[i];
+        tstream[3 * i + 2] = phi[i];
+    }
+
+    /* backbone reconstruction per anchor segment (foldcomp.cpp:812-858) */
+    v3* bb = (v3*)malloc((size_t)(3 * n + 3) * sizeof(v3));
+    int bb_n = 0;
+    v3 prev3[3];
+    memcpy(prev3, v.anchor_xyz, 36);
+    int max_rec = n - 1;
+    int max_tor = 3 * (n - 1) - 1;
+    int scratch_cap = 3 * (n + 2);
+    v3* fwd = (v3*)malloc((size_t)scratch_cap * sizeof(v3));
+    v3* rev = (v3*)malloc((size_t)scratch_cap * sizeof(v3));
+    float* angs = (float*)malloc((size_t)scratch_cap * 4);
+    float* segt = (float*)malloc((size_t)scratch_cap * 4);
+
+    for (int s = 0; s < v.n_anchor - 1; s++) {
+        int is_last = (s == v.n_anchor - 2);
+        int first = v.anchor_idx[s] < max_rec ? v.anchor_idx[s] : max_rec;
+        int last = v.anchor_idx[s + 1] + 1 < max_rec ? v.anchor_idx[s + 1] + 1
+                                                     : max_rec;
+        int m = last - first + (is_last ? 1 : 0); /* record count */
+        if (m < 1) m = 1;
+        int t = 3 * m;                            /* atom count */
+
+        /* forward pass (reconstructBackboneAtoms foldcomp.cpp:167-246) */
+        fwd[0] = prev3[0]; fwd[1] = prev3[1]; fwd[2] = prev3[2];
+        for (int i = 0; i < m - 1; i++) {
+            int ri = first + i;
+            v3 a = fwd[3 * i], b = fwd[3 * i + 1], c = fwd[3 * i + 2];
+            v3 nn = place_atom(a, b, c, BL_C_TO_N, cacn[ri], psi[ri]);
+            float ca_len = (rc[ri] == 14) ? BL_PRO_N_TO_CA : BL_N_TO_CA;
+            v3 ca = place_atom(b, c, nn, ca_len, cnca[ri], omg[ri]);
+            v3 cc = place_atom(c, nn, ca, BL_CA_TO_C, ncac[ri], phi[ri]);
+            fwd[3 * i + 3] = nn; fwd[3 * i + 4] = ca; fwd[3 * i + 5] = cc;
+        }
+
+        /* torsion slice (foldcomp.cpp:834-843) */
+        int t_first = 3 * v.anchor_idx[s];
+        if (t_first > max_tor) t_first = max_tor;
+        if (t_first < 0) t_first = 0;
+        int t_last = 3 * v.anchor_idx[s + 1];
+        if (t_last > max_tor) t_last = max_tor;
+        if (t_last < t_first) t_last = t_first;
+        int nt = t_last - t_first;
+        for (int i = 0; i < nt; i++) segt[i] = tstream[t_first + i];
+        if (is_last) segt[nt++] = tstream[3 * (n - 1) - 1];
+
+        /* bond angles of forward coords: angs[k] centered at fwd[k+1] */
+        for (int k = 0; k < t - 2; k++)
+            angs[k] = bond_angle3(fwd[k], fwd[k + 1], fwd[k + 2]);
+
+        /* reverse pass (reconstructBackboneReverse foldcomp.cpp:248-273 ->
+         * nerf.cpp:342-400): seed = stored next anchor (C, CA, N) */
+        const float* anext = v.anchor_xyz + 9 * (s + 1);
+        rev[0] = (v3){anext[6], anext[7], anext[8]};
+        rev[1] = (v3){anext[3], anext[4], anext[5]};
+        rev[2] = (v3){anext[0], anext[1], anext[2]};
+        static const float blc[3] = {BL_C_TO_N, BL_CA_TO_C, BL_N_TO_CA};
+        for (int i = 0; i < t - 3; i++) {
+            /* rev_angles[i+1] = angs[t-4-i]; rev_tors[i] = segt[t-4-i] */
+            rev[i + 3] = place_atom(rev[i], rev[i + 1], rev[i + 2],
+                                    blc[i % 3], angs[t - 4 - i],
+                                    segt[t - 4 - i]);
+        }
+
+        /* weightedAverage blend (atom_coordinate.cpp:145-163) */
+        float ft = (float)t;
+        for (int i = 0; i < t; i++) {
+            v3 f = fwd[i];
+            v3 r = rev[t - 1 - i];
+            float wf = (float)(t - i), wr = (float)i;
+            v3 bl = {((f.x * wf) + (r.x * wr)) / ft,
+                     ((f.y * wf) + (r.y * wr)) / ft,
+                     ((f.z * wf) + (r.z * wr)) / ft};
+            fwd[i] = bl;
+        }
+
+        int keep = is_last ? t : t - 3;
+        memcpy(bb + bb_n, fwd, (size_t)keep * sizeof(v3));
+        bb_n += keep;
+        prev3[0] = fwd[t - 3]; prev3[1] = fwd[t - 2]; prev3[2] = fwd[t - 1];
+    }
+
+    /* side chains + output arrays (foldcomp.cpp:861-899) */
+    int cap_atoms = 14 * n + 2;
+    int32_t* aidx = (int32_t*)malloc((size_t)cap_atoms * 4);
+    int32_t* ridx = (int32_t*)malloc((size_t)cap_atoms * 4);
+    char* name4 = (char*)malloc((size_t)cap_atoms * 4);
+    char* res3 = (char*)malloc((size_t)cap_atoms * 3);
+    char* chn = (char*)malloc((size_t)cap_atoms);
+    float* coords = (float*)malloc((size_t)cap_atoms * 12);
+    float* temp = (float*)malloc((size_t)cap_atoms * 4);
+    int na = 0;
+    int64_t sc_pos = 0;
+    v3 slot[FC_MAX_ATOM];
+    int order[FC_MAX_ATOM];
+    /* fixed [-180,180] 255-bin continuizer (discretizer.h:89-106) */
+    float sc_min = -180.0f;
+    float sc_cf = (180.0f - sc_min) / (float)255;
+
+    for (int i = 0; i < n; i++) {
+        int code = rc[i];
+        /* display name: residue 0 uses header first_residue
+         * (foldcomp.cpp:862) */
+        int name_code = (i == 0) ? code_of_one(v.first_res)
+                                 : (code < FC_NUM_CODES ? code : 23);
+        int tbl = name_code; /* AA_DATA keyed by display name */
+        int cnt;
+        if (code >= 20 || tbl >= 20) {
+            cnt = 3;
+        } else {
+            cnt = FC_N_ATOMS[tbl];
+        }
+        slot[0] = bb[3 * i]; slot[1] = bb[3 * i + 1]; slot[2] = bb[3 * i + 2];
+        int nsc = (code < 20) ? FC_N_ATOMS[code] - 3 : 0;
+        if (cnt > 3) {
+            for (int k = 3; k < cnt; k++) {
+                float tor = (k - 3 < nsc && sc_pos + (k - 3) < v.n_sc)
+                    ? (float)v.sc_codes[sc_pos + (k - 3)] * sc_cf + sc_min
+                    : 0.0f;
+                slot[k] = place_atom(slot[FC_PRED[tbl][k][0]],
+                                     slot[FC_PRED[tbl][k][1]],
+                                     slot[FC_PRED[tbl][k][2]],
+                                     FC_BLEN[tbl][k], FC_BANG[tbl][k], tor);
+            }
+        }
+        sc_pos += nsc;
+        float tf = continuize1(v.tf_codes[i], v.tf_min, v.tf_cont);
+        for (int k = 0; k < cnt; k++) order[k] = k;
+        if (use_alt && tbl < 20)
+            for (int k = 0; k < cnt; k++) order[k] = FC_ALT_PERM[tbl][k];
+        for (int k = 0; k < cnt; k++) {
+            int sl = order[k];
+            aidx[na] = v.idx_atom + na;
+            ridx[na] = v.idx_residue + i;
+            memcpy(name4 + 4 * na, FC_NAME4[tbl][sl], 4);
+            memcpy(res3 + 3 * na, FC_THREE[name_code], 3);
+            /* right-justify 3-letter name (all are 3 chars) */
+            chn[na] = v.chain;
+            coords[3 * na] = slot[sl].x;
+            coords[3 * na + 1] = slot[sl].y;
+            coords[3 * na + 2] = slot[sl].z;
+            temp[na] = tf;
+            na++;
+        }
+    }
+    if (v.has_oxt) {
+        int lc = code_of_one(v.last_res);
+        aidx[na] = v.idx_atom + na;
+        ridx[na] = n; /* reference quirk (foldcomp.cpp:962-965) */
+        memcpy(name4 + 4 * na, " OXT", 4);
+        memcpy(res3 + 3 * na, FC_THREE[lc], 3);
+        chn[na] = v.chain;
+        coords[3 * na] = v.oxt[0];
+        coords[3 * na + 1] = v.oxt[1];
+        coords[3 * na + 2] = v.oxt[2];
+        temp[na] = continuize1(v.tf_codes[n - 1], v.tf_min, v.tf_cont);
+        na++;
+    }
+
+    int64_t written = fcio_format_pdb(na, aidx, ridx, name4, res3, chn,
+                                      coords, temp, v.title,
+                                      (int32_t)v.len_title, out);
+
+    free(rc); free(phi); free(psi); free(omg);
+    free(ncac); free(cacn); free(cnca);
+    free(tstream); free(bb); free(fwd); free(rev); free(angs); free(segt);
+    free(aidx); free(ridx); free(name4); free(res3); free(chn);
+    free(coords); free(temp);
+    return written;
+}
+
+/* size estimate for the caller's output buffer */
+int64_t fcz_decode_pdb_cap(const uint8_t* buf, int64_t len) {
+    fcz_view v;
+    if (fcz_parse_view(buf, len, &v)) return -1;
+    return (int64_t)v.len_title + 64 + ((int64_t)v.len_title / 70 + 2) * 12
+        + ((int64_t)v.n_residue * 14 + 4) * 120;
+}

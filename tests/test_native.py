@@ -105,6 +105,25 @@ def test_db_reader_native(lib, ref_test_dir):
     rp.close()
 
 
+def test_native_exact_decode_parity(lib):
+    """Native fcz_decode_pdb is byte-identical to the Python exact path."""
+    from foldcomp_tpu.codec import fcz
+    from foldcomp_tpu.codec.decoder import decode
+    from foldcomp_tpu.io.pdb import format_pdb
+
+    blob = require_fixture("test_af.fcz").read_bytes()
+    f = fcz.parse(blob)
+    for use_alt in (False, True):
+        py = format_pdb(decode(f, use_alt_order=use_alt), f.title)
+        nat = native.decode_fcz_pdb_native(blob, use_alt=use_alt)
+        assert py == nat, f"use_alt={use_alt}"
+
+
+def test_native_exact_decode_bad_magic(lib):
+    with pytest.raises(ValueError):
+        native.decode_fcz_pdb_native(b"NOTFCZ_________________")
+
+
 def test_db_writer_native_roundtrip(lib, tmp_path):
     import ctypes
 
