@@ -61,6 +61,37 @@ def _parse_atom_lines(pdb_input: str, require_single_chain: bool):
 def compress(name: str, pdb_content: str,
              anchor_residue_threshold: int = DEFAULT_ANCHOR_THRESHOLD) -> bytes:
     """PDB string -> FCZ bytes (foldcomp.cxx:295-328 parity)."""
+    # the binding's parser consumes ATOM records only and rejects
+    # multi-chain input (foldcomp.cxx:253-293)
+    atom_lines = []
+    chain = None
+    for line in pdb_content.splitlines():
+        if not line.startswith("ATOM"):
+            continue
+        c = line[21:22]
+        if chain is None:
+            chain = c
+        elif c != chain:
+            raise FoldcompError(
+                "Multiple chains found. Please provide a single chain using "
+                "'foldcomp.split_pdb_by_chain'")
+        atom_lines.append(line)
+    if not atom_lines:
+        raise FoldcompError("No ATOM lines found")
+
+    try:
+        from .native import encode_pdb_native
+        frags = encode_pdb_native(
+            ("\n".join(atom_lines) + "\n").encode("latin1", "replace"),
+            anchor_residue_threshold, name, split=False)
+    except Exception:
+        frags = None
+    if frags:
+        f = frags[0]
+        if f["error"]:
+            raise FoldcompError(f"Error compressing: {f['error']}")
+        return f["blob"]
+
     atoms = _parse_atom_lines(pdb_content, require_single_chain=True)
     atoms = remove_alternative_positions(atoms)
     try:

@@ -335,6 +335,49 @@ def compress_entry(name: str, buf: bytes, opts: Options,
     """Per-entry compression (main.cpp:438-536): returns [(name, fcz_bytes)]."""
     base = base_name(name)
     parts = get_file_parts(base)
+    fallback = out_base if out_base is not None else parts[0]
+
+    # Native exact path for plain/gz PDB buffers (native/fccodec.c)
+    lowered = base.lower()
+    is_cif = lowered.endswith(".cif") or lowered.endswith(".cif.gz")
+    if not is_cif:
+        raw = gzip.decompress(buf) if buf[:2] == b"\x1f\x8b" else buf
+        if raw.lstrip()[:5] != b"data_":
+            try:
+                from .native import encode_pdb_native, peek_title_native
+                parsed_title = peek_title_native(raw)
+            except Exception:
+                parsed_title = None
+            if parsed_title is not None:
+                title = parsed_title if parsed_title else fallback
+                frags = encode_pdb_native(raw, opts.anchor_threshold, title,
+                                          split=True)
+                if not frags:
+                    print("[Error] No atoms found in the input file: "
+                          f"{base}", file=sys.stderr)
+                    return None
+                results = []
+                skipped_chain = set()
+                for f in frags:
+                    if opts.skip_discontinuous and \
+                            f["n_frags_in_chain"] > 1:
+                        if f["chain_ord"] not in skipped_chain:
+                            print(f"Skipping discontinuous chain: {base}",
+                                  file=sys.stderr)
+                            skipped_chain.add(f["chain_ord"])
+                        continue
+                    if f["error"]:
+                        print(f"[Error] {base}: {f['error']}",
+                              file=sys.stderr)
+                        continue
+                    fname = parts[0]
+                    if f["n_chains"] > 1:
+                        fname += f["chain"]
+                    if f["n_frags_in_chain"] > 1:
+                        fname += f"_{f['frag_ord']}"
+                    results.append((fname, f["blob"], parts))
+                return results
+
     atoms = parse_structure_buffer(buf, base)
     if len(atoms) == 0:
         print(f"[Error] No atoms found in the input file: {base}",
@@ -342,7 +385,6 @@ def compress_entry(name: str, buf: bytes, opts: Options,
         return None
     # title fallback uses the OUTPUT base name when the parsed title is just
     # the input file name (main.cpp:464-465)
-    fallback = out_base if out_base is not None else parts[0]
     title = fallback if atoms.title == base else atoms.title
     atoms = remove_alternative_positions(atoms)
     chains = identify_chains(atoms)

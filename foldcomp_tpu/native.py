@@ -91,6 +91,12 @@ def _bind(lib):
                                    c.c_char_p]
     lib.fcz_decode_pdb_cap.restype = c.c_int64
     lib.fcz_decode_pdb_cap.argtypes = [c.c_char_p, c.c_int64]
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.fcz_encode_atoms.restype = c.c_int64
+    lib.fcz_encode_atoms.argtypes = [
+        c.c_char_p, c.c_char_p, c.c_char_p, i32p, i32p, f32p, f32p,
+        c.c_int64, c.c_int, c.c_char_p, c.c_int32, c.c_int,
+        c.c_char_p, c.c_int64, i64p, i64p, c.c_char_p, i32p, c.c_int32]
     return lib
 
 
@@ -176,6 +182,86 @@ def format_atom14_native(atom14, temp, codes, n_res, idx_residue, idx_atom,
         1 if has_oxt else 0, oxt, 1 if use_alt else 0, tbytes,
         len(tbytes), out)
     return out.raw[:written].decode("latin1")
+
+
+def _parse_raw(lib, data: bytes):
+    """Parse a PDB buffer into raw ctypes/numpy buffers (no Python lists)."""
+    n = lib.fcio_count_atoms(data, len(data))
+    bufs = dict(
+        atom_index=np.empty(max(n, 1), np.int32),
+        residue_index=np.empty(max(n, 1), np.int32),
+        name4=ctypes.create_string_buffer(int(n) * 4 + 4),
+        res3=ctypes.create_string_buffer(int(n) * 3 + 4),
+        chain=ctypes.create_string_buffer(int(n) + 4),
+        coords=np.empty((max(n, 1), 3), np.float32),
+        occ=np.empty(max(n, 1), np.float32),
+        temp=np.empty(max(n, 1), np.float32),
+    )
+    title_buf = ctypes.create_string_buffer(8192)
+    title_len = ctypes.c_int32(0)
+    got = lib.fcio_parse_pdb(
+        data, len(data), bufs["atom_index"], bufs["residue_index"],
+        bufs["name4"], bufs["res3"], bufs["chain"], bufs["coords"],
+        bufs["occ"], bufs["temp"], title_buf, ctypes.byref(title_len), 8192)
+    bufs["n"] = int(got)
+    bufs["title"] = title_buf.raw[:title_len.value].decode("latin1")
+    return bufs
+
+
+def peek_title_native(data: bytes) -> str | None:
+    """Parsed structure title without building Python atom lists."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    return _parse_raw(lib, data)["title"]
+
+
+def encode_pdb_native(data: bytes, threshold: int, title: str,
+                      split: bool, max_frags: int = 4096):
+    """Native exact compress of a PDB buffer.
+
+    Returns a list of fragment dicts (blob, chain, chain_ord, frag_ord,
+    n_frags_in_chain, n_chains, error) in reference CLI order, or None when
+    the native library is unavailable. `split=False` is the Python-binding
+    mode (all atoms, one fragment).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    b = _parse_raw(lib, data)
+    n = b["n"]
+    if n == 0:
+        return []
+    tbytes = title.encode("latin1", "replace")
+    cap = 16 * n + (len(tbytes) + 4096) * 8 + (1 << 16)
+    out = ctypes.create_string_buffer(cap)
+    frag_off = np.zeros(max_frags, np.int64)
+    frag_len = np.zeros(max_frags, np.int64)
+    frag_chain = ctypes.create_string_buffer(max_frags + 1)
+    frag_meta = np.zeros(max_frags * 4, np.int32)
+    nf = lib.fcz_encode_atoms(
+        b["name4"], b["res3"], b["chain"], b["atom_index"],
+        b["residue_index"], b["coords"], b["temp"], n, threshold, tbytes,
+        len(tbytes), 1 if split else 0, out, cap, frag_off, frag_len,
+        frag_chain, frag_meta, max_frags)
+    if nf < 0:
+        raise RuntimeError("fcz_encode_atoms overflow")
+    frags = []
+    raw = out.raw
+    for i in range(int(nf)):
+        ln = int(frag_len[i])
+        frags.append(dict(
+            blob=raw[int(frag_off[i]):int(frag_off[i]) + ln] if ln > 0
+            else b"",
+            error=(None if ln > 0 else
+                   "fragment must contain at least 2 residues" if ln == -1
+                   else "unknown residue name"),
+            chain=frag_chain.raw[i:i + 1].decode("latin1"),
+            chain_ord=int(frag_meta[4 * i]),
+            frag_ord=int(frag_meta[4 * i + 1]),
+            n_frags_in_chain=int(frag_meta[4 * i + 2]),
+            n_chains=int(frag_meta[4 * i + 3])))
+    return frags
 
 
 def decode_fcz_pdb_native(blob: bytes, use_alt: bool = False) -> str | None:

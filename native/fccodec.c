@@ -380,3 +380,465 @@ int64_t fcz_decode_pdb_cap(const uint8_t* buf, int64_t len) {
     return (int64_t)v.len_title + 64 + ((int64_t)v.len_title / 70 + 2) * 12
         + ((int64_t)v.n_residue * 14 + 4) * 120;
 }
+
+/* ================================================================== */
+/* Exact FCZ encoder                                                   */
+/* (Foldcomp::preprocess + compress + writeStream,                     */
+/*  foldcomp.cpp:450-606 / 1038-1109, float-semantics-exact)           */
+/* ================================================================== */
+
+/* getTorsionFromXYZ parity (torsion_angle.cpp:46-96) */
+static float dihedral4(v3 p0, v3 p1, v3 p2, v3 p3) {
+    v3 d1 = {p1.x - p0.x, p1.y - p0.y, p1.z - p0.z};
+    v3 d2 = {p2.x - p1.x, p2.y - p1.y, p2.z - p1.z};
+    v3 d3 = {p3.x - p2.x, p3.y - p2.y, p3.z - p2.z};
+    v3 u1 = {d1.y * d2.z - d2.y * d1.z,
+             d1.z * d2.x - d2.z * d1.x,
+             d1.x * d2.y - d2.x * d1.y};
+    v3 u2 = {d2.y * d3.z - d3.y * d2.z,
+             d2.z * d3.x - d3.z * d2.x,
+             d2.x * d3.y - d3.x * d2.y};
+    float inner = (u1.x * u2.x) + (u1.y * u2.y) + (u1.z * u2.z);
+    float s1 = u1.x * u1.x + u1.y * u1.y + u1.z * u1.z;
+    float s2 = u2.x * u2.x + u2.y * u2.y + u2.z * u2.z;
+    float cos_t = (float)(inner / sqrt((double)(s1 * s2)));
+    float ang;
+    if (isnan(acos((double)cos_t))) {
+        ang = cos_t < 0 ? 180.0f : 0.0f;
+    } else {
+        ang = (float)(acos((double)cos_t) * 180.0 / M_PI);
+    }
+    v3 pb = {u2.y * d2.z - d2.y * u2.z,
+             u2.z * d2.x - d2.z * u2.x,
+             u2.x * d2.y - d2.x * u2.y};
+    if ((u1.x * pb.x) + (u1.y * pb.y) + (u1.z * pb.z) < 0)
+        ang = -1 * ang;
+    return ang;
+}
+
+typedef struct {
+    float min, max, disc_f, cont_f;
+    unsigned int n_bin;
+} disc_t;
+
+static disc_t disc_fit(const float* v, int n, unsigned int n_bin) {
+    disc_t d;
+    d.n_bin = n_bin;
+    d.min = v[0]; d.max = v[0];
+    for (int i = 1; i < n; i++) {
+        if (v[i] < d.min) d.min = v[i];
+        if (v[i] > d.max) d.max = v[i];
+    }
+    d.disc_f = n_bin / (d.max - d.min);
+    d.cont_f = (d.max - d.min) / n_bin;
+    return d;
+}
+
+/* vector discretize parity (discretizer.cpp:43-53): f32 product, +0.5 in
+ * double, truncating cast; NaN -> 0 (x86-64 conversion behavior) */
+static inline unsigned int disc_round(disc_t* d, float v) {
+    double t = (double)((v - d->min) * d->disc_f) + 0.5;
+    if (isnan(t)) return 0;
+    return (unsigned int)t;
+}
+
+/* scalar truncating discretize (discretizer.cpp:55-57) */
+static inline unsigned int disc_trunc_fixed(float v) {
+    float min = -180.0f;
+    float disc_f = (float)255 / (180.0f - min);
+    float t = (v - min) * disc_f;
+    if (isnan(t)) return 0;
+    return (unsigned int)t;
+}
+
+static inline void strip4(const char* f, char* out) {
+    int n = 0;
+    for (int i = 0; i < 4; i++)
+        if (f[i] != ' ' && f[i] != 0) out[n++] = f[i];
+    out[n] = 0;
+}
+
+static int code_of_res3(const char* r3) {
+    for (int i = 0; i < FC_NUM_CODES; i++)
+        if (memcmp(FC_THREE[i], r3, 3) == 0) return i;
+    return -1;
+}
+
+/* slot of a stripped atom name within residue code's table; -1 if absent */
+static int slot_of_name(int code, const char* stripped) {
+    for (int k = 0; k < FC_N_ATOMS[code]; k++) {
+        char t[5];
+        strip4(FC_NAME4[code][k], t);
+        if (strcmp(t, stripped) == 0) return k;
+    }
+    return -1;
+}
+
+static inline void wr_u16(uint8_t** p, uint16_t v) {
+    memcpy(*p, &v, 2); *p += 2;
+}
+static inline void wr_u32(uint8_t** p, uint32_t v) {
+    memcpy(*p, &v, 4); *p += 4;
+}
+static inline void wr_f32(uint8_t** p, float v) {
+    memcpy(*p, &v, 4); *p += 4;
+}
+
+/* Encode one continuous single-chain fragment given parsed atom arrays
+ * (indices into the caller's arrays via `idx`, count `na`).
+ * Returns FCZ byte length written to out, or negative error:
+ *  -1 fewer than 2 residues, -2 unknown residue name. */
+static int64_t encode_fragment(
+        const char* name4, const char* res3, const char* chain,
+        const int32_t* atom_index, const int32_t* residue_index,
+        const float* coords, const float* temp, const int32_t* idx,
+        int64_t na, int threshold, const char* title, int32_t title_len,
+        uint8_t* out) {
+    /* backbone filter (atom_coordinate.cpp:135) */
+    int* bb = (int*)malloc((size_t)na * sizeof(int));
+    int nbb = 0;
+    char st[5];
+    for (int64_t i = 0; i < na; i++) {
+        strip4(name4 + 4 * idx[i], st);
+        if (strcmp(st, "N") == 0 || strcmp(st, "CA") == 0 ||
+            strcmp(st, "C") == 0)
+            bb[nbb++] = (int)i;
+    }
+    int n_res = nbb / 3;
+    if (n_res < 2) { free(bb); return -1; }
+
+    v3* flat = (v3*)malloc((size_t)(3 * n_res) * sizeof(v3));
+    for (int i = 0; i < 3 * n_res; i++) {
+        const float* c = coords + 3 * idx[bb[i]];
+        flat[i] = (v3){c[0], c[1], c[2]};
+    }
+
+    int idx_residue = residue_index[idx[0]];
+    int idx_atom = atom_index[idx[0]];
+    char ch = chain[idx[0]];
+
+    /* residue codes from each backbone N atom (foldcomp.cpp:582-601) */
+    int* rcode = (int*)malloc((size_t)n_res * sizeof(int));
+    for (int i = 0; i < n_res; i++) {
+        int c = code_of_res3(res3 + 3 * idx[bb[3 * i]]);
+        rcode[i] = c < 0 ? 23 : c;
+    }
+    char first_res = FC_ONE[code_of_res3(res3 + 3 * idx[0]) < 0 ? 23 :
+                            code_of_res3(res3 + 3 * idx[0])];
+    char last_res = FC_ONE[code_of_res3(res3 + 3 * idx[na - 1]) < 0 ? 23 :
+                           code_of_res3(res3 + 3 * idx[na - 1])];
+
+    /* anchors (_setAnchor, foldcomp.cpp:745-761) */
+    int n_inner = n_res / threshold;
+    int n_anchor = n_inner + 2;
+    int interval = n_res / (n_anchor - 1);
+    int32_t* aidx_arr = (int32_t*)malloc((size_t)n_anchor * 4);
+    for (int s = 0; s < n_anchor - 1; s++) aidx_arr[s] = s * interval;
+    aidx_arr[n_anchor - 1] = n_res - 1;
+    float* anchor_xyz = (float*)calloc((size_t)n_anchor * 9, 4);
+    for (int s = 0; s < n_anchor; s++) {
+        int target = aidx_arr[s] + idx_residue;
+        int got[3] = {0, 0, 0};
+        for (int64_t i = 0; i < na; i++) {
+            if (residue_index[idx[i]] != target) continue;
+            strip4(name4 + 4 * idx[i], st);
+            int k = strcmp(st, "N") == 0 ? 0 : strcmp(st, "CA") == 0 ? 1 :
+                    strcmp(st, "C") == 0 ? 2 : -1;
+            if (k >= 0 && !got[k]) {
+                memcpy(anchor_xyz + 9 * s + 3 * k, coords + 3 * idx[i], 12);
+                got[k] = 1;
+            }
+        }
+    }
+    int has_oxt;
+    {
+        strip4(name4 + 4 * idx[na - 1], st);
+        has_oxt = strcmp(st, "OXT") == 0;
+    }
+    const float* oxt = coords + 3 * idx[na - 1];
+
+    /* torsions + bond angles (foldcomp.cpp:484-505) */
+    int nt = 3 * n_res - 3;
+    float* tors = (float*)malloc((size_t)nt * 4);
+    for (int i = 0; i < nt; i++)
+        tors[i] = dihedral4(flat[i], flat[i + 1], flat[i + 2], flat[i + 3]);
+    int nang = 3 * n_res - 2;
+    float* angs = (float*)malloc((size_t)nang * 4);
+    for (int i = 0; i < nang; i++)
+        angs[i] = bond_angle3(flat[i], flat[i + 1], flat[i + 2]);
+
+    int m = n_res - 1;
+    float *psi = (float*)malloc((size_t)m * 4);
+    float *omg = (float*)malloc((size_t)m * 4);
+    float *phi = (float*)malloc((size_t)m * 4);
+    float *cacn = (float*)malloc((size_t)m * 4);
+    float *cnca = (float*)malloc((size_t)m * 4);
+    float *ncac = (float*)malloc((size_t)m * 4);
+    for (int i = 0; i < m; i++) {
+        psi[i] = tors[3 * i];
+        omg[i] = tors[3 * i + 1];
+        phi[i] = tors[3 * i + 2];
+        cacn[i] = angs[3 * i + 1];
+        cnca[i] = angs[3 * i + 2];
+        ncac[i] = angs[3 * i + 3];
+    }
+    disc_t d_phi = disc_fit(phi, m, (1u << 12) - 1);
+    disc_t d_psi = disc_fit(psi, m, (1u << 12) - 1);
+    disc_t d_omg = disc_fit(omg, m, (1u << 11) - 1);
+    disc_t d_ncac = disc_fit(ncac, m, (1u << 8) - 1);
+    disc_t d_cacn = disc_fit(cacn, m, (1u << 8) - 1);
+    disc_t d_cnca = disc_fit(cnca, m, (1u << 8) - 1);
+
+    /* residue groups (splitAtomByResidue parity, the final atom always
+     * joins the current group — atom_coordinate.cpp:304-328) */
+    int64_t* gstart = (int64_t*)malloc((size_t)(na + 1) * 8);
+    int ng = 0;
+    gstart[ng++] = 0;
+    for (int64_t i = 1; i < na - 1; i++)
+        if (residue_index[idx[i]] != residue_index[idx[i - 1]])
+            gstart[ng++] = i;
+    gstart[ng] = na;
+
+    /* side-chain torsions per residue over the AA graph
+     * (sidechain.cpp:149-180); missing atoms contribute (0,0,0) */
+    uint8_t* sc = (uint8_t*)malloc((size_t)na + 16 * (size_t)ng);
+    int64_t nsc = 0;
+    int bad_residue = 0;
+    for (int g = 0; g < ng && !bad_residue; g++) {
+        int64_t s0 = gstart[g], s1 = gstart[g + 1];
+        int code = code_of_res3(res3 + 3 * idx[s0]);
+        if (code < 0 || code >= 20) { bad_residue = 1; break; }
+        /* first-occurrence coords per slot */
+        v3 slotc[FC_MAX_ATOM];
+        int have[FC_MAX_ATOM];
+        memset(have, 0, sizeof(have));
+        for (int64_t i = s0; i < s1; i++) {
+            strip4(name4 + 4 * idx[i], st);
+            int sl = slot_of_name(code, st);
+            if (sl >= 0 && !have[sl]) {
+                const float* c = coords + 3 * idx[i];
+                slotc[sl] = (v3){c[0], c[1], c[2]};
+                have[sl] = 1;
+            }
+        }
+        v3 zero = {0, 0, 0};
+        for (int k = 3; k < FC_N_ATOMS[code]; k++) {
+            v3 p0 = have[FC_PRED[code][k][0]] ? slotc[FC_PRED[code][k][0]]
+                                              : zero;
+            v3 p1 = have[FC_PRED[code][k][1]] ? slotc[FC_PRED[code][k][1]]
+                                              : zero;
+            v3 p2 = have[FC_PRED[code][k][2]] ? slotc[FC_PRED[code][k][2]]
+                                              : zero;
+            v3 p3 = have[k] ? slotc[k] : zero;
+            float ang = dihedral4(p0, p1, p2, p3);
+            sc[nsc++] = (uint8_t)disc_trunc_fixed(ang);
+        }
+    }
+
+    /* tempFactors from CA atoms (foldcomp.cpp:543-550) */
+    float* tf = (float*)malloc((size_t)(n_res + 8) * 4);
+    int ntf = 0;
+    for (int64_t i = 0; i < na && ntf < n_res + 8; i++) {
+        strip4(name4 + 4 * idx[i], st);
+        if (strcmp(st, "CA") == 0) tf[ntf++] = temp[idx[i]];
+    }
+    int64_t written = -2;
+    if (!bad_residue && ntf > 0) {
+        disc_t d_tf = disc_fit(tf, ntf, (1u << 8) - 1);
+
+        /* serialize (writeStream parity, foldcomp.cpp:1038-1109;
+         * padding bytes zeroed) */
+        uint8_t* p = out;
+        memcpy(p, "FCMP", 4); p += 4;
+        wr_u16(&p, (uint16_t)n_res);
+        wr_u16(&p, (uint16_t)na);
+        wr_u16(&p, (uint16_t)idx_residue);
+        wr_u16(&p, (uint16_t)idx_atom);
+        *p++ = (uint8_t)n_anchor;
+        *p++ = (uint8_t)ch;
+        *p++ = 0; *p++ = 0;
+        wr_u32(&p, (uint32_t)nsc);
+        *p++ = (uint8_t)first_res;
+        *p++ = (uint8_t)last_res;
+        *p++ = 0; *p++ = 0;
+        wr_u32(&p, (uint32_t)title_len);
+        wr_f32(&p, d_phi.min); wr_f32(&p, d_psi.min); wr_f32(&p, d_omg.min);
+        wr_f32(&p, d_ncac.min); wr_f32(&p, d_cacn.min);
+        wr_f32(&p, d_cnca.min);
+        wr_f32(&p, d_phi.cont_f); wr_f32(&p, d_psi.cont_f);
+        wr_f32(&p, d_omg.cont_f); wr_f32(&p, d_ncac.cont_f);
+        wr_f32(&p, d_cacn.cont_f); wr_f32(&p, d_cnca.cont_f);
+        memcpy(p, aidx_arr, (size_t)n_anchor * 4); p += 4 * n_anchor;
+        memcpy(p, title, (size_t)title_len); p += title_len;
+        memcpy(p, anchor_xyz, (size_t)n_anchor * 36); p += 36 * n_anchor;
+        *p++ = has_oxt ? 1 : 0;
+        if (has_oxt) { memcpy(p, oxt, 12); }
+        else { memset(p, 0, 12); }
+        p += 12;
+        for (int i = 0; i < n_res; i++) {
+            unsigned int qr = (unsigned int)rcode[i] & 0x1F;
+            unsigned int qphi = 0, qpsi = 0, qomg = 0;
+            unsigned int qncac = 0, qcacn = 0, qcnca = 0;
+            if (i < m) {
+                qphi = disc_round(&d_phi, phi[i]) & 0xFFF;
+                qpsi = disc_round(&d_psi, psi[i]) & 0xFFF;
+                qomg = disc_round(&d_omg, omg[i]) & 0x7FF;
+                qncac = disc_round(&d_ncac, ncac[i]) & 0xFF;
+                qcacn = disc_round(&d_cacn, cacn[i]) & 0xFF;
+                qcnca = disc_round(&d_cnca, cnca[i]) & 0xFF;
+            }
+            p[0] = (uint8_t)((qr << 3) | (qomg >> 8));
+            p[1] = (uint8_t)(qomg & 0xFF);
+            p[2] = (uint8_t)(qpsi >> 4);
+            p[3] = (uint8_t)(((qpsi & 0xF) << 4) | (qphi >> 8));
+            p[4] = (uint8_t)(qphi & 0xFF);
+            p[5] = (uint8_t)qcacn;
+            p[6] = (uint8_t)qcnca;
+            p[7] = (uint8_t)qncac;
+            p += 8;
+        }
+        memcpy(p, sc, (size_t)nsc); p += nsc;
+        wr_f32(&p, d_tf.min);
+        wr_f32(&p, d_tf.cont_f);
+        for (int i = 0; i < n_res; i++)
+            *p++ = (uint8_t)(i < ntf ? disc_round(&d_tf, tf[i]) : 0);
+        written = p - out;
+    }
+
+    free(bb); free(flat); free(rcode); free(aidx_arr); free(anchor_xyz);
+    free(tors); free(angs);
+    free(psi); free(omg); free(phi); free(cacn); free(cnca); free(ncac);
+    free(gstart); free(sc); free(tf);
+    return written;
+}
+
+/* Encode parsed atom arrays: optional alternative-position removal, chain
+ * + discontinuity splitting (atom_coordinate.cpp:362-370, 469-530), one
+ * FCZ blob per fragment packed back-to-back into `out`.
+ *
+ * split: 0 = single fragment over all atoms (Python-binding mode,
+ * foldcomp.cxx:295-328), 1 = full CLI splitting (main.cpp:438-536).
+ * frag_meta per fragment: [chain_ordinal, frag_ordinal_in_chain,
+ * n_frags_in_chain, n_chains]. Returns fragment count (fragments that
+ * failed encode get frag_len < 0), or -1 on overflow. */
+int64_t fcz_encode_atoms(
+        const char* name4, const char* res3, const char* chain,
+        const int32_t* atom_index, const int32_t* residue_index,
+        const float* coords, const float* temp, int64_t n_atoms,
+        int threshold, const char* title, int32_t title_len, int split,
+        uint8_t* out, int64_t out_cap,
+        int64_t* frag_off, int64_t* frag_len, char* frag_chain,
+        int32_t* frag_meta, int32_t max_frags) {
+    if (n_atoms <= 0) return 0;
+    /* removeAlternativePosition: drop consecutive duplicate atom names */
+    int32_t* keep = (int32_t*)malloc((size_t)n_atoms * 4);
+    int64_t nk = 0;
+    keep[nk++] = 0;
+    for (int64_t i = 1; i < n_atoms; i++) {
+        if (memcmp(name4 + 4 * i, name4 + 4 * (i - 1), 4) == 0)
+            continue;
+        keep[nk++] = (int32_t)i;
+    }
+
+    /* chain fragmentation (atom_coordinate.cpp:469-498): on a chain switch
+     * the new fragment must start at an N atom; a leading non-N run of the
+     * new chain belongs to NO fragment (identify_chains parity). Fragments
+     * are therefore (start, end) pairs, not a partition. */
+    int64_t* cs = (int64_t*)malloc((size_t)(nk + 1) * 8);
+    int64_t* ce = (int64_t*)malloc((size_t)(nk + 1) * 8);
+    int nch = 0;
+    if (!split) {
+        cs[0] = 0;
+        ce[0] = nk;
+        nch = 1;
+    } else {
+        char st[5];
+        int64_t start = 0;
+        int64_t i = 1;
+        while (i < nk) {
+            if (chain[keep[i]] != chain[keep[i - 1]]) {
+                strip4(name4 + 4 * keep[i], st);
+                if (strcmp(st, "N") == 0) {
+                    cs[nch] = start; ce[nch] = i; nch++;
+                    start = i;
+                } else {
+                    int64_t j = i;
+                    int found = 0;
+                    while (j < nk) {
+                        strip4(name4 + 4 * keep[j], st);
+                        if (strcmp(st, "N") == 0) { found = 1; break; }
+                        j++;
+                    }
+                    if (found) {
+                        cs[nch] = start; ce[nch] = i; nch++;
+                        start = j;
+                        i = j;
+                    }
+                    /* no N found: fragment extends to the end */
+                }
+            }
+            i++;
+        }
+        cs[nch] = start; ce[nch] = nk; nch++;
+    }
+
+    int64_t nfrag = 0;
+    int64_t pos = 0;
+    for (int c = 0; c < nch; c++) {
+        int64_t c0 = cs[c], c1 = ce[c];
+        /* discontinuity split on N-atom residue gaps
+         * (atom_coordinate.cpp:506-530) */
+        int64_t* fstart = (int64_t*)malloc((size_t)(c1 - c0 + 2) * 8);
+        int nf = 0;
+        if (!split) {
+            fstart[nf++] = c0;
+        } else {
+            char st[5];
+            int64_t prev_n = -1;
+            int prev_ridx = 0;
+            int64_t first_n = -1;
+            for (int64_t i = c0; i < c1; i++) {
+                strip4(name4 + 4 * keep[i], st);
+                if (strcmp(st, "N") != 0) continue;
+                int ri = residue_index[keep[i]];
+                if (first_n < 0) {
+                    first_n = i;
+                    fstart[nf++] = i;
+                } else if (ri - prev_ridx > 1) {
+                    fstart[nf++] = i;
+                }
+                prev_n = i;
+                prev_ridx = ri;
+            }
+            (void)prev_n;
+            if (nf == 0) fstart[nf++] = c0;
+        }
+        fstart[nf] = c1;
+        for (int f = 0; f < nf; f++) {
+            if (nfrag >= max_frags) { free(fstart); free(cs); free(ce);
+                free(keep); return -1; }
+            int64_t a0 = fstart[f], a1 = fstart[f + 1];
+            int64_t cap_need = (a1 - a0) * 16 + title_len + 4096;
+            if (pos + cap_need > out_cap) { free(fstart); free(cs);
+                free(ce); free(keep); return -1; }
+            int64_t w = encode_fragment(
+                name4, res3, chain, atom_index, residue_index, coords,
+                temp, keep + a0, a1 - a0, threshold, title, title_len,
+                out + pos);
+            frag_off[nfrag] = pos;
+            frag_len[nfrag] = w;
+            frag_chain[nfrag] = chain[keep[a0]];
+            frag_meta[4 * nfrag] = c;
+            frag_meta[4 * nfrag + 1] = f;
+            frag_meta[4 * nfrag + 2] = nf;
+            frag_meta[4 * nfrag + 3] = nch;
+            if (w > 0) pos += w;
+            nfrag++;
+        }
+        free(fstart);
+    }
+    free(cs);
+    free(ce);
+    free(keep);
+    return nfrag;
+}

@@ -13,6 +13,7 @@
  *
  * Exposed via ctypes (foldcomp_tpu/native.py); every entry point is plain C.
  */
+#define _GNU_SOURCE  /* qsort_r */
 #include <stdint.h>
 #include <stdio.h>
 #include <stdlib.h>
