@@ -1,0 +1,178 @@
+"""Multi-host data-parallel database processing.
+
+TPU-native replacement for the reference's single-node OpenMP fan-out
+(input_processor.h:69-346): database entries are sharded by contiguous
+index ranges across hosts, each host streams its shard through the batched
+device codec, writes a shard-local MMseqs2-style database, and the shards
+are merged into one database by rebasing index offsets (host-side, no
+collectives needed — per SURVEY.md section 2 the per-protein codec requires
+zero cross-device communication, so scaling is an input-pipeline problem).
+
+Multi-host bring-up uses jax.distributed (`init_distributed`); shard
+assignment works identically for any launcher that provides (process_index,
+process_count).
+"""
+from __future__ import annotations
+
+import os
+import shutil
+
+from ..io.db import DatabaseReader, DatabaseWriter
+
+
+def shard_range(n: int, shard: int, n_shards: int):
+    """Contiguous [start, end) range of entries owned by `shard`."""
+    if not 0 <= shard < n_shards:
+        raise ValueError(f"shard {shard} out of range of {n_shards}")
+    base = n // n_shards
+    rem = n % n_shards
+    start = shard * base + min(shard, rem)
+    end = start + base + (1 if shard < rem else 0)
+    return start, end
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """jax.distributed.initialize wrapper; returns (process_id, n_processes).
+
+    With no arguments, reads the standard JAX env vars; on a single host it
+    degrades to (0, 1) without touching the distributed runtime.
+    """
+    import jax
+    if coordinator_address is None and "JAX_COORDINATOR_ADDRESS" not in \
+            os.environ and num_processes is None:
+        return 0, 1
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index(), jax.process_count()
+
+
+def shard_db_path(out_path: str, shard: int) -> str:
+    return f"{out_path}.{shard}"
+
+
+def decompress_db_shard(db_path: str, out_path: str, shard: int,
+                        n_shards: int, batch_size: int = 128,
+                        fast: bool = True) -> int:
+    """Decompress this shard's entry range into a shard-local database.
+
+    Returns the number of entries written. The shard database keeps the
+    original entry keys so the merged index is order-independent.
+    """
+    from ..codec import fcz
+
+    reader = DatabaseReader(db_path, use_lookup=True)
+    writer = DatabaseWriter(shard_db_path(out_path, shard))
+    n_written = 0
+    try:
+        start, end = shard_range(len(reader), shard, n_shards)
+        pending = []
+
+        def flush():
+            nonlocal n_written
+            if not pending:
+                return
+            if fast:
+                from ..codec.batch import decode_fcz_to_pdb_batch
+                texts = decode_fcz_to_pdb_batch([f for _, _, f in pending])
+            else:
+                from ..codec.decoder import decode
+                from ..io.pdb import format_pdb
+                texts = [format_pdb(decode(f), f.title)
+                         for _, _, f in pending]
+            for (key, name, _), text in zip(pending, texts):
+                writer.append(text.encode() + b"\x00", key, name)
+                n_written += 1
+            pending.clear()
+
+        for pos in range(start, end):
+            key = reader.get_key(pos)
+            data = reader.get_data(pos)
+            if data.endswith(b"\x00"):
+                data = data[:-1]
+            name = reader.name_of_key(key) or str(key)
+            try:
+                f = fcz.parse(data)
+            except fcz.FczFormatError:
+                continue
+            pending.append((key, name, f))
+            if len(pending) >= batch_size:
+                flush()
+        flush()
+    finally:
+        writer.close()
+        reader.close()
+    return n_written
+
+
+def merge_shard_dbs(out_path: str, n_shards: int, cleanup: bool = True):
+    """Concatenate shard databases into one, rebasing index offsets.
+
+    Mirrors what MMseqs2's mergeDbs does; the merged index is written
+    sorted by key (database_writer.cpp close parity).
+    """
+    entries = []  # (key, offset, length, name)
+    offset_base = 0
+    with open(out_path, "wb") as out_data:
+        for s in range(n_shards):
+            spath = shard_db_path(out_path, s)
+            with open(spath, "rb") as fh:
+                shutil.copyfileobj(fh, out_data)
+            sreader = DatabaseReader(spath, use_lookup=True)
+            for pos in range(len(sreader)):
+                key = sreader.get_key(pos)
+                entries.append((key, offset_base + sreader.get_offset(pos),
+                                sreader.get_length(pos),
+                                sreader.name_of_key(key) or str(key)))
+            size = os.path.getsize(spath)
+            sreader.close()
+            offset_base += size
+    entries.sort(key=lambda e: e[0])
+    with open(out_path + ".index", "w") as idx, \
+            open(out_path + ".lookup", "w") as lkp:
+        for key, off, ln, name in entries:
+            idx.write(f"{key}\t{off}\t{ln}\n")
+            lkp.write(f"{key}\t{name}\t0\n")
+    with open(out_path + ".dbtype", "wb") as fh:
+        fh.write((12).to_bytes(4, "little"))
+    if cleanup:
+        for s in range(n_shards):
+            spath = shard_db_path(out_path, s)
+            for suffix in ("", ".index", ".lookup", ".dbtype"):
+                p = spath + suffix
+                if os.path.exists(p):
+                    os.remove(p)
+    return len(entries)
+
+
+def compress_db_shard(db_path: str, out_path: str, shard: int,
+                      n_shards: int, anchor_threshold: int = 25) -> int:
+    """Compress this shard's range of a PDB-payload database to FCZ."""
+    from ..native import encode_pdb_native, peek_title_native
+
+    reader = DatabaseReader(db_path, use_lookup=True)
+    writer = DatabaseWriter(shard_db_path(out_path, shard))
+    n_written = 0
+    try:
+        start, end = shard_range(len(reader), shard, n_shards)
+        for pos in range(start, end):
+            key = reader.get_key(pos)
+            data = reader.get_data(pos)
+            if data.endswith(b"\x00"):
+                data = data[:-1]
+            name = reader.name_of_key(key) or str(key)
+            title = peek_title_native(data)
+            if title is None:
+                continue
+            frags = encode_pdb_native(data, anchor_threshold,
+                                      title or name, split=True)
+            for f in frags or []:
+                if not f["error"]:
+                    writer.append(f["blob"], key, name)
+                    n_written += 1
+    finally:
+        writer.close()
+        reader.close()
+    return n_written

@@ -1,0 +1,83 @@
+"""Sharded multi-host database processing (simulated shards on one host)."""
+import numpy as np
+import pytest
+
+from conftest import require_fixture
+
+from foldcomp_tpu.io.db import DatabaseReader
+from foldcomp_tpu.parallel.dist import (decompress_db_shard, merge_shard_dbs,
+                                        shard_range)
+
+
+def test_shard_range_partition():
+    for n in (0, 1, 7, 24, 100):
+        for k in (1, 2, 3, 8):
+            ranges = [shard_range(n, s, k) for s in range(k)]
+            # contiguous, non-overlapping, covering [0, n)
+            assert ranges[0][0] == 0
+            assert ranges[-1][1] == n
+            for (s0, e0), (s1, e1) in zip(ranges, ranges[1:]):
+                assert e0 == s1
+            sizes = [e - s for s, e in ranges]
+            assert max(sizes) - min(sizes) <= 1
+
+
+@pytest.mark.parametrize("n_shards", [1, 3])
+def test_sharded_decompress_merge(tmp_path, n_shards, ref_test_dir):
+    db = str(ref_test_dir / "example_db")
+    require_fixture("example_db.dbtype")
+    out = str(tmp_path / "merged")
+
+    total = 0
+    for s in range(n_shards):
+        total += decompress_db_shard(db, out, s, n_shards, batch_size=8,
+                                     fast=False)
+    merged = merge_shard_dbs(out, n_shards)
+    assert merged == total == 24
+
+    # merged db equals a direct full decompress
+    ref = DatabaseReader(db, use_lookup=True)
+    got = DatabaseReader(out, use_lookup=True)
+    assert len(got) == len(ref)
+    from foldcomp_tpu.codec import fcz
+    from foldcomp_tpu.codec.decoder import decode
+    from foldcomp_tpu.io.pdb import format_pdb
+    for pos in range(len(ref)):
+        key = ref.get_key(pos)
+        blob = ref.get_data(pos)
+        if blob.endswith(b"\x00"):
+            blob = blob[:-1]
+        f = fcz.parse(blob)
+        want = format_pdb(decode(f), f.title).encode() + b"\x00"
+        gpos = got.position_of_key(key)
+        assert gpos >= 0
+        assert got.get_data(gpos) == want, key
+    ref.close()
+    got.close()
+    # shard files cleaned up
+    assert not (tmp_path / "merged.0").exists()
+
+
+def test_sharded_fast_path_matches_exact(tmp_path, ref_test_dir):
+    """Fast (batched device) shard decode produces valid, gate-passing PDBs."""
+    db = str(ref_test_dir / "example_db")
+    out_fast = str(tmp_path / "fast")
+    out_exact = str(tmp_path / "exact")
+    for s in range(2):
+        decompress_db_shard(db, out_fast, s, 2, batch_size=16, fast=True)
+        decompress_db_shard(db, out_exact, s, 2, batch_size=16, fast=False)
+    merge_shard_dbs(out_fast, 2)
+    merge_shard_dbs(out_exact, 2)
+
+    fa = DatabaseReader(out_fast)
+    ex = DatabaseReader(out_exact)
+    assert len(fa) == len(ex) == 24
+    from foldcomp_tpu.io.pdb import parse_pdb
+    from foldcomp_tpu.core.exact import rmsd
+    for pos in range(len(fa)):
+        a = parse_pdb(fa.get_data(pos).rstrip(b"\x00"))
+        b = parse_pdb(ex.get_data(pos).rstrip(b"\x00"))
+        assert a.atom_name == b.atom_name
+        assert rmsd(a.coords, b.coords) < 2e-3
+    fa.close()
+    ex.close()
