@@ -131,8 +131,9 @@ def iter_tar(path: str):
             yield member.name, fh.read()
 
 
-def iter_database(path: str, id_file: str | None = None, id_mode: int = 1):
-    reader = DatabaseReader(path, use_lookup=True)
+def iter_database(path: str, id_file: str | None = None, id_mode: int = 1,
+                  use_cache: bool = False):
+    reader = DatabaseReader(path, use_lookup=True, use_cache=use_cache)
     try:
         if id_file:
             with open(id_file) as fh:
@@ -167,12 +168,36 @@ def iter_file_list(paths):
             yield p, fh.read()
 
 
+def iter_gcs(uri: str, client=None):
+    """GcsProcessor equivalent (input_processor.h:302-346): stream objects
+    under gcs://bucket/prefix as (name, bytes). Requires the optional
+    google-cloud-storage package unless a client is injected."""
+    rest = uri[len("gcs://"):]
+    bucket_name, _, prefix = rest.partition("/")
+    if client is None:
+        try:
+            from google.cloud import storage  # type: ignore
+        except ImportError as e:
+            raise SystemExit(
+                "[Error] gcs:// input requires the google-cloud-storage "
+                "package") from e
+        client = storage.Client.create_anonymous_client()
+    bucket = client.bucket(bucket_name)
+    for blob in client.list_blobs(bucket, prefix=prefix):
+        name = blob.name
+        if name.endswith("/"):
+            continue
+        yield name, blob.download_as_bytes()
+
+
 def make_processor(inp: str, recursive: bool, id_file: str | None,
-                   id_mode: int):
+                   id_mode: int, use_cache: bool = False):
+    if inp.startswith("gcs://"):
+        return iter_gcs(inp)
     if inp.endswith((".tar", ".tar.gz", ".tgz")):
         return iter_tar(inp)
     if is_database(inp):
-        return iter_database(inp, id_file, id_mode)
+        return iter_database(inp, id_file, id_mode, use_cache)
     if os.path.isdir(inp):
         return iter_directory(inp, recursive)
     return iter_file_list([inp])
@@ -774,7 +799,8 @@ def main(argv=None) -> int:
         print(USAGE, end="")
         return 1
 
-    if not os.path.exists(inp) and not is_database(inp):
+    if not inp.startswith("gcs://") and not os.path.exists(inp) \
+            and not is_database(inp):
         print(f"[Error] {inp} does not exist.", file=sys.stderr)
         return 1
 
@@ -821,7 +847,8 @@ def main(argv=None) -> int:
     entry_sources = []
     for item in inputs:
         entry_sources.append(
-            make_processor(item, opts.recursive, opts.id_file, opts.id_mode))
+            make_processor(item, opts.recursive, opts.id_file, opts.id_mode,
+                           opts.use_cache))
     if single_files:
         entry_sources.append(iter_file_list(single_files))
 

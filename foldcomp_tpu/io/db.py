@@ -28,14 +28,20 @@ class DatabaseReader:
     """Reader over the native C runtime (native/fcio.c fcdb_reader_*) with a
     pure-Python mmap fallback (database_reader.cpp:60-167 parity)."""
 
+    CACHE_MAGIC = b"FCIDX1\x00\x00"
+
     def __init__(self, data_name: str, index_name: str | None = None,
-                 use_lookup: bool = False):
+                 use_lookup: bool = False, use_cache: bool = False):
         self.data_name = data_name
         index_name = index_name or data_name + ".index"
         self._h = None
         self._lib = None
         self._mm = None
         self._file = None
+        if use_cache and self._load_cache(index_name):
+            self._open_data_mmap(data_name)
+            self._init_lookup(data_name, use_lookup)
+            return
         try:
             from ..native import get_lib
             lib = get_lib()
@@ -61,14 +67,64 @@ class DatabaseReader:
             self.ids = np.asarray(ids, np.int64)[order]
             self.offsets = np.asarray(offsets, np.int64)[order]
             self.lengths = np.asarray(lengths, np.int64)[order]
-            self._file = open(data_name, "rb")
-            size = os.fstat(self._file.fileno()).st_size
-            self._mm = mmap.mmap(self._file.fileno(), size,
-                                 access=mmap.ACCESS_READ) if size else b""
+            self._open_data_mmap(data_name)
+        if use_cache:
+            self._save_cache(index_name)
+        self._init_lookup(data_name, use_lookup)
+
+    def _open_data_mmap(self, data_name: str):
+        self._file = open(data_name, "rb")
+        size = os.fstat(self._file.fileno()).st_size
+        self._mm = mmap.mmap(self._file.fileno(), size,
+                             access=mmap.ACCESS_READ) if size else b""
+
+    def _init_lookup(self, data_name: str, use_lookup: bool):
         self._name_to_key = None
         self._key_to_name = None
         if use_lookup or os.path.exists(data_name + ".lookup"):
             self._load_lookup(data_name + ".lookup")
+
+    def _load_cache(self, index_name: str) -> bool:
+        """Binary index cache (<index>.cache, database_reader.cpp:397-420
+        equivalent). Valid only when newer than the text index."""
+        cache = index_name + ".cache"
+        try:
+            if os.path.getmtime(cache) < os.path.getmtime(index_name):
+                return False
+            with open(cache, "rb") as fh:
+                if fh.read(8) != self.CACHE_MAGIC:
+                    return False
+                n = int.from_bytes(fh.read(8), "little")
+                self.ids = np.fromfile(fh, np.int64, n)
+                self.offsets = np.fromfile(fh, np.int64, n)
+                self.lengths = np.fromfile(fh, np.int64, n)
+            return len(self.ids) == n
+        except OSError:
+            return False
+
+    def _save_cache(self, index_name: str):
+        cache = index_name + ".cache"
+        if os.path.exists(cache) and \
+                os.path.getmtime(cache) >= os.path.getmtime(index_name):
+            return
+        n = len(self)
+        if self._h is not None:
+            ids32 = np.empty(n, np.uint32)
+            offsets = np.empty(n, np.int64)
+            lengths = np.empty(n, np.int64)
+            self._lib.fcdb_reader_dump(self._h, ids32, offsets, lengths)
+            ids = ids32.astype(np.int64)
+        else:
+            ids, offsets, lengths = self.ids, self.offsets, self.lengths
+        try:
+            with open(cache, "wb") as fh:
+                fh.write(self.CACHE_MAGIC)
+                fh.write(n.to_bytes(8, "little"))
+                ids.astype(np.int64).tofile(fh)
+                offsets.astype(np.int64).tofile(fh)
+                lengths.astype(np.int64).tofile(fh)
+        except OSError:
+            pass
 
     def _load_lookup(self, path: str):
         if not os.path.exists(path):

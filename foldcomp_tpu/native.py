@@ -79,6 +79,10 @@ def _bind(lib):
     lib.fcdb_reader_id.argtypes = [c.c_void_p, c.c_uint32]
     lib.fcdb_reader_close.restype = None
     lib.fcdb_reader_close.argtypes = [c.c_void_p]
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.fcdb_reader_dump.restype = None
+    lib.fcdb_reader_dump.argtypes = [c.c_void_p, u32p, _i64p, _i64p]
     lib.fcdb_writer_open.restype = c.c_void_p
     lib.fcdb_writer_open.argtypes = [c.c_char_p]
     lib.fcdb_writer_append.restype = c.c_int64

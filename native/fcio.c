@@ -511,6 +511,15 @@ int64_t fcdb_reader_id(void* h, uint32_t key) {
     return -1;
 }
 
+/* bulk-copy the parsed index (for the .index.cache writer) */
+void fcdb_reader_dump(void* h, uint32_t* ids, int64_t* offsets,
+                      int64_t* lengths) {
+    fcdb_reader* r = (fcdb_reader*)h;
+    memcpy(ids, r->ids, (size_t)r->size * 4);
+    memcpy(offsets, r->offsets, (size_t)r->size * 8);
+    memcpy(lengths, r->lengths, (size_t)r->size * 8);
+}
+
 void fcdb_reader_close(void* h) {
     fcdb_reader* r = (fcdb_reader*)h;
     if (r->data && r->data != MAP_FAILED)
