@@ -39,6 +39,14 @@ def _load_fcz():
 
 def main():
     import jax
+    # persistent compile cache: repeat bench runs skip the (slow, possibly
+    # remote) compile step
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/foldcomp_tpu_jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from foldcomp_tpu.codec.batch import pack_decode_batch
     from foldcomp_tpu.kernels.decode import decode_batch_core
