@@ -6,6 +6,11 @@ all-atom coordinates for the whole batch. Everything between the byte
 streams and the atom14 coordinate tensor runs on device; host code only does
 FCZ parsing and PDB text (codec/batch.py).
 
+All intermediates use lanes-last layouts (see kernels/nerf.py): proteins /
+segments / residues ride the trailing lane axis and atoms the sublane axis,
+so the VPU sees fully-occupied (8, 128) tiles. The only [..., 3]-shaped
+tensor is the final atom14 output, produced by one transpose at the end.
+
 Reference pipeline parity: Foldcomp::decompress (foldcomp.cpp:779-902).
 """
 from __future__ import annotations
@@ -16,8 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from .bitpack import unpack_records
-from .nerf import decode_backbone_segments
-from .sidechain import place_sidechains
+from .nerf import decode_backbone_segments_c
+from .sidechain import place_sidechains_c
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -54,6 +59,7 @@ def decode_batch_core(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
     b, l, _ = records.shape
     s = seg_start.shape[1]
     seg_w = seg_width
+    n = b * s
 
     res_code, phi_q, psi_q, omega_q, ncac_q, cacn_q, cnca_q = \
         unpack_records(records)
@@ -61,44 +67,77 @@ def decode_batch_core(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
     def cont(q, idx):
         return q.astype(F32) * cont_fs[:, idx, None] + mins[:, idx, None]
 
-    # angle6 layout the NeRF kernel consumes: psi, omega, phi, n_ca_c,
-    # ca_c_n, c_n_ca (continuize order foldcomp.cpp:784-805)
+    # angle6 in the NeRF consumption order (psi, omega, phi, n_ca_c,
+    # ca_c_n, c_n_ca), laid out [6, L, B] so the segment-window gather
+    # runs along sublanes (L) with proteins on lanes
     angle6 = jnp.stack([cont(psi_q, 1), cont(omega_q, 2), cont(phi_q, 0),
                         cont(ncac_q, 3), cont(cacn_q, 4), cont(cnca_q, 5)],
-                       axis=-1)
+                       axis=0)                       # [6, B, L]
+    angle6 = jnp.swapaxes(angle6, 1, 2)              # [6, L, B]
 
-    # Per-segment record windows
+    # segment record windows: idx[s*SEG+j, b] = seg_start[b, s] + j
+    seg_start_t = seg_start.T                        # [S, B]
     j = jnp.arange(seg_w, dtype=I32)
-    rec_idx = jnp.clip(seg_start[..., None] + j, 0, l - 1)      # [B, S, SEG]
-    flat_idx = rec_idx.reshape(b, s * seg_w)
-    seg_angles = jnp.take_along_axis(
-        angle6, flat_idx[..., None], axis=1).reshape(b, s, seg_w, 6)
-    seg_codes = jnp.take_along_axis(res_code, flat_idx, axis=1)
-    seg_is_pro = (seg_codes == PRO_CODE).reshape(b, s, seg_w)
+    rec_idx = jnp.clip(
+        seg_start_t[:, None, :] + j[None, :, None], 0, l - 1
+    ).reshape(s * seg_w, b)                          # [S*SEG, B]
+    seg_ang = jnp.take_along_axis(
+        angle6, jnp.broadcast_to(rec_idx[None], (6, s * seg_w, b)),
+        axis=1)                                      # [6, S*SEG, B]
+    # -> [SEG, 6, N] with lane n = b * S + s
+    seg_ang = seg_ang.reshape(6, s, seg_w, b)
+    seg_ang = jnp.transpose(seg_ang, (2, 0, 3, 1)).reshape(seg_w, 6, n)
 
-    blended = decode_backbone_segments(seg_angles, seg_is_pro, anchor_xyz,
-                                       seg_m, refine_iters=refine_iters)
+    rc_t = res_code.T                                # [L, B]
+    seg_codes = jnp.take_along_axis(rc_t, rec_idx, axis=0)  # [S*SEG, B]
+    seg_is_pro = jnp.transpose(
+        (seg_codes == PRO_CODE).reshape(s, seg_w, b),
+        (1, 2, 0)).reshape(seg_w, n)
 
-    # Stitch segments into the [B, L, 3, 3] backbone: residue r belongs to
-    # the last segment starting at or before r; non-final segments therefore
-    # contribute exactly their first 3*(m-1) atoms (foldcomp.cpp:849-857).
+    bx, by, bz = decode_backbone_segments_c(
+        seg_ang, seg_is_pro, anchor_xyz, seg_m.reshape(n),
+        refine_iters=refine_iters)                   # each [T, N]
+
+    # Stitch segments into the backbone: residue r belongs to the last
+    # segment starting at or before r (foldcomp.cpp:849-857). Work in a
+    # [S*T, B] flat layout so the gather runs along sublanes.
+    t_w = 3 * seg_w
     r = jnp.arange(l, dtype=I32)
-    s_of_r = jnp.sum(seg_start[:, None, :] <= r[None, :, None],
-                     axis=-1).astype(I32) - 1
+    s_of_r = jnp.sum(seg_start_t[None, :, :] <= r[:, None, None],
+                     axis=1).astype(I32) - 1         # [L, B]
     s_of_r = jnp.clip(s_of_r, 0, s - 1)
-    offset = r[None, :] - jnp.take_along_axis(seg_start, s_of_r, axis=1)
-    base = s_of_r * (3 * seg_w) + 3 * jnp.clip(offset, 0, seg_w - 1)
+    offset = r[:, None] - jnp.take_along_axis(seg_start_t, s_of_r, axis=0)
+    base = s_of_r * t_w + 3 * jnp.clip(offset, 0, seg_w - 1)   # [L, B]
     atom_k = jnp.arange(3, dtype=I32)
-    gidx = (base[..., None] + atom_k).reshape(b, 3 * l)
-    flat_blend = blended.reshape(b, s * 3 * seg_w, 3)
-    bb = jnp.take_along_axis(
-        flat_blend, jnp.clip(gidx, 0, s * 3 * seg_w - 1)[..., None],
-        axis=1).reshape(b, l, 3, 3)
+    gidx = (base[:, None, :] + atom_k[None, :, None]).reshape(3 * l, b)
+    gidx = jnp.clip(gidx, 0, s * t_w - 1)
 
-    # Side chains (foldcomp.cpp:861-879); fixed [-180, 180] 255-bin
-    # continuize (foldcomp.cpp:350-369)
-    sc_torsions = sc_codes.astype(F32) * _SC_CONT_F + _SC_MIN
-    atom14 = place_sidechains(bb, res_code, sc_torsions)
+    def stitch(comp):
+        # [T, N] -> [S*T, B]: row s*T + t, lane b
+        flat = jnp.transpose(comp.reshape(t_w, b, s),
+                             (2, 0, 1)).reshape(s * t_w, b)
+        return jnp.take_along_axis(flat, gidx, axis=0)      # [3L, B]
+
+    bbx, bby, bbz = stitch(bx), stitch(by), stitch(bz)
+
+    # Side chains (foldcomp.cpp:861-879) on [slot, L, B] 3-D layouts —
+    # residues on sublanes (L) and proteins on lanes (B), so XLA tiles the
+    # fused per-slot work instead of holding whole flat-lane temporaries
+    # in VMEM
+    def to_res_lanes(comp):
+        # [3L, B] -> [3, L, B]
+        return jnp.transpose(comp.reshape(l, 3, b), (1, 0, 2))
+
+    rx, ry, rz = to_res_lanes(bbx), to_res_lanes(bby), to_res_lanes(bbz)
+    codes_lb = rc_t                                  # [L, B]
+    sc_t = jnp.transpose(sc_codes, (2, 1, 0))        # [11, L, B]
+    sc_torsions = sc_t.astype(F32) * _SC_CONT_F + _SC_MIN
+
+    sx, sy, sz = place_sidechains_c(rx, ry, rz, codes_lb, sc_torsions)
+
+    # assemble [B, L, 14, 3] with one transpose
+    atom14 = jnp.stack([sx, sy, sz], axis=-1)        # [14, L, B, 3]
+    atom14 = jnp.transpose(atom14, (2, 1, 0, 3))
 
     # tempFactors (foldcomp.cpp:884-891)
     temp = tf_codes.astype(F32) * tf_cont[:, None] + tf_min[:, None]

@@ -5,23 +5,25 @@ coordinates, residue codes, CA temp factors, residue masks) into quantized
 FCZ streams: packed 8-byte records, side-chain codes, tempFactor codes, and
 the per-protein quantizer headers. Pipeline parity: Foldcomp::preprocess +
 compress (foldcomp.cpp:450-606), restructured from per-residue scalar loops
-into masked array ops over [B, L] lanes.
+into masked array ops.
 
-Quantization here is plain float32 (the exact path in codec/encoder.py
-reproduces the reference's f32/f64 promotion mix bit-for-bit); bins can
-differ from the reference only when a value lands within ~1 ulp of a bin
-boundary.
+Internals use lanes-last layouts (see kernels/nerf.py): coordinates are
+per-component arrays with atoms on sublanes and proteins/residues on lanes,
+giving full (8, 128) tile occupancy on the VPU.
+
+Quantization here is plain float32 (the exact path in codec/encoder.py and
+native/fccodec.c reproduces the reference's f32/f64 promotion mix
+bit-for-bit); bins can differ from the reference only when a value lands
+within ~1 ulp of a bin boundary.
 """
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from .bitpack import pack_records
-from .geometry import bond_angle, dihedral
-from .sidechain import extract_sidechain_torsions
+from .geometry import bond_angle_c, dihedral_c
+from .sidechain import MAX_ATOM, _PRED_IDX
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -38,18 +40,13 @@ _BIG = F32(3.4e38)
 
 
 def _masked_min_max(v, mask):
-    vmin = jnp.min(jnp.where(mask, v, _BIG), axis=-1)
-    vmax = jnp.max(jnp.where(mask, v, -_BIG), axis=-1)
+    """Min/max over axis 0 (sublanes) of [K, B] under mask [K, B]."""
+    vmin = jnp.min(jnp.where(mask, v, _BIG), axis=0)
+    vmax = jnp.max(jnp.where(mask, v, -_BIG), axis=0)
     return vmin, vmax
 
 
-def _quantize_round(v, vmin, disc_f):
-    """Vector discretize parity (discretizer.cpp:43-53): floor(x + 0.5)."""
-    t = (v - vmin[:, None]) * disc_f[:, None]
-    return jnp.floor(t + F32(0.5)).astype(I32)
-
-
-@partial(jax.jit, static_argnames=())
+@jax.jit
 def encode_batch_core(bb, atom14, res_code, tf_ca, res_mask):
     """Encode a padded batch of structures into FCZ streams.
 
@@ -64,31 +61,39 @@ def encode_batch_core(bb, atom14, res_code, tf_ca, res_mask):
     tf_min/tf_cont f32 [B].
     """
     b, l = res_code.shape
-    flat = bb.reshape(b, 3 * l, 3)
 
-    # Backbone torsions (foldcomp.cpp:484-492): dihedral over every
-    # consecutive 4-tuple; stream order (psi, omega, phi)
-    tors = dihedral(flat[:, :-3], flat[:, 1:-2], flat[:, 2:-1], flat[:, 3:])
-    psi = tors[:, 0::3]
-    omega = tors[:, 1::3]
-    phi = tors[:, 2::3]
+    # backbone components [3L, B]: atom rows, protein lanes
+    flat = jnp.transpose(bb.reshape(b, 3 * l, 3), (1, 2, 0))   # [3L, 3, B]
+    fx, fy, fz = flat[:, 0], flat[:, 1], flat[:, 2]
 
-    # Bond angles (nerf.cpp:495-508; stream split foldcomp.cpp:497-505)
-    angs = bond_angle(flat[:, :-2], flat[:, 1:-1], flat[:, 2:])
-    ca_c_n = angs[:, 1::3]
-    c_n_ca = angs[:, 2::3]
-    n_ca_c = angs[:, 3::3]
+    # torsions (foldcomp.cpp:484-492): stream order (psi, omega, phi)
+    tors = dihedral_c(fx[:-3], fy[:-3], fz[:-3],
+                      fx[1:-2], fy[1:-2], fz[1:-2],
+                      fx[2:-1], fy[2:-1], fz[2:-1],
+                      fx[3:], fy[3:], fz[3:])                  # [3L-3, B]
+    psi = tors[0::3]
+    omega = tors[1::3]
+    phi = tors[2::3]
 
-    n_res = jnp.sum(res_mask.astype(I32), axis=-1)          # [B]
+    # bond angles (nerf.cpp:495-508; stream split foldcomp.cpp:497-505)
+    angs = bond_angle_c(fx[:-2], fy[:-2], fz[:-2],
+                        fx[1:-1], fy[1:-1], fz[1:-1],
+                        fx[2:], fy[2:], fz[2:])                # [3L-2, B]
+    ca_c_n = angs[1::3]
+    c_n_ca = angs[2::3]
+    n_ca_c = angs[3::3]
+
+    n_res = jnp.sum(res_mask.astype(I32), axis=-1)             # [B]
     i = jnp.arange(l - 1, dtype=I32)
-    amask = i[None, :] < (n_res[:, None] - 1)               # angle stream mask
+    amask = i[:, None] < (n_res[None, :] - 1)                  # [L-1, B]
 
     def quant_stream(v, nbin):
-        vmin, vmax = _masked_min_max(v, amask[:, :v.shape[1]])
+        vmin, vmax = _masked_min_max(v, amask[:v.shape[0]])
         rng = vmax - vmin
         disc_f = nbin / rng
         cont_f = rng / nbin
-        q = _quantize_round(v, vmin, disc_f)
+        q = jnp.floor((v - vmin[None, :]) * disc_f[None, :]
+                      + F32(0.5)).astype(I32)
         return q, vmin, cont_f
 
     phi_q, phi_min, phi_cf = quant_stream(phi, NBIN_PHI_PSI)
@@ -100,27 +105,50 @@ def encode_batch_core(bb, atom14, res_code, tf_ca, res_mask):
 
     # Per-residue records; the last residue stores zeros for all 6 fields
     # (foldcomp.cpp:595-601). Angle stream i belongs to residue i.
-    def to_l(q, width):
-        q = jnp.pad(q, ((0, 0), (0, l - q.shape[1])))
-        return jnp.where(amask_l, q, 0)
+    amask_l = jnp.arange(l, dtype=I32)[:, None] < (n_res[None, :] - 1)
 
-    amask_l = jnp.arange(l, dtype=I32)[None, :] < (n_res[:, None] - 1)
+    def to_l(q):
+        q = jnp.pad(q, ((0, l - q.shape[0]), (0, 0)))
+        return jnp.where(amask_l, q, 0).T                      # [B, L]
+
     records = pack_records(
         jnp.where(res_mask, res_code, 0),
-        to_l(phi_q, 12), to_l(psi_q, 12), to_l(om_q, 11),
-        to_l(ncac_q, 8), to_l(cacn_q, 8), to_l(cnca_q, 8))
+        to_l(phi_q), to_l(psi_q), to_l(om_q),
+        to_l(ncac_q), to_l(cacn_q), to_l(cnca_q))
 
-    # Side chains: fixed [-180, 180] truncating quantizer
-    # (foldcomp.cpp:532-538 -> discretizer.cpp:55-57)
-    sc_ang = extract_sidechain_torsions(atom14, res_code)   # [B, L, 11]
-    sc_q = ((sc_ang + F32(180.0)) * _SC_DISC_F).astype(I32)
-    sc_q = jnp.clip(sc_q, 0, 255).astype(jnp.uint8)
+    # Side chains on [slot, L, B] layouts: fixed [-180, 180] truncating
+    # quantizer (foldcomp.cpp:532-538 -> discretizer.cpp:55-57)
+    a14 = jnp.transpose(atom14, (2, 3, 1, 0))        # [14, 3, L, B]
+    sxa, sya, sza = a14[:, 0], a14[:, 1], a14[:, 2]  # [14, L, B]
+    codes_lb = jnp.clip(res_code.T, 0, 23)           # [L, B]
+    preds = jnp.asarray(_PRED_IDX)[codes_lb]         # [L, B, 14, 3]
+
+    def gather(arr, idx):
+        return jnp.take_along_axis(arr, idx[None], axis=0)[0]
+
+    sc_rows = []
+    for k in range(3, MAX_ATOM):
+        p0 = preds[..., k, 0]
+        p1 = preds[..., k, 1]
+        p2 = preds[..., k, 2]
+        ang = dihedral_c(
+            gather(sxa, p0), gather(sya, p0), gather(sza, p0),
+            gather(sxa, p1), gather(sya, p1), gather(sza, p1),
+            gather(sxa, p2), gather(sya, p2), gather(sza, p2),
+            sxa[k], sya[k], sza[k])
+        sc_rows.append(ang)
+    sc_ang = jnp.stack(sc_rows, axis=0)              # [11, L, B]
+    sc_q = jnp.clip(((sc_ang + F32(180.0)) * _SC_DISC_F).astype(I32),
+                    0, 255).astype(jnp.uint8)
+    sc_q = jnp.transpose(sc_q, (2, 1, 0))            # [B, L, 11]
 
     # tempFactors: per-protein rounding quantizer (foldcomp.cpp:543-550)
-    tf_min, tf_max = _masked_min_max(tf_ca, res_mask)
+    tf_t = tf_ca.T                                             # [L, B]
+    tf_min, tf_max = _masked_min_max(tf_t, res_mask.T)
     tf_rng = tf_max - tf_min
-    tf_q = _quantize_round(tf_ca, tf_min, NBIN_TEMP / tf_rng)
-    tf_q = jnp.where(res_mask, tf_q, 0).astype(jnp.uint8)
+    tf_q = jnp.floor((tf_t - tf_min[None, :]) * (NBIN_TEMP / tf_rng)[None, :]
+                     + F32(0.5)).astype(I32)
+    tf_q = jnp.where(res_mask.T, tf_q, 0).astype(jnp.uint8).T  # [B, L]
 
     mins = jnp.stack([phi_min, psi_min, om_min, ncac_min, cacn_min,
                       cnca_min], axis=-1)

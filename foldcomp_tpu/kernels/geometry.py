@@ -75,6 +75,86 @@ def normalize(v):
     return v * jax.lax.rsqrt(jnp.maximum(dot3(v, v), F32(_EPS)))[..., None]
 
 
+def place_atom_c(ax, ay, az, bx, by, bz, cx, cy, cz,
+                 bond_length, bond_angle_deg, torsion_deg):
+    """place_atom over separate coordinate-component arrays.
+
+    TPU-friendly form: every argument is a full-lane array (or scalar), so
+    the math vectorizes over the trailing lane axis with zero tile padding —
+    the [..., 3]-vector form wastes ~98% of each (8, 128) tile.
+    """
+    abx, aby, abz = bx - ax, by - ay, bz - az
+    bcx, bcy, bcz = cx - bx, cy - by, cz - bz
+    inv_bc = jax.lax.rsqrt(jnp.maximum(bcx * bcx + bcy * bcy + bcz * bcz,
+                                       F32(_EPS)))
+    bcnx, bcny, bcnz = bcx * inv_bc, bcy * inv_bc, bcz * inv_bc
+
+    ba = bond_angle_deg * F32(_RAD)
+    ta = torsion_deg * F32(_RAD)
+    dx = -bond_length * jnp.cos(ba)
+    dy = bond_length * jnp.cos(ta) * jnp.sin(ba)
+    dz = bond_length * jnp.sin(ta) * jnp.sin(ba)
+
+    nx = aby * bcnz - bcny * abz
+    ny = abz * bcnx - bcnz * abx
+    nz = abx * bcny - bcnx * aby
+    inv_n = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                      F32(_EPS)))
+    nx, ny, nz = nx * inv_n, ny * inv_n, nz * inv_n
+
+    mx = ny * bcnz - bcny * nz
+    my = nz * bcnx - bcnz * nx
+    mz = nx * bcny - bcnx * ny
+
+    ox = bcnx * dx + mx * dy + nx * dz + cx
+    oy = bcny * dx + my * dy + ny * dz + cy
+    oz = bcnz * dx + mz * dy + nz * dz + cz
+    return ox, oy, oz
+
+
+def bond_angle_c(ax, ay, az, bx, by, bz, cx, cy, cz):
+    """Component-form 3-point angle at b, degrees."""
+    d1x, d1y, d1z = ax - bx, ay - by, az - bz
+    d2x, d2y, d2z = cx - bx, cy - by, cz - bz
+    inner = d1x * d2x + d1y * d2y + d1z * d2z
+    s1 = d1x * d1x + d1y * d1y + d1z * d1z
+    s2 = d2x * d2x + d2y * d2y + d2z * d2z
+    # exact sqrt+divide (not rsqrt): quantizer min/max parity near +-180
+    # depends on correctly-rounded cosines
+    cos_t = inner / jnp.sqrt(jnp.maximum(s1 * s2, F32(_EPS)))
+    return (jnp.arccos(jnp.clip(cos_t, -1.0, 1.0)) * F32(_DEG)).astype(F32)
+
+
+def dihedral_c(p0x, p0y, p0z, p1x, p1y, p1z, p2x, p2y, p2z,
+               p3x, p3y, p3z):
+    """Component-form dihedral in degrees (getTorsionFromXYZ parity)."""
+    d1x, d1y, d1z = p1x - p0x, p1y - p0y, p1z - p0z
+    d2x, d2y, d2z = p2x - p1x, p2y - p1y, p2z - p1z
+    d3x, d3y, d3z = p3x - p2x, p3y - p2y, p3z - p2z
+    u1x = d1y * d2z - d2y * d1z
+    u1y = d1z * d2x - d2z * d1x
+    u1z = d1x * d2y - d2x * d1y
+    u2x = d2y * d3z - d3y * d2z
+    u2y = d2z * d3x - d3z * d2x
+    u2z = d2x * d3y - d3x * d2y
+    inner = u1x * u2x + u1y * u2y + u1z * u2z
+    denom2 = (u1x * u1x + u1y * u1y + u1z * u1z) * \
+        (u2x * u2x + u2y * u2y + u2z * u2z)
+    bad = denom2 <= 0.0
+    # sqrt+divide, not rsqrt: a 1-ulp cosine error near +-180 flips the
+    # NaN guard and shifts the per-protein quantizer min/max
+    cos_t = inner / jnp.sqrt(jnp.where(bad, F32(1.0), denom2))
+    ang = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0)) * F32(_DEG)
+    nan_like = bad | (jnp.abs(cos_t) > 1.0)
+    ang = jnp.where(nan_like, jnp.where(cos_t < 0, F32(180.0), F32(0.0)),
+                    ang)
+    pbx = u2y * d2z - d2y * u2z
+    pby = u2z * d2x - d2z * u2x
+    pbz = u2x * d2y - d2x * u2y
+    det = u1x * pbx + u1y * pby + u1z * pbz
+    return jnp.where(det < 0, -ang, ang).astype(F32)
+
+
 def place_atom(a, b, c, bond_length, bond_angle_deg, torsion_deg):
     """Batched NeRF atom placement (Nerf::place_atom, nerf.cpp:39-104).
 

@@ -64,6 +64,48 @@ def place_sidechains(bb, res_code, sc_torsions):
     return atom14
 
 
+def place_sidechains_c(bbx, bby, bbz, res_code, sc_torsions):
+    """Lanes-last side-chain reconstruction.
+
+    bbx/bby/bbz: f32 [3, *batch] backbone N/CA/C components; *batch is any
+                 residue-lane shape (e.g. [L, B] — keep it 2-D so XLA can
+                 tile the fused elementwise work instead of stack-allocating
+                 the whole flat lane axis in VMEM)
+    res_code:    i32 [*batch]
+    sc_torsions: f32 [11, *batch]
+    Returns (sx, sy, sz), each f32 [14, *batch] — all atom slots.
+    """
+    from .geometry import place_atom_c
+
+    batch = res_code.shape
+    code = jnp.clip(res_code, 0, 23)
+    preds = jnp.asarray(_PRED_IDX)[code]     # [*batch, 14, 3]
+    bls = jnp.asarray(_BOND_LEN)[code]       # [*batch, 14]
+    bas = jnp.asarray(_BOND_ANG)[code]       # [*batch, 14]
+
+    pad = jnp.zeros((MAX_ATOM - 3,) + batch, F32)
+    sx = jnp.concatenate([bbx, pad], axis=0)
+    sy = jnp.concatenate([bby, pad], axis=0)
+    sz = jnp.concatenate([bbz, pad], axis=0)
+
+    def gather(arr, idx):
+        return jnp.take_along_axis(arr, idx[None], axis=0)[0]
+
+    for k in range(3, MAX_ATOM):
+        p0 = preds[..., k, 0]
+        p1 = preds[..., k, 1]
+        p2 = preds[..., k, 2]
+        ox, oy, oz = place_atom_c(
+            gather(sx, p0), gather(sy, p0), gather(sz, p0),
+            gather(sx, p1), gather(sy, p1), gather(sz, p1),
+            gather(sx, p2), gather(sy, p2), gather(sz, p2),
+            bls[..., k], bas[..., k], sc_torsions[k - 3])
+        sx = sx.at[k].set(ox)
+        sy = sy.at[k].set(oy)
+        sz = sz.at[k].set(oz)
+    return sx, sy, sz
+
+
 def extract_sidechain_torsions(atom14, res_code):
     """Per-residue side-chain dihedrals over the AA dependency graph.
 
