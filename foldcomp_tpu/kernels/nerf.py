@@ -240,3 +240,154 @@ def decode_backbone_segments(seg_angles, seg_is_pro, anchor_xyz, seg_m,
         ang, pro, anchor_xyz, seg_m.reshape(n), refine_iters=refine_iters)
     out = jnp.stack([bx, by, bz], axis=-1)                     # [T, N, 3]
     return jnp.moveaxis(out, 0, 1).reshape(b, s, 3 * seg, 3)
+
+
+# ---------------------------------------------------------------------------
+# vec3-layout variant ([..., 3] vectors, scan over stacked atom triples).
+# XLA's TPU backend currently compiles and runs this form faster than the
+# lanes-last component form (fewer axis-0 gathers); CPU strongly prefers the
+# component form. kernels/decode.py dispatches on the backend.
+# ---------------------------------------------------------------------------
+
+from .geometry import bond_angle, place_atom  # noqa: E402
+
+def _forward_scan(seed3, seg_angles, seg_is_pro):
+    """Forward backbone reconstruction over all lanes.
+
+    seed3:      [N, 3, 3] previous N/CA/C atoms
+    seg_angles: [N, SEG, 6] continuized (psi, omega, phi, n_ca_c, ca_c_n,
+                c_n_ca) per segment-local record
+    seg_is_pro: [N, SEG] bool, residue at record j is proline
+    Returns coords [N, 3*SEG, 3] (record 0's atoms are the seed).
+
+    Parity: reconstructBackboneAtoms (foldcomp.cpp:167-246) — step i places
+    residue i+1's N (psi_i, ca_c_n_i), CA (omega_i, c_n_ca_i; proline bond
+    length from residue i), C (phi_i, n_ca_c_i).
+    """
+    n, seg = seg_angles.shape[0], seg_angles.shape[1]
+    # step i consumes record i's angles AND record i's residue identity for
+    # the proline N-CA bond length (foldcomp.cpp:204-212)
+    xs = (jnp.moveaxis(seg_angles[:, :seg - 1], 0, 1),
+          jnp.moveaxis(seg_is_pro[:, :seg - 1], 0, 1))
+
+    def step(carry, x):
+        ang, is_pro = x  # [N, 6], [N]
+        a, b, c = carry[:, 0], carry[:, 1], carry[:, 2]
+        n_xyz = place_atom(a, b, c, _C_TO_N, ang[:, 4], ang[:, 0])
+        ca_len = jnp.where(is_pro, _PRO_N_TO_CA, _N_TO_CA)
+        ca_xyz = place_atom(b, c, n_xyz, ca_len, ang[:, 5], ang[:, 1])
+        c_xyz = place_atom(c, n_xyz, ca_xyz, _CA_TO_C, ang[:, 3], ang[:, 2])
+        new = jnp.stack([n_xyz, ca_xyz, c_xyz], axis=1)
+        return new, new
+
+    _, ys = jax.lax.scan(step, seed3, xs)
+    coords = jnp.concatenate([seed3[None], ys], axis=0)  # [SEG, N, 3, 3]
+    return jnp.moveaxis(coords, 0, 1).reshape(n, 3 * seg, 3)
+
+
+def _reverse_scan(rev_seed3, rev_tors, rev_angles, n_steps):
+    """Reverse (C->N) reconstruction (nerf.cpp:342-400) over all lanes.
+
+    rev_seed3:  [N, 3, 3] the next anchor's (C, CA, N)
+    rev_tors:   [N, STEPS] reversed torsion stream (one per placed atom)
+    rev_angles: [N, STEPS] reversed bond angles measured on the forward coords
+    Returns reversed-orientation coords [N, 3 + STEPS, 3].
+
+    Bond lengths cycle (C_TO_N, CA_TO_C, N_TO_CA) with step index — the
+    (current, prev2) atom-name pairs of the reversed (N,CA,C)* pattern.
+    """
+    bl_cycle = jnp.asarray([_C_TO_N, _CA_TO_C, _N_TO_CA], F32)
+    bls = bl_cycle[jnp.arange(n_steps, dtype=I32) % 3]
+    xs = (jnp.moveaxis(rev_tors, 0, 1), jnp.moveaxis(rev_angles, 0, 1), bls)
+
+    def step(carry, x):
+        tor, ang, bl = x
+        xyz = place_atom(carry[:, 0], carry[:, 1], carry[:, 2], bl, ang, tor)
+        new = jnp.concatenate([carry[:, 1:], xyz[:, None]], axis=1)
+        return new, xyz
+
+    _, ys = jax.lax.scan(step, rev_seed3, xs)
+    return jnp.concatenate([rev_seed3, jnp.moveaxis(ys, 0, 1)], axis=1)
+
+
+def _blend_pass(fwd, rev_anchor, tor_stream, t_atoms):
+    """Reverse reconstruction + positional blend for every lane.
+
+    fwd:        [N, T, 3] forward coords (T = 3*SEG)
+    rev_anchor: [N, 3, 3] stored next-anchor N/CA/C
+    tor_stream: [N, T] interleaved (psi, omega, phi) stream
+    t_atoms:    [N] valid atom count per lane (3 * m_records)
+    Returns blended coords [N, T, 3].
+
+    Parity: reconstructBackboneReverse (foldcomp.cpp:248-273) +
+    weightedAverage (atom_coordinate.cpp:145-163): blended[j] =
+    (fwd[j]*(t-j) + rev[j]*j) / t. Reverse bond angles are measured on the
+    forward-reconstructed coords, exactly like the reference.
+    """
+    n, t_max = fwd.shape[0], fwd.shape[1]
+    steps = t_max - 3
+
+    # bond angle at every interior forward atom; index = center position j
+    ang = bond_angle(fwd[:, :-2], fwd[:, 1:-1], fwd[:, 2:])  # [N, T-2]
+    ang = jnp.pad(ang, ((0, 0), (1, 1)))                     # center-aligned
+
+    i = jnp.arange(steps, dtype=I32)[None, :]                # [1, STEPS]
+    src = t_atoms[:, None] - 4 - i                           # t-4-i
+    src_c = jnp.clip(src, 0, t_max - 1)
+    rev_tors = jnp.take_along_axis(tor_stream, src_c, axis=1)
+    # rev angle for step i has center coord t-3-i = src+1
+    rev_angles = jnp.take_along_axis(ang, jnp.clip(src + 1, 0, t_max - 1),
+                                     axis=1)
+
+    rev_seed = jnp.flip(rev_anchor, 1)  # (C, CA, N)
+    out_rev = _reverse_scan(rev_seed, rev_tors, rev_angles, steps)  # [N, T, 3]
+
+    # map reversed orientation back: out[j] = out_rev[t-1-j]
+    j = jnp.arange(t_max, dtype=I32)[None, :]
+    back = jnp.clip(t_atoms[:, None] - 1 - j, 0, t_max - 1)
+    rev = jnp.take_along_axis(out_rev, back[..., None], axis=1)
+
+    tf = t_atoms[:, None, None].astype(F32)
+    w_r = j[..., None].astype(F32)
+    w_f = tf - w_r
+    return (fwd * w_f + rev * w_r) / jnp.maximum(tf, F32(1.0))
+
+
+def decode_backbone_segments_vec3(seg_angles, seg_is_pro, anchor_xyz, seg_m,
+                             refine_iters: int = 2):
+    """Batched segment-parallel backbone decode.
+
+    seg_angles: f32 [B, S, SEG, 6] continuized angles per segment record
+    seg_is_pro: bool [B, S, SEG]
+    anchor_xyz: f32 [B, S+1, 3, 3] stored anchor N/CA/C (segment s spans
+                anchors s..s+1)
+    seg_m:      i32 [B, S] record count per segment (valid atoms = 3*m)
+    Returns blended segment coords f32 [B, S, 3*SEG, 3].
+    """
+    b, s, seg, _ = seg_angles.shape
+    n = b * s
+    t_max = 3 * seg
+    angles = seg_angles.reshape(n, seg, 6)
+    is_pro = seg_is_pro.reshape(n, seg)
+    tor_stream = angles[:, :, :3].reshape(n, t_max)
+    t_atoms = 3 * seg_m.reshape(n)
+    fwd_anchor = anchor_xyz[:, :-1].reshape(n, 3, 3)
+    rev_anchor = anchor_xyz[:, 1:].reshape(n, 3, 3)
+
+    seeds = fwd_anchor
+    blended = None
+    for it in range(max(1, refine_iters)):
+        fwd = _forward_scan(seeds, angles, is_pro)
+        blended = _blend_pass(fwd, rev_anchor, tor_stream, t_atoms)
+        if it + 1 < refine_iters:
+            # re-seed segment s with segment s-1's blended tail
+            # (foldcomp.cpp:849-857: prevAtoms = last 3 blended atoms)
+            j = jnp.arange(3, dtype=I32)[None, :]
+            tail_idx = jnp.clip(t_atoms[:, None] - 3 + j, 0, t_max - 1)
+            tails = jnp.take_along_axis(blended, tail_idx[..., None], axis=1)
+            tails = tails.reshape(b, s, 3, 3)
+            prev_tails = jnp.concatenate(
+                [anchor_xyz[:, :1], tails[:, :-1]], axis=1)
+            seeds = prev_tails.reshape(n, 3, 3)
+
+    return blended.reshape(b, s, t_max, 3)
