@@ -34,10 +34,11 @@ _SC_MIN = F32(-180.0)
 PRO_CODE = 14
 
 
-@partial(jax.jit, static_argnames=("seg_width", "refine_iters"))
+@partial(jax.jit, static_argnames=("seg_width", "refine_iters", "nerf_impl"))
 def _decode_core_lanes(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
                       tf_cont, anchor_xyz, seg_start, seg_m,
-                      seg_width: int, refine_iters: int = 2):
+                      seg_width: int, refine_iters: int = 2,
+                      nerf_impl: str = "xla"):
     """Decode a padded batch of FCZ payloads to atom14 coordinates.
 
     records:    u8  [B, L, 8]   packed BackboneChain records
@@ -94,9 +95,15 @@ def _decode_core_lanes(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
         (seg_codes == PRO_CODE).reshape(s, seg_w, b),
         (1, 2, 0)).reshape(seg_w, n)
 
-    bx, by, bz = decode_backbone_segments_c(
-        seg_ang, seg_is_pro, anchor_xyz, seg_m.reshape(n),
-        refine_iters=refine_iters)                   # each [T, N]
+    if nerf_impl == "pallas":
+        from .nerf_pallas import decode_backbone_segments_pallas
+        bx, by, bz = decode_backbone_segments_pallas(
+            seg_ang, seg_is_pro, anchor_xyz, seg_m.reshape(n),
+            refine_iters=refine_iters)               # each [T, N]
+    else:
+        bx, by, bz = decode_backbone_segments_c(
+            seg_ang, seg_is_pro, anchor_xyz, seg_m.reshape(n),
+            refine_iters=refine_iters)               # each [T, N]
 
     # Stitch segments into the backbone: residue r belongs to the last
     # segment starting at or before r (foldcomp.cpp:849-857). Work in a
@@ -232,13 +239,22 @@ def decode_batch_core(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
     dominate the component form there). Both produce quantization-level
     identical output.
     """
+    import os
+
     import jax
 
-    if jax.default_backend() == "cpu":
+    backend = jax.default_backend()
+    if backend == "cpu":
         return _decode_core_lanes(records, mins, cont_fs, sc_codes,
                                   tf_codes, tf_min, tf_cont, anchor_xyz,
                                   seg_start, seg_m, seg_width=seg_width,
                                   refine_iters=refine_iters)
+    if os.environ.get("FOLDCOMP_TPU_PALLAS"):
+        return _decode_core_lanes(records, mins, cont_fs, sc_codes,
+                                  tf_codes, tf_min, tf_cont, anchor_xyz,
+                                  seg_start, seg_m, seg_width=seg_width,
+                                  refine_iters=refine_iters,
+                                  nerf_impl="pallas")
     return _decode_core_vec3(records, mins, cont_fs, sc_codes, tf_codes,
                              tf_min, tf_cont, anchor_xyz, seg_start, seg_m,
                              seg_width=seg_width, refine_iters=refine_iters)

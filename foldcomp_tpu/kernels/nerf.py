@@ -280,7 +280,7 @@ def _forward_scan(seed3, seg_angles, seg_is_pro):
         new = jnp.stack([n_xyz, ca_xyz, c_xyz], axis=1)
         return new, new
 
-    _, ys = jax.lax.scan(step, seed3, xs)
+    _, ys = jax.lax.scan(step, seed3, xs, unroll=4)
     coords = jnp.concatenate([seed3[None], ys], axis=0)  # [SEG, N, 3, 3]
     return jnp.moveaxis(coords, 0, 1).reshape(n, 3 * seg, 3)
 
@@ -306,7 +306,7 @@ def _reverse_scan(rev_seed3, rev_tors, rev_angles, n_steps):
         new = jnp.concatenate([carry[:, 1:], xyz[:, None]], axis=1)
         return new, xyz
 
-    _, ys = jax.lax.scan(step, rev_seed3, xs)
+    _, ys = jax.lax.scan(step, rev_seed3, xs, unroll=4)
     return jnp.concatenate([rev_seed3, jnp.moveaxis(ys, 0, 1)], axis=1)
 
 
