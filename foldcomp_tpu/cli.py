@@ -658,7 +658,8 @@ def run_decompress(opts: Options, entries, output: str, single: bool):
                 return True
         if have_native:
             try:
-                text = decode_fcz_pdb_native(buf, use_alt=opts.alt)
+                payload = decode_fcz_pdb_native(buf, use_alt=opts.alt,
+                                                as_bytes=True)
             except ValueError:
                 print("[Error] File is not a valid fcz file", file=sys.stderr)
                 return False
@@ -669,17 +670,17 @@ def run_decompress(opts: Options, entries, output: str, single: bool):
                 print("[Error] File is not a valid fcz file", file=sys.stderr)
                 return False
             atoms = decode(f, use_alt_order=opts.alt)
-            text = format_pdb(atoms, f.title)
+            payload = format_pdb(atoms, f.title).encode()
         base = base_name(name)
         parts = get_file_parts(base)
         if sink_kind == "db":
-            sink.write(parts[0], text.encode() + b"\x00")
+            sink.write(parts[0], payload + b"\x00")
         elif sink_kind == "tar":
-            sink.write(parts[0] + ".pdb", text.encode())
+            sink.write(parts[0] + ".pdb", payload)
         elif sink_kind == "file":
-            sink.write(output, text.encode())
+            sink.write(output, payload)
         else:
-            sink.write(parts[0] + ".pdb", text.encode())
+            sink.write(parts[0] + ".pdb", payload)
         if opts.measure_time:
             print(f"{name}\t{time.perf_counter() - t0:.6f}", file=sys.stderr)
         return True

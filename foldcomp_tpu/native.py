@@ -268,11 +268,13 @@ def encode_pdb_native(data: bytes, threshold: int, title: str,
     return frags
 
 
-def decode_fcz_pdb_native(blob: bytes, use_alt: bool = False) -> str | None:
+def decode_fcz_pdb_native(blob: bytes, use_alt: bool = False,
+                          as_bytes: bool = False):
     """Native exact FCZ decode -> PDB text; None if library missing.
 
     Raises ValueError on a malformed stream (same conditions as
-    codec/fcz.py parse + decoder.decode).
+    codec/fcz.py parse + decoder.decode). With as_bytes=True the raw
+    buffer is returned without a str round-trip (the CLI write path).
     """
     lib = get_lib()
     if lib is None:
@@ -284,7 +286,8 @@ def decode_fcz_pdb_native(blob: bytes, use_alt: bool = False) -> str | None:
     written = lib.fcz_decode_pdb(blob, len(blob), 1 if use_alt else 0, out)
     if written < 0:
         raise ValueError(f"fcz decode failed (error {written})")
-    return out.raw[:written].decode("latin1")
+    raw = out.raw[:written]
+    return raw if as_bytes else raw.decode("latin1")
 
 
 def parse_pdb_native(data: bytes):
