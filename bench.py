@@ -47,6 +47,8 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    from foldcomp_tpu.backend import ensure_backend
+    ensure_backend()
 
     from foldcomp_tpu.codec.batch import pack_decode_batch
     from foldcomp_tpu.kernels.decode import decode_batch_core

@@ -101,15 +101,18 @@ def pack_decode_batch(fczs, l_bucket: int = 32, s_bucket: int = 4,
         seg_m[i, :ns] = counts
         anchor_xyz[i, :f.n_anchor] = f.anchor_coords
 
-        # side-chain stream -> per-residue [11] slots
+        # side-chain stream -> per-residue [11] slots (vectorized scatter:
+        # stream element j of residue r lands at flat index r*11 + j)
         res_code = unpack_records(f.records)[0]
         counts_sc = np.where(res_code < NUM_AA, N_SC_TORSION[res_code], 0)
-        ends = np.cumsum(counts_sc)
-        begins = ends - counts_sc
-        for r in range(n):
-            c = counts_sc[r]
-            if c:
-                sc_codes[i, r, :c] = f.sc_codes[begins[r]:ends[r]]
+        total = int(counts_sc.sum())
+        if total:
+            res_of = np.repeat(np.arange(n, dtype=np.int64), counts_sc)
+            ends = np.cumsum(counts_sc)
+            within = np.arange(total, dtype=np.int64) - \
+                np.repeat(ends - counts_sc, counts_sc)
+            sc_codes[i].reshape(-1)[res_of * 11 + within] = \
+                f.sc_codes[:total]
 
         metas.append(DecodeMeta(
             n_residue=n, idx_residue=f.idx_residue, idx_atom=f.idx_atom,
