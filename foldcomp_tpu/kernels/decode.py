@@ -34,11 +34,12 @@ _SC_MIN = F32(-180.0)
 PRO_CODE = 14
 
 
-@partial(jax.jit, static_argnames=("seg_width", "refine_iters", "nerf_impl"))
+@partial(jax.jit, static_argnames=("seg_width", "refine_iters", "nerf_impl",
+                                   "gather_free"))
 def _decode_core_lanes(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
                       tf_cont, anchor_xyz, seg_start, seg_m,
                       seg_width: int, refine_iters: int = 2,
-                      nerf_impl: str = "xla"):
+                      nerf_impl: str = "xla", gather_free: bool = False):
     """Decode a padded batch of FCZ payloads to atom14 coordinates.
 
     records:    u8  [B, L, 8]   packed BackboneChain records
@@ -103,7 +104,8 @@ def _decode_core_lanes(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
     else:
         bx, by, bz = decode_backbone_segments_c(
             seg_ang, seg_is_pro, anchor_xyz, seg_m.reshape(n),
-            refine_iters=refine_iters)               # each [T, N]
+            refine_iters=refine_iters,
+            gather_free=gather_free)                 # each [T, N]
 
     # Stitch segments into the backbone: residue r belongs to the last
     # segment starting at or before r (foldcomp.cpp:849-857). Work in a
@@ -140,7 +142,8 @@ def _decode_core_lanes(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
     sc_t = jnp.transpose(sc_codes, (2, 1, 0))        # [11, L, B]
     sc_torsions = sc_t.astype(F32) * _SC_CONT_F + _SC_MIN
 
-    sx, sy, sz = place_sidechains_c(rx, ry, rz, codes_lb, sc_torsions)
+    sx, sy, sz = place_sidechains_c(rx, ry, rz, codes_lb, sc_torsions,
+                                    gather_free=gather_free)
 
     # assemble [B, L, 14, 3] with one transpose
     atom14 = jnp.stack([sx, sy, sz], axis=-1)        # [14, L, B, 3]
@@ -245,6 +248,8 @@ def decode_batch_core(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
 
     backend = jax.default_backend()
     if backend == "cpu":
+        # CPU: component layout with real gathers (take_along_axis is
+        # cheap there; the select-chain/sweep forms cost ~2x)
         return _decode_core_lanes(records, mins, cont_fs, sc_codes,
                                   tf_codes, tf_min, tf_cont, anchor_xyz,
                                   seg_start, seg_m, seg_width=seg_width,
@@ -254,7 +259,18 @@ def decode_batch_core(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
                                   tf_codes, tf_min, tf_cont, anchor_xyz,
                                   seg_start, seg_m, seg_width=seg_width,
                                   refine_iters=refine_iters,
-                                  nerf_impl="pallas")
-    return _decode_core_vec3(records, mins, cont_fs, sc_codes, tf_codes,
-                             tf_min, tf_cont, anchor_xyz, seg_start, seg_m,
-                             seg_width=seg_width, refine_iters=refine_iters)
+                                  nerf_impl="pallas", gather_free=True)
+    if os.environ.get("FOLDCOMP_TPU_VEC3"):
+        # legacy [..., 3]-vector core (1.40M res/s on v5e), kept for
+        # comparison runs
+        return _decode_core_vec3(records, mins, cont_fs, sc_codes,
+                                 tf_codes, tf_min, tf_cont, anchor_xyz,
+                                 seg_start, seg_m, seg_width=seg_width,
+                                 refine_iters=refine_iters)
+    # TPU default: gather-free component form — the reverse pass as a
+    # static descending-row sweep and side-chain predecessors as select
+    # chains (2.26M res/s on v5e vs 1.40M vec3 / 0.50M gather form)
+    return _decode_core_lanes(records, mins, cont_fs, sc_codes, tf_codes,
+                              tf_min, tf_cont, anchor_xyz, seg_start, seg_m,
+                              seg_width=seg_width,
+                              refine_iters=refine_iters, gather_free=True)

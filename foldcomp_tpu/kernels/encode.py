@@ -123,8 +123,12 @@ def encode_batch_core(bb, atom14, res_code, tf_ca, res_mask):
     codes_lb = jnp.clip(res_code.T, 0, 23)           # [L, B]
     preds = jnp.asarray(_PRED_IDX)[codes_lb]         # [L, B, 14, 3]
 
-    def gather(arr, idx):
-        return jnp.take_along_axis(arr, idx[None], axis=0)[0]
+    # predecessor slots are < k: where-select chains instead of gathers
+    def sel(arr, idx, upto):
+        acc = arr[0]
+        for kk in range(1, upto):
+            acc = jnp.where(idx == kk, arr[kk], acc)
+        return acc
 
     sc_rows = []
     for k in range(3, MAX_ATOM):
@@ -132,9 +136,9 @@ def encode_batch_core(bb, atom14, res_code, tf_ca, res_mask):
         p1 = preds[..., k, 1]
         p2 = preds[..., k, 2]
         ang = dihedral_c(
-            gather(sxa, p0), gather(sya, p0), gather(sza, p0),
-            gather(sxa, p1), gather(sya, p1), gather(sza, p1),
-            gather(sxa, p2), gather(sya, p2), gather(sza, p2),
+            sel(sxa, p0, k), sel(sya, p0, k), sel(sza, p0, k),
+            sel(sxa, p1, k), sel(sya, p1, k), sel(sza, p1, k),
+            sel(sxa, p2, k), sel(sya, p2, k), sel(sza, p2, k),
             sxa[k], sya[k], sza[k])
         sc_rows.append(ang)
     sc_ang = jnp.stack(sc_rows, axis=0)              # [11, L, B]

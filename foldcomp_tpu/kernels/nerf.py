@@ -170,6 +170,91 @@ def _blend_pass_c(fx, fy, fz, rev_seed9, tor_stream, t_atoms):
     return bx, by, bz
 
 
+def _blend_pass_sweep(fx, fy, fz, rev_anchor9, tor_stream, t_atoms):
+    """Gather-free reverse reconstruction + blend (component form).
+
+    Key identity: every segment's atom count t is a multiple of 3, so the
+    reverse recurrence re-indexed by ABSOLUTE forward row r = t-4-i has a
+    lane-independent structure: bond length blc[(2-r) % 3], torsion row r,
+    bond-angle row r+1, and the carry is simply the three rows above r.
+    The per-lane part reduces to masking: rows {t-3, t-2, t-1} hold the
+    stored anchor (N, CA, C) and rows > t-1 are inactive. One descending
+    `lax.scan` over rows then reconstructs every lane with NO
+    take_along_axis — the per-lane gathers were the dominant TPU cost of
+    the component form.
+
+    fx/fy/fz:    [T, N] forward coords
+    rev_anchor9: 9 arrays [N] — next anchor (N, CA, N... (ax..cz)) in
+                 natural (N, CA, C) order
+    tor_stream:  [T, N]; t_atoms: [N]
+    Returns blended components [T, N].
+    """
+    t_max = fx.shape[0]
+
+    ang = bond_angle_c(fx[:-2], fy[:-2], fz[:-2],
+                       fx[1:-1], fy[1:-1], fz[1:-1],
+                       fx[2:], fy[2:], fz[2:])          # [T-2, N]
+    ang = jnp.pad(ang, ((1, 1), (0, 0)))                # center-aligned
+
+    nx_, ny_, nz_ = rev_anchor9[0], rev_anchor9[1], rev_anchor9[2]
+    cax_, cay_, caz_ = rev_anchor9[3], rev_anchor9[4], rev_anchor9[5]
+    ccx_, ccy_, ccz_ = rev_anchor9[6], rev_anchor9[7], rev_anchor9[8]
+
+    rows = jnp.arange(t_max - 1, -1, -1, dtype=I32)     # descending r
+    bl_cycle = jnp.asarray([_C_TO_N, _CA_TO_C, _N_TO_CA], F32)
+    # step index i = t-4-r and t % 3 == 0 -> i % 3 == (2 - r) % 3
+    bls = bl_cycle[(2 - rows) % 3]
+    # row r's inputs in descending order, via static flips (no gathers):
+    # torsion row r; bond-angle row min(r+1, T-1)
+    tor_rows = jnp.flip(tor_stream, axis=0)
+    ang_rows = jnp.concatenate([ang[t_max - 1:],
+                                jnp.flip(ang[1:], axis=0)], axis=0)
+
+    def seed_row(r):
+        """Anchor value for row r: t-1 -> C, t-2 -> CA, t-3 -> N, else 0."""
+        is_c = (r == t_atoms - 1)
+        is_ca = (r == t_atoms - 2)
+        is_n = (r == t_atoms - 3)
+        sx = jnp.where(is_c, ccx_, jnp.where(is_ca, cax_,
+                                             jnp.where(is_n, nx_, 0.0)))
+        sy = jnp.where(is_c, ccy_, jnp.where(is_ca, cay_,
+                                             jnp.where(is_n, ny_, 0.0)))
+        sz = jnp.where(is_c, ccz_, jnp.where(is_ca, caz_,
+                                             jnp.where(is_n, nz_, 0.0)))
+        return sx, sy, sz
+
+    def step(carry, x):
+        r, bl, a, tor = x
+        # carry: rows r+1, r+2, r+3 (v1 closest)
+        v1x, v1y, v1z, v2x, v2y, v2z, v3x, v3y, v3z = carry
+        px, py, pz = place_atom_c(v3x, v3y, v3z, v2x, v2y, v2z,
+                                  v1x, v1y, v1z, bl, a, tor)
+        sx, sy, sz = seed_row(r)
+        active = r <= t_atoms - 4
+        ox = jnp.where(active, px, sx)
+        oy = jnp.where(active, py, sy)
+        oz = jnp.where(active, pz, sz)
+        new = (ox, oy, oz, v1x, v1y, v1z, v2x, v2y, v2z)
+        return new, (ox, oy, oz)
+
+    zero = jnp.zeros_like(nx_)
+    carry0 = (zero,) * 9
+    _, ys = jax.lax.scan(step, carry0, (rows, bls, ang_rows, tor_rows))
+    rx = jnp.flip(ys[0], axis=0)
+    ry = jnp.flip(ys[1], axis=0)
+    rz = jnp.flip(ys[2], axis=0)
+
+    # weightedAverage blend (atom_coordinate.cpp:145-163)
+    j = jnp.arange(t_max, dtype=I32)[:, None]
+    tf = jnp.maximum(t_atoms[None, :].astype(F32), F32(1.0))
+    w_r = j.astype(F32)
+    w_f = t_atoms[None, :].astype(F32) - w_r
+    bx = (fx * w_f + rx * w_r) / tf
+    by = (fy * w_f + ry * w_r) / tf
+    bz = (fz * w_f + rz * w_r) / tf
+    return bx, by, bz
+
+
 def _comp9(arr):
     """[B, S(+1 slice), 3, 3] anchor block -> tuple of 9 [N] arrays."""
     b, s = arr.shape[0], arr.shape[1]
@@ -178,13 +263,17 @@ def _comp9(arr):
 
 
 def decode_backbone_segments_c(seg_angles, seg_is_pro, anchor_xyz, seg_m,
-                               refine_iters: int = 2):
+                               refine_iters: int = 2,
+                               gather_free: bool = False):
     """Segment-parallel backbone decode, lanes-last component form.
 
     seg_angles: f32 [SEG, 6, N]
     seg_is_pro: bool [SEG, N]
     anchor_xyz: f32 [B, S+1, 3, 3] (lane n = b * S + s)
     seg_m:      i32 [N] record count per segment
+    gather_free: reverse pass as the static descending-row sweep
+                 (_blend_pass_sweep) instead of the take_along_axis form —
+                 faster on TPU, slower on CPU (decode dispatches)
     Returns (bx, by, bz), each [T=3*SEG, N].
     """
     seg = seg_angles.shape[0]
@@ -192,16 +281,22 @@ def decode_backbone_segments_c(seg_angles, seg_is_pro, anchor_xyz, seg_m,
     tor_stream = seg_angles[:, :3, :].reshape(3 * seg, -1)
 
     fwd_anchor9 = _comp9(anchor_xyz[:, :-1])
-    rev_anchor = anchor_xyz[:, 1:]
-    # reversed (C, CA, N) seed for the reverse pass
-    rev_seed9 = _comp9(rev_anchor[:, :, ::-1])
+    # next-anchor (N, CA, C) components (natural order for the sweep,
+    # atom-flipped for the gather form's reverse seed)
+    rev_anchor9 = _comp9(anchor_xyz[:, 1:])
+    rev_seed9 = _comp9(anchor_xyz[:, 1:][:, :, ::-1])
 
     seeds = fwd_anchor9
     blended = None
     b, s = anchor_xyz.shape[0], anchor_xyz.shape[1] - 1
     for it in range(max(1, refine_iters)):
         fx, fy, fz = _forward_scan_c(seeds, seg_angles, seg_is_pro)
-        blended = _blend_pass_c(fx, fy, fz, rev_seed9, tor_stream, t_atoms)
+        if gather_free:
+            blended = _blend_pass_sweep(fx, fy, fz, rev_anchor9,
+                                        tor_stream, t_atoms)
+        else:
+            blended = _blend_pass_c(fx, fy, fz, rev_seed9, tor_stream,
+                                    t_atoms)
         if it + 1 < refine_iters:
             # re-seed segment s with segment s-1's blended tail
             # (foldcomp.cpp:849-857: prevAtoms = last 3 blended atoms)

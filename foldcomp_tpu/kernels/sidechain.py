@@ -64,7 +64,8 @@ def place_sidechains(bb, res_code, sc_torsions):
     return atom14
 
 
-def place_sidechains_c(bbx, bby, bbz, res_code, sc_torsions):
+def place_sidechains_c(bbx, bby, bbz, res_code, sc_torsions,
+                       gather_free: bool = False):
     """Lanes-last side-chain reconstruction.
 
     bbx/bby/bbz: f32 [3, *batch] backbone N/CA/C components; *batch is any
@@ -73,37 +74,49 @@ def place_sidechains_c(bbx, bby, bbz, res_code, sc_torsions):
                  the whole flat lane axis in VMEM)
     res_code:    i32 [*batch]
     sc_torsions: f32 [11, *batch]
+    gather_free: predecessor lookups as where-select chains instead of
+                 take_along_axis — per-lane gathers are the dominant TPU
+                 cost, while CPU prefers real gathers (decode dispatches)
     Returns (sx, sy, sz), each f32 [14, *batch] — all atom slots.
     """
     from .geometry import place_atom_c
 
-    batch = res_code.shape
     code = jnp.clip(res_code, 0, 23)
     preds = jnp.asarray(_PRED_IDX)[code]     # [*batch, 14, 3]
     bls = jnp.asarray(_BOND_LEN)[code]       # [*batch, 14]
     bas = jnp.asarray(_BOND_ANG)[code]       # [*batch, 14]
 
-    pad = jnp.zeros((MAX_ATOM - 3,) + batch, F32)
-    sx = jnp.concatenate([bbx, pad], axis=0)
-    sy = jnp.concatenate([bby, pad], axis=0)
-    sz = jnp.concatenate([bbz, pad], axis=0)
+    # slot rows as Python lists; predecessor slots are always LOWER than
+    # the placed slot
+    rows_x = [bbx[0], bbx[1], bbx[2]]
+    rows_y = [bby[0], bby[1], bby[2]]
+    rows_z = [bbz[0], bbz[1], bbz[2]]
 
-    def gather(arr, idx):
-        return jnp.take_along_axis(arr, idx[None], axis=0)[0]
+    if gather_free:
+        def sel(rows, idx):
+            acc = rows[0]
+            for kk in range(1, len(rows)):
+                acc = jnp.where(idx == kk, rows[kk], acc)
+            return acc
+    else:
+        def sel(rows, idx):
+            arr = jnp.stack(rows, axis=0)
+            return jnp.take_along_axis(arr, idx[None], axis=0)[0]
 
     for k in range(3, MAX_ATOM):
         p0 = preds[..., k, 0]
         p1 = preds[..., k, 1]
         p2 = preds[..., k, 2]
         ox, oy, oz = place_atom_c(
-            gather(sx, p0), gather(sy, p0), gather(sz, p0),
-            gather(sx, p1), gather(sy, p1), gather(sz, p1),
-            gather(sx, p2), gather(sy, p2), gather(sz, p2),
+            sel(rows_x, p0), sel(rows_y, p0), sel(rows_z, p0),
+            sel(rows_x, p1), sel(rows_y, p1), sel(rows_z, p1),
+            sel(rows_x, p2), sel(rows_y, p2), sel(rows_z, p2),
             bls[..., k], bas[..., k], sc_torsions[k - 3])
-        sx = sx.at[k].set(ox)
-        sy = sy.at[k].set(oy)
-        sz = sz.at[k].set(oz)
-    return sx, sy, sz
+        rows_x.append(ox)
+        rows_y.append(oy)
+        rows_z.append(oz)
+    return (jnp.stack(rows_x, axis=0), jnp.stack(rows_y, axis=0),
+            jnp.stack(rows_z, axis=0))
 
 
 def extract_sidechain_torsions(atom14, res_code):
