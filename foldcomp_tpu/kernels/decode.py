@@ -97,8 +97,8 @@ def _decode_core_lanes(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
         (1, 2, 0)).reshape(seg_w, n)
 
     if nerf_impl == "pallas":
-        from .nerf_pallas import decode_backbone_segments_pallas
-        bx, by, bz = decode_backbone_segments_pallas(
+        from .nerf_pallas import decode_backbone_segments_fused
+        bx, by, bz = decode_backbone_segments_fused(
             seg_ang, seg_is_pro, anchor_xyz, seg_m.reshape(n),
             refine_iters=refine_iters)               # each [T, N]
     else:

@@ -162,6 +162,189 @@ def reverse_scan_pallas(seed9, rev_tors, rev_angles):
     return rx, ry, rz
 
 
+def _bond_angle_cs(ax, ay, az, bx, by, bz, cx, cy, cz):
+    """(cos, sin) of the 3-point angle — no arccos (unsupported in Mosaic);
+    place_atom only ever consumes cos/sin of the bond angle and
+    sin(acos(x)) = sqrt(1 - x^2) on [0, pi]."""
+    d1x, d1y, d1z = ax - bx, ay - by, az - bz
+    d2x, d2y, d2z = cx - bx, cy - by, cz - bz
+    inner = d1x * d2x + d1y * d2y + d1z * d2z
+    s1 = d1x * d1x + d1y * d1y + d1z * d1z
+    s2 = d2x * d2x + d2y * d2y + d2z * d2z
+    cos_t = jnp.clip(inner / jnp.sqrt(jnp.maximum(s1 * s2, 1e-30)),
+                     -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    return cos_t, sin_t
+
+
+def _place_cs(ax, ay, az, bx, by, bz, cx, cy, cz, bl, cos_ba, sin_ba,
+              ta_deg):
+    """place_atom with the bond angle given as (cos, sin)."""
+    abx, aby, abz = bx - ax, by - ay, bz - az
+    bcx, bcy, bcz = cx - bx, cy - by, cz - bz
+    inv_bc = jax.lax.rsqrt(jnp.maximum(bcx * bcx + bcy * bcy + bcz * bcz,
+                                       1e-30))
+    bcnx, bcny, bcnz = bcx * inv_bc, bcy * inv_bc, bcz * inv_bc
+    rad = float(_np.float32(_np.pi / 180.0))
+    ta = ta_deg * rad
+    dx = -bl * cos_ba
+    dy = bl * jnp.cos(ta) * sin_ba
+    dz = bl * jnp.sin(ta) * sin_ba
+    nx = aby * bcnz - bcny * abz
+    ny = abz * bcnx - bcnz * abx
+    nz = abx * bcny - bcnx * aby
+    inv_n = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                      1e-30))
+    nx, ny, nz = nx * inv_n, ny * inv_n, nz * inv_n
+    mx = ny * bcnz - bcny * nz
+    my = nz * bcnx - bcnz * nx
+    mz = nx * bcny - bcnx * ny
+    ox = bcnx * dx + mx * dy + nx * dz + cx
+    oy = bcny * dx + my * dy + ny * dz + cy
+    oz = bcnz * dx + mz * dy + nz * dz + cz
+    return ox, oy, oz
+
+
+def _segment_kernel(seed_ref, ang_ref, pro_ref, ranchor_ref, t_ref,
+                    bx_ref, by_ref, bz_ref, fx_ref, fy_ref, fz_ref):
+    """One fused segment reconstruction per lane block.
+
+    Phase 1 (ascending): forward NeRF into the f*_ref scratch outputs.
+    Phase 2 (descending rows): gather-free reverse sweep — bond angles
+    recomputed from the forward rows, anchor seed rows injected by masking
+    — blended against the forward coords and written to b*_ref.
+    """
+    seg = ang_ref.shape[0]
+    t_max = 3 * seg
+    # ---- phase 1: forward --------------------------------------------
+    ax, ay, az = seed_ref[0], seed_ref[1], seed_ref[2]
+    bx, by, bz = seed_ref[3], seed_ref[4], seed_ref[5]
+    cx, cy, cz = seed_ref[6], seed_ref[7], seed_ref[8]
+    fx_ref[0], fy_ref[0], fz_ref[0] = ax, ay, az
+    fx_ref[1], fy_ref[1], fz_ref[1] = bx, by, bz
+    fx_ref[2], fy_ref[2], fz_ref[2] = cx, cy, cz
+    for i in range(seg - 1):
+        nx, ny, nz = _place(ax, ay, az, bx, by, bz, cx, cy, cz,
+                            _C_TO_N, ang_ref[i, 4], ang_ref[i, 0])
+        ca_len = jnp.where(pro_ref[i] > 0, _PRO_N_TO_CA, _N_TO_CA)
+        cax, cay, caz = _place(bx, by, bz, cx, cy, cz, nx, ny, nz,
+                               ca_len, ang_ref[i, 5], ang_ref[i, 1])
+        ccx, ccy, ccz = _place(cx, cy, cz, nx, ny, nz, cax, cay, caz,
+                               _CA_TO_C, ang_ref[i, 3], ang_ref[i, 2])
+        fx_ref[3 * i + 3], fy_ref[3 * i + 3], fz_ref[3 * i + 3] = nx, ny, nz
+        fx_ref[3 * i + 4], fy_ref[3 * i + 4], fz_ref[3 * i + 4] = \
+            cax, cay, caz
+        fx_ref[3 * i + 5], fy_ref[3 * i + 5], fz_ref[3 * i + 5] = \
+            ccx, ccy, ccz
+        ax, ay, az = nx, ny, nz
+        bx, by, bz = cax, cay, caz
+        cx, cy, cz = ccx, ccy, ccz
+
+    # ---- phase 2: descending sweep + blend ---------------------------
+    t = t_ref[0].astype(jnp.float32)
+    ti = t_ref[0]
+    n_x, n_y, n_z = ranchor_ref[0], ranchor_ref[1], ranchor_ref[2]
+    ca_x, ca_y, ca_z = ranchor_ref[3], ranchor_ref[4], ranchor_ref[5]
+    c_x, c_y, c_z = ranchor_ref[6], ranchor_ref[7], ranchor_ref[8]
+    bls = (_C_TO_N, _CA_TO_C, _N_TO_CA)
+    zero = jnp.zeros_like(n_x)
+    v1x = v1y = v1z = v2x = v2y = v2z = v3x = v3y = v3z = zero
+    for r in range(t_max - 1, -1, -1):
+        # torsion row r comes from the interleaved (psi, omega, phi)
+        # stream = ang rows [r//3, r%3]
+        tor = ang_ref[r // 3, r % 3]
+        # bond angle centered at forward row min(r+1, t_max-2) as (cos, sin)
+        rc = min(r + 1, t_max - 2)
+        cos_a, sin_a = _bond_angle_cs(
+            fx_ref[rc - 1], fy_ref[rc - 1], fz_ref[rc - 1],
+            fx_ref[rc], fy_ref[rc], fz_ref[rc],
+            fx_ref[rc + 1], fy_ref[rc + 1], fz_ref[rc + 1])
+        px, py, pz = _place_cs(v3x, v3y, v3z, v2x, v2y, v2z, v1x, v1y, v1z,
+                               bls[(2 - r) % 3], cos_a, sin_a, tor)
+        is_c = ti == (r + 1)
+        is_ca = ti == (r + 2)
+        is_n = ti == (r + 3)
+        sx = jnp.where(is_c, c_x, jnp.where(is_ca, ca_x,
+                                            jnp.where(is_n, n_x, 0.0)))
+        sy = jnp.where(is_c, c_y, jnp.where(is_ca, ca_y,
+                                            jnp.where(is_n, n_y, 0.0)))
+        sz = jnp.where(is_c, c_z, jnp.where(is_ca, ca_z,
+                                            jnp.where(is_n, n_z, 0.0)))
+        active = r <= ti - 4
+        ox = jnp.where(active, px, sx)
+        oy = jnp.where(active, py, sy)
+        oz = jnp.where(active, pz, sz)
+        w_r = float(r)
+        w_f = t - w_r
+        inv_t = 1.0 / jnp.maximum(t, 1.0)
+        bx_ref[r] = (fx_ref[r] * w_f + ox * w_r) * inv_t
+        by_ref[r] = (fy_ref[r] * w_f + oy * w_r) * inv_t
+        bz_ref[r] = (fz_ref[r] * w_f + oz * w_r) * inv_t
+        v3x, v3y, v3z = v2x, v2y, v2z
+        v2x, v2y, v2z = v1x, v1y, v1z
+        v1x, v1y, v1z = ox, oy, oz
+    return
+
+
+def decode_backbone_segments_fused(seg_angles, seg_is_pro, anchor_xyz,
+                                   seg_m, refine_iters: int = 2):
+    """Fully fused per-segment reconstruction (forward + sweep + blend) as
+    one Pallas kernel per refine iteration. Contract matches
+    decode_backbone_segments_c."""
+    from .nerf import _comp9
+
+    I32 = jnp.int32
+    seg, _, n = seg_angles.shape
+    t_max = 3 * seg
+    t_atoms = (3 * seg_m).astype(I32)
+    pro_f = seg_is_pro.astype(F32)
+    b, s = anchor_xyz.shape[0], anchor_xyz.shape[1] - 1
+
+    fwd_seed = jnp.stack(_comp9(anchor_xyz[:, :-1]), axis=0)     # [9, N]
+    rev_anchor = jnp.stack(_comp9(anchor_xyz[:, 1:]), axis=0)    # [9, N]
+
+    block = min(LANE_BLOCK, n)
+    grid = (pl.cdiv(n, block),)
+
+    def call(seeds):
+        outs = pl.pallas_call(
+            _segment_kernel,
+            grid=grid,
+            interpret=jax.default_backend() != "tpu",
+            in_specs=[
+                pl.BlockSpec((9, block), lambda i: (0, i)),
+                pl.BlockSpec((seg, 6, block), lambda i: (0, 0, i)),
+                pl.BlockSpec((seg, block), lambda i: (0, i)),
+                pl.BlockSpec((9, block), lambda i: (0, i)),
+                pl.BlockSpec((1, block), lambda i: (0, i)),
+            ],
+            out_specs=[pl.BlockSpec((t_max, block), lambda i: (0, i))] * 6,
+            out_shape=[jax.ShapeDtypeStruct((t_max, n), F32)] * 6,
+        )(seeds, seg_angles, pro_f, rev_anchor, t_atoms[None, :])
+        return outs[:3]
+
+    seeds = fwd_seed
+    blended = None
+    for it in range(max(1, refine_iters)):
+        bx, by, bz = call(seeds)
+        blended = (bx, by, bz)
+        if it + 1 < refine_iters:
+            k = jnp.arange(3, dtype=I32)[:, None]
+            tail_idx = jnp.clip(t_atoms[None, :] - 3 + k, 0, t_max - 1)
+            new_seeds = []
+            for comp in range(3):
+                tails = jnp.take_along_axis(blended[comp], tail_idx,
+                                            axis=0).reshape(3, b, s)
+                anchor_col = anchor_xyz[:, 0, :, comp].T
+                prev = jnp.concatenate(
+                    [anchor_col[:, :, None], tails[:, :, :-1]], axis=2)
+                new_seeds.append(prev.reshape(3, b * s))
+            seeds = jnp.stack(
+                [new_seeds[comp][atom] for atom in range(3)
+                 for comp in range(3)], axis=0)
+    return blended
+
+
 def decode_backbone_segments_pallas(seg_angles, seg_is_pro, anchor_xyz,
                                     seg_m, refine_iters: int = 2):
     """decode_backbone_segments_c with the scans as Pallas kernels.
