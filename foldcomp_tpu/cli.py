@@ -43,6 +43,7 @@ Usage: foldcomp_tpu compress <pdb|cif> [<fcz>]
        foldcomp_tpu check <fcz>
        foldcomp_tpu check [-t number] <dir|tar(.gz)|db>
        foldcomp_tpu rmsd <pdb|cif> <pdb|cif>
+       foldcomp_tpu subdb <id_list> <db_in> <db_out>   (extension: mmseqs createsubdb equivalent)
  -h, --help               print this help message
  -v, --version            print version
  -t, --threads            threads for (de)compression of folders/tar files [default=1]
@@ -779,6 +780,36 @@ def run_rmsd(path1: str, path2: str):
     return 0
 
 
+def run_subdb(id_file: str, db_in: str, db_out: str,
+              id_mode: int = 1) -> int:
+    """Subset a database by id list (mmseqs createsubdb equivalent)."""
+    reader = DatabaseReader(db_in, use_lookup=True)
+    writer = DatabaseWriter(db_out)
+    n = 0
+    try:
+        with open(id_file) as fh:
+            wanted = [ln.strip() for ln in fh if ln.strip()]
+        for ident in wanted:
+            if id_mode == 1:
+                key = reader.lookup_key(ident)
+                name = ident
+            else:
+                key = int(ident)
+                name = reader.name_of_key(key) or str(key)
+            pos = reader.position_of_key(key) if key != 0xFFFFFFFF else -1
+            if pos < 0:
+                print(f"[Error] {ident} not found in database",
+                      file=sys.stderr)
+                continue
+            writer.append(reader.get_data(pos), key, name)
+            n += 1
+    finally:
+        writer.close()
+        reader.close()
+    print(f"Wrote {n} entries to {db_out}")
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
@@ -795,6 +826,15 @@ def main(argv=None) -> int:
 
     if mode == "rmsd":
         return run_rmsd(pos[1], pos[2])
+
+    if mode == "subdb":
+        # extension: subset a database by id list (the reference points users
+        # at `mmseqs createsubdb --subdb-mode 0 --id-mode 1`)
+        if len(pos) < 4:
+            print("[Error] subdb needs <id_list> <db_in> <db_out>",
+                  file=sys.stderr)
+            return 1
+        return run_subdb(pos[1], pos[2], pos[3], opts.id_mode)
 
     if mode not in ("compress", "decompress", "extract", "check"):
         print(USAGE, end="")

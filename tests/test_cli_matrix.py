@@ -134,3 +134,20 @@ def test_ab_extract_parity(tmp_path, ref_test_dir):
     subprocess.run([REF_BIN, "extract", "--plddt", str(fczf), str(b)],
                    capture_output=True, check=True)
     assert a.read_bytes() == b.read_bytes()
+
+
+def test_subdb_extension(tmp_path, ref_test_dir):
+    """subdb (mmseqs createsubdb equivalent) subsets by name or key."""
+    subset = (ref_test_dir / "example_db.subset").read_text().split()[:3]
+    idf = tmp_path / "ids.txt"
+    idf.write_text("\n".join(subset) + "\n")
+    out = tmp_path / "sub"
+    r = run_cli("subdb", str(idf), str(ref_test_dir / "example_db"),
+                str(out))
+    assert r.returncode == 0, r.stderr
+    from foldcomp_tpu.io.db import DatabaseReader
+    with DatabaseReader(str(out), use_lookup=True) as db:
+        assert len(db) == 3
+        for name in subset:
+            key = db.lookup_key(name)
+            assert db.position_of_key(key) >= 0
