@@ -592,39 +592,32 @@ def _decompress_write(sink, sink_kind, output, name, text):
 
 def _run_decompress_fast(opts: Options, entries, sink, sink_kind,
                          output: str):
-    """Batched device decode: parse FCZ on host, decode FAST_BATCH proteins
-    per device call (codec/batch.py), write PDB text in input order."""
+    """Pipelined batched device decode: host pack, device decode and text
+    formatting run as overlapped stages (codec/batch.py decode_fcz_stream);
+    outputs are written in input order."""
     from .backend import ensure_backend
-    from .codec.batch import decode_fcz_to_pdb_batch
+    from .codec.batch import decode_fcz_stream
     ensure_backend()
 
-    pending = []
-
-    def flush():
-        if not pending:
-            return
-        names = [n for n, _ in pending]
-        fczs = [f for _, f in pending]
-        texts = decode_fcz_to_pdb_batch(fczs, use_alt_order=opts.alt)
-        for name, text in zip(names, texts):
-            _decompress_write(sink, sink_kind, output, name, text)
-        pending.clear()
-
-    for name, buf in entries:
-        try:
-            f = fcz.parse(bytes(buf))
-        except fcz.FczFormatError:
-            print("[Error] File is not a valid fcz file", file=sys.stderr)
-            continue
-        if opts.check_before:
-            err = check_validity(f)
-            if err != SUCCESS:
-                print(VALIDITY_MESSAGES[err] + f.title, file=sys.stderr)
+    def payloads():
+        for name, buf in entries:
+            try:
+                f = fcz.parse(bytes(buf))
+            except fcz.FczFormatError:
+                print("[Error] File is not a valid fcz file",
+                      file=sys.stderr)
                 continue
-        pending.append((name, f))
-        if len(pending) >= FAST_BATCH:
-            flush()
-    flush()
+            if opts.check_before:
+                err = check_validity(f)
+                if err != SUCCESS:
+                    print(VALIDITY_MESSAGES[err] + f.title, file=sys.stderr)
+                    continue
+            f.entry_name = name
+            yield f
+
+    for f, text in decode_fcz_stream(payloads(), batch_size=FAST_BATCH,
+                                     use_alt_order=opts.alt):
+        _decompress_write(sink, sink_kind, output, f.entry_name, text)
     sink.close()
     return 0
 

@@ -230,6 +230,80 @@ def decode_fcz_to_pdb_batch(fczs, refine_iters: int = 2,
     return [format_pdb(a, f.title) for a, f in zip(decoded, fczs)]
 
 
+def decode_fcz_stream(payload_iter, batch_size: int = 128,
+                      refine_iters: int = 2, use_alt_order: bool = False,
+                      prefetch: int = 2):
+    """Pipelined streaming decode: yields (payload, pdb_text) in order.
+
+    Three overlapped stages — host pack (worker thread), device decode
+    (async dispatch), and native text formatting (main thread) — so the
+    accelerator never waits on the host between batches. `payload_iter`
+    yields FczData objects; results come back in input order.
+    """
+    import queue
+    import threading
+
+    from ..kernels.decode import decode_batch_core
+
+    q_packed = queue.Queue(maxsize=prefetch)
+
+    def producer():
+        batch = []
+        for f in payload_iter:
+            batch.append(f)
+            if len(batch) >= batch_size:
+                q_packed.put((batch, pack_decode_batch(batch)))
+                batch = []
+        if batch:
+            q_packed.put((batch, pack_decode_batch(batch)))
+        q_packed.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+
+    pending = None  # (fczs, metas, device outputs) awaiting formatting
+    while True:
+        item = q_packed.get()
+        if item is None:
+            break
+        fczs, (arrays, metas, seg_pad) = item
+        outs = decode_batch_core(
+            arrays["records"], arrays["mins"], arrays["cont_fs"],
+            arrays["sc_codes"], arrays["tf_codes"], arrays["tf_min"],
+            arrays["tf_cont"], arrays["anchor_xyz"], arrays["seg_start"],
+            arrays["seg_m"], seg_width=seg_pad, refine_iters=refine_iters)
+        # format the PREVIOUS batch while this one runs on device
+        if pending is not None:
+            yield from _format_batch(*pending, use_alt_order)
+        pending = (fczs, metas, outs)
+    if pending is not None:
+        yield from _format_batch(*pending, use_alt_order)
+    t.join()
+
+
+def _format_batch(fczs, metas, outs, use_alt_order):
+    atom14, res_code, temp = (np.asarray(o) for o in outs)
+    try:
+        from ..native import format_atom14_native, get_lib
+        have_native = get_lib() is not None
+    except Exception:
+        have_native = False
+    if have_native:
+        for i, (f, m) in enumerate(zip(fczs, metas)):
+            n = m.n_residue
+            yield f, format_atom14_native(
+                atom14[i, :n], temp[i, :n], res_code[i, :n], n,
+                m.idx_residue, m.idx_atom, m.chain, m.first_residue,
+                m.last_residue, m.has_oxt, m.oxt_coords, use_alt_order,
+                m.title)
+    else:
+        from ..io.pdb import format_pdb
+        decoded = unpack_decode_result(atom14, res_code, temp, metas,
+                                       use_alt_order=use_alt_order)
+        for f, atoms in zip(fczs, decoded):
+            yield f, format_pdb(atoms, f.title)
+
+
 # ---------------------------------------------------------------------------
 # Encode batching
 # ---------------------------------------------------------------------------
