@@ -262,6 +262,54 @@ def _comp9(arr):
     return tuple(flat[:, k] for k in range(9))
 
 
+def _seed_frame(seed9):
+    """Orthonormal frame of a seed triple, as place_atom builds it:
+    origin = c, axes (bc_hat, n_hat x bc_hat, n_hat) with
+    n_hat = normalize(ab x bc_hat). Returns (cx, cy, cz, 9 axis comps)."""
+    ax, ay, az, bx, by, bz, cx, cy, cz = seed9
+    abx, aby, abz = bx - ax, by - ay, bz - az
+    bcx, bcy, bcz = cx - bx, cy - by, cz - bz
+    inv = jax.lax.rsqrt(jnp.maximum(bcx * bcx + bcy * bcy + bcz * bcz,
+                                    F32(1e-30)))
+    ux, uy, uz = bcx * inv, bcy * inv, bcz * inv
+    nx = aby * uz - uy * abz
+    ny = abz * ux - uz * abx
+    nz = abx * uy - ux * aby
+    invn = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                     F32(1e-30)))
+    nx, ny, nz = nx * invn, ny * invn, nz * invn
+    vx = ny * uz - uy * nz
+    vy = nz * ux - uz * nx
+    vz = nx * uy - ux * ny
+    return (cx, cy, cz, ux, uy, uz, vx, vy, vz, nx, ny, nz)
+
+
+def _rigid_reseed(fx, fy, fz, old9, new9):
+    """Map forward coords built from seed `old9` to the coords a re-run
+    from seed `new9` would produce.
+
+    The NeRF recurrence places every atom rigidly in the frame of its seed
+    triple (place_atom uses only the (bc_hat, n x bc_hat, n) frame and c's
+    position, nerf.cpp:39-104), so re-running the forward scan from a new
+    seed is exactly a per-lane rigid transform of the old chain — one
+    elementwise pass instead of a second 3(SEG-1)-step scan."""
+    of = _seed_frame(old9)
+    nf = _seed_frame(new9)
+    ocx, ocy, ocz = of[0], of[1], of[2]
+    ncx, ncy, ncz = nf[0], nf[1], nf[2]
+    # local coords: l = U_old^T (p - c_old); out = U_new l + c_new
+    dx = fx - ocx[None, :]
+    dy = fy - ocy[None, :]
+    dz = fz - ocz[None, :]
+    lu = dx * of[3] + dy * of[4] + dz * of[5]
+    lv = dx * of[6] + dy * of[7] + dz * of[8]
+    ln = dx * of[9] + dy * of[10] + dz * of[11]
+    gx = lu * nf[3] + lv * nf[6] + ln * nf[9] + ncx[None, :]
+    gy = lu * nf[4] + lv * nf[7] + ln * nf[10] + ncy[None, :]
+    gz = lu * nf[5] + lv * nf[8] + ln * nf[11] + ncz[None, :]
+    return gx, gy, gz
+
+
 def decode_backbone_segments_c(seg_angles, seg_is_pro, anchor_xyz, seg_m,
                                refine_iters: int = 2,
                                gather_free: bool = False):
@@ -286,36 +334,55 @@ def decode_backbone_segments_c(seg_angles, seg_is_pro, anchor_xyz, seg_m,
     rev_anchor9 = _comp9(anchor_xyz[:, 1:])
     rev_seed9 = _comp9(anchor_xyz[:, 1:][:, :, ::-1])
 
-    seeds = fwd_anchor9
-    blended = None
     b, s = anchor_xyz.shape[0], anchor_xyz.shape[1] - 1
-    for it in range(max(1, refine_iters)):
-        fx, fy, fz = _forward_scan_c(seeds, seg_angles, seg_is_pro)
-        if gather_free:
-            blended = _blend_pass_sweep(fx, fy, fz, rev_anchor9,
-                                        tor_stream, t_atoms)
-        else:
-            blended = _blend_pass_c(fx, fy, fz, rev_seed9, tor_stream,
-                                    t_atoms)
-        if it + 1 < refine_iters:
-            # re-seed segment s with segment s-1's blended tail
-            # (foldcomp.cpp:849-857: prevAtoms = last 3 blended atoms)
-            k = jnp.arange(3, dtype=I32)[:, None]
-            tail_idx = jnp.clip(t_atoms[None, :] - 3 + k, 0, 3 * seg - 1)
-            new_seeds = []
-            for comp in range(3):
-                tails = jnp.take_along_axis(blended[comp], tail_idx,
-                                            axis=0)        # [3, N]
-                tails = tails.reshape(3, b, s)
-                anchor_col = anchor_xyz[:, 0, :, comp].T     # [3, B]
-                prev = jnp.concatenate(
-                    [anchor_col[:, :, None], tails[:, :, :-1]], axis=2)
-                new_seeds.append(prev.reshape(3, b * s))
-            # reorder into (ax..az, bx..bz, cx..cz)
-            seeds = tuple(new_seeds[comp][atom]
-                          for atom in range(3) for comp in range(3))
 
-    return blended
+    def reseed_from(blended_or_fwd_tails):
+        """Blended-tail rows -> next iteration's seed triples
+        (foldcomp.cpp:849-857: prevAtoms = last 3 blended atoms)."""
+        new_seeds = []
+        for comp in range(3):
+            tails = blended_or_fwd_tails[comp].reshape(3, b, s)
+            anchor_col = anchor_xyz[:, 0, :, comp].T         # [3, B]
+            prev = jnp.concatenate(
+                [anchor_col[:, :, None], tails[:, :, :-1]], axis=2)
+            new_seeds.append(prev.reshape(3, b * s))
+        return tuple(new_seeds[comp][atom]
+                     for atom in range(3) for comp in range(3))
+
+    def blend(fx, fy, fz):
+        if gather_free:
+            return _blend_pass_sweep(fx, fy, fz, rev_anchor9, tor_stream,
+                                     t_atoms)
+        return _blend_pass_c(fx, fy, fz, rev_seed9, tor_stream, t_atoms)
+
+    fx, fy, fz = _forward_scan_c(fwd_anchor9, seg_angles, seg_is_pro)
+    if refine_iters >= 2:
+        # The forward chain is a rigid function of its seed frame, so the
+        # second iteration's forward pass is a rigid transform of the
+        # first — and its blended tail rows {t-3, t-2, t-1} blend the
+        # forward tail against the stored anchor (N, CA, C) directly, so
+        # no full first blend pass is needed either.
+        k = jnp.arange(3, dtype=I32)[:, None]
+        tail_idx = jnp.clip(t_atoms[None, :] - 3 + k, 0, 3 * seg - 1)
+        tf = jnp.maximum(t_atoms[None, :].astype(F32), F32(1.0))
+        w_r = (t_atoms[None, :] - 3 + k).astype(F32)
+        w_f = tf - w_r
+        anchor_rows = (
+            jnp.stack([rev_anchor9[0], rev_anchor9[3], rev_anchor9[6]]),
+            jnp.stack([rev_anchor9[1], rev_anchor9[4], rev_anchor9[7]]),
+            jnp.stack([rev_anchor9[2], rev_anchor9[5], rev_anchor9[8]]))
+        tails = []
+        for comp, f_ in ((0, fx), (1, fy), (2, fz)):
+            f_tail = jnp.take_along_axis(f_, tail_idx, axis=0)   # [3, N]
+            tails.append((f_tail * w_f + anchor_rows[comp] * w_r) / tf)
+        seeds2 = reseed_from(tails)
+        fx, fy, fz = _rigid_reseed(fx, fy, fz, fwd_anchor9, seeds2)
+        # rows 0-2 are the literal seed atoms, not frame-determined —
+        # the rigid map is only exact for placed atoms (rows >= 3)
+        fx = fx.at[0].set(seeds2[0]).at[1].set(seeds2[3]).at[2].set(seeds2[6])
+        fy = fy.at[0].set(seeds2[1]).at[1].set(seeds2[4]).at[2].set(seeds2[7])
+        fz = fz.at[0].set(seeds2[2]).at[1].set(seeds2[5]).at[2].set(seeds2[8])
+    return blend(fx, fy, fz)
 
 
 @partial(jax.jit, static_argnames=("refine_iters",))
