@@ -877,6 +877,23 @@ def main(argv=None) -> int:
         else:
             output = inp + "_" + suffix
 
+    # mode banners (main.cpp:392-404, 871-875 parity)
+    verb = {"compress": "Compressing", "decompress": "Decompressing",
+            "extract": "Extracting", "check": "Checking"}[mode]
+    if single and mode in ("compress", "decompress", "extract"):
+        print(f"{verb} {inp} to {output}")
+    elif single:
+        print(f"{verb} {inp}")
+    else:
+        print(f"{verb} files in {inp} using {opts.threads} threads")
+        if mode != "check":
+            if opts.db_output:
+                print(f"Output database: {output}")
+            elif opts.save_as_tar:
+                print(f"Output tar file: {output}")
+            else:
+                print(f"Output directory: {output}")
+
     rc = 0
     entry_sources = []
     for item in inputs:
