@@ -58,6 +58,31 @@ def test_sharded_decompress_merge(tmp_path, n_shards, ref_test_dir):
     assert not (tmp_path / "merged.0").exists()
 
 
+def test_sharded_compress(tmp_path, ref_test_dir):
+    """compress_db_shard over a PDB-payload database -> valid FCZ db."""
+    from foldcomp_tpu.io.db import DatabaseWriter
+    from foldcomp_tpu.parallel.dist import compress_db_shard
+    from foldcomp_tpu.codec import fcz as fcz_mod
+
+    pdb_db = str(tmp_path / "pdbdb")
+    w = DatabaseWriter(pdb_db)
+    for i, name in enumerate(("test.pdb", "test_af.pdb")):
+        w.append((ref_test_dir / name).read_bytes() + b"\x00", i, name)
+    w.close()
+
+    out = str(tmp_path / "fczdb")
+    total = 0
+    for s in range(2):
+        total += compress_db_shard(pdb_db, out, s, 2)
+    merge_shard_dbs(out, 2)
+    r = DatabaseReader(out, use_lookup=True)
+    assert len(r) == total == 2
+    for pos in range(len(r)):
+        f = fcz_mod.parse(r.get_data(pos))
+        assert f.n_residue > 20
+    r.close()
+
+
 def test_sharded_fast_path_matches_exact(tmp_path, ref_test_dir):
     """Fast (batched device) shard decode produces valid, gate-passing PDBs."""
     db = str(ref_test_dir / "example_db")
