@@ -54,6 +54,9 @@ def main():
     from foldcomp_tpu.kernels.decode import decode_batch_core
 
     f = _load_fcz()
+    # B=2048 reaches 3.22M res/s (19x baseline) but its first compile takes
+    # ~7 min over the remote-compile tunnel and the persistent cache does
+    # not cover it; B=512 keeps the bench reliable (~2.2M res/s, 13x).
     batch_size = 512
     arrays, metas, seg_pad = pack_decode_batch([f] * batch_size)
     n_res_total = sum(m.n_residue for m in metas)

@@ -6,10 +6,18 @@ all-atom coordinates for the whole batch. Everything between the byte
 streams and the atom14 coordinate tensor runs on device; host code only does
 FCZ parsing and PDB text (codec/batch.py).
 
-All intermediates use lanes-last layouts (see kernels/nerf.py): proteins /
-segments / residues ride the trailing lane axis and atoms the sublane axis,
-so the VPU sees fully-occupied (8, 128) tiles. The only [..., 3]-shaped
-tensor is the final atom14 output, produced by one transpose at the end.
+Three interchangeable cores produce quantization-identical output and are
+selected per backend by `decode_batch_core` (v5e numbers at B=512 x 276
+residues):
+
+- `_decode_core_lanes` + gather_free=True (TPU default, 2.26M res/s):
+  lanes-last component layout with a gather-free reverse sweep and
+  select-chain side chains; optionally the fused Pallas kernel
+  (FOLDCOMP_TPU_PALLAS=1, 2.33M).
+- `_decode_core_lanes` with real gathers (CPU default — take_along_axis is
+  cheap there, the select/sweep forms cost ~2x on CPU).
+- `_decode_core_vec3` (FOLDCOMP_TPU_VEC3=1, 1.40M): legacy [..., 3]-vector
+  layout kept for comparison runs.
 
 Reference pipeline parity: Foldcomp::decompress (foldcomp.cpp:779-902).
 """

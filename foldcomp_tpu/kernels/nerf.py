@@ -11,12 +11,14 @@ pair is an independent lane, so the sequential chain is a `lax.scan` of
 length ~anchor_threshold (~25 residues -> 75 atoms) batched over B x S
 lanes on the VPU, instead of a 3L-step chain per protein.
 
-Layout: all device arrays are LANES-LAST — each coordinate component is a
-separate array whose trailing axis is the (protein x segment) lane axis N,
-and atom positions sit on the second-to-last (sublane) axis. A
-[..., 3]-vector layout tiles as (8, 128) over the trailing (3,) axis and
-wastes ~98% of every tile; the component form achieves full tile
-occupancy and turned out ~20x faster on a v5e.
+Layout: the component form keeps each coordinate component as a separate
+array whose trailing axis is the (protein x segment) lane axis N, with
+atom positions on the sublane axis — a [..., 3]-vector layout tiles as
+(8, 128) over the trailing (3,) axis and wastes ~98% of every tile. On
+TPU the remaining cost after the layout fix was per-lane gathers, removed
+by `_blend_pass_sweep` (see its docstring); `_blend_pass_c` keeps the
+gather form, which CPU prefers. The vec3 variants at the bottom of this
+file are the legacy comparison path.
 
 One true cross-segment dependency exists in the reference: segment s's
 forward pass is seeded by segment s-1's *blended* tail, not by the stored
