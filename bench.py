@@ -15,8 +15,6 @@ import json
 import pathlib
 import time
 
-import numpy as np
-
 BASELINE = json.loads(
     (pathlib.Path(__file__).parent / "BENCH_BASELINE.json").read_text())
 

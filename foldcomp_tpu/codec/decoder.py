@@ -16,9 +16,8 @@ import math
 import numpy as np
 
 from ..core import exact
-from ..core.aatable import (AA_DATA, ALT_PERM, ATOM_NAMES, C_TO_N_DIST,
-                            CA_TO_C_DIST, N_ATOMS, N_TO_CA_DIST,
-                            PRO_N_TO_CA_DIST, N_SC_TORSION)
+from ..core.aatable import (AA_DATA, C_TO_N_DIST, CA_TO_C_DIST,
+                            N_TO_CA_DIST, PRO_N_TO_CA_DIST, N_SC_TORSION)
 from ..core.codes import (one_letter_from_int, three_letter_from_int,
                           three_letter_from_one)
 from ..io.structure import AtomArray

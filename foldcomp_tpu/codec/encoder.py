@@ -9,7 +9,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..core import exact
-from ..core.aatable import AA_DATA, MAX_SC_TORSION
+from ..core.aatable import AA_DATA
 from ..core.codes import (int_from_one_letter, one_letter_from_three)
 from ..io.structure import AtomArray
 from .fcz import (DEFAULT_ANCHOR_THRESHOLD, FczData, NUM_BITS_BOND,

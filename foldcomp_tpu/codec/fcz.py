@@ -19,7 +19,7 @@ Layout parity with Foldcomp::writeStream / Foldcomp::read
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -6,7 +6,7 @@ column arrays, which converts directly to device-friendly tensors.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
