@@ -219,10 +219,17 @@ int64_t fcz_decode_pdb(const uint8_t* buf, int64_t len, int use_alt,
     for (int s = 0; s < v.n_anchor - 1; s++) {
         int is_last = (s == v.n_anchor - 2);
         int first = v.anchor_idx[s] < max_rec ? v.anchor_idx[s] : max_rec;
+        if (first < 0) first = 0; /* malformed anchors must not overflow */
         int last = v.anchor_idx[s + 1] + 1 < max_rec ? v.anchor_idx[s + 1] + 1
                                                      : max_rec;
         int m = last - first + (is_last ? 1 : 0); /* record count */
         if (m < 1) m = 1;
+        if (m > n - first) m = n - first; /* records ri = first..first+m-1 */
+        if (m < 1) m = 1;
+        if (bb_n + 3 * m > 3 * n + 3) { /* stitched output capacity */
+            m = (3 * n + 3 - bb_n) / 3;
+            if (m < 1) break;
+        }
         int t = 3 * m;                            /* atom count */
 
         /* forward pass (reconstructBackboneAtoms foldcomp.cpp:167-246) */
@@ -246,7 +253,8 @@ int64_t fcz_decode_pdb(const uint8_t* buf, int64_t len, int use_alt,
         if (t_last < t_first) t_last = t_first;
         int nt = t_last - t_first;
         for (int i = 0; i < nt; i++) segt[i] = tstream[t_first + i];
-        if (is_last) segt[nt++] = tstream[3 * (n - 1) - 1];
+        if (is_last && 3 * (n - 1) - 1 >= 0)
+            segt[nt++] = tstream[3 * (n - 1) - 1];
 
         /* bond angles of forward coords: angs[k] centered at fwd[k+1] */
         for (int k = 0; k < t - 2; k++)

@@ -37,7 +37,8 @@ static inline char* put_int(char* p, int64_t v) {
     char tmp[24];
     int n = 0;
     uint64_t u;
-    if (v < 0) { *p++ = '-'; u = (uint64_t)(-v); } else u = (uint64_t)v;
+    if (v < 0) { *p++ = '-'; u = (uint64_t)(-(v + 1)) + 1; }
+    else u = (uint64_t)v;
     do { tmp[n++] = (char)('0' + (u % 10)); u /= 10; } while (u);
     while (n) *p++ = tmp[--n];
     return p;
@@ -56,14 +57,18 @@ static inline char* put_int_rj(char* p, int64_t v, int width) {
 
 /* fast_ftoa<T,P> replica (atom_coordinate.cpp:186-218): add +-0.5f/T,
  * truncate both parts toward zero, zero-pad fraction to P digits;
- * result right-justified in `width`. All arithmetic in float. */
+ * result right-justified in `width`. All arithmetic in float. Non-finite
+ * or absurd magnitudes (possible only from corrupted streams) are clamped
+ * so the digit buffers cannot overflow. */
 static inline char* put_ftoa_rj(char* p, float n, int t, int pdigits,
                                 int width) {
+    if (!(n > -1e15f && n < 1e15f)) /* NaN or |n| >= 1e15 */
+        n = n > 0 ? 1e15f : (n < 0 ? -1e15f : 0.0f);
     float half = 0.5f / (float)t;
     float rounded = n + (n < 0 ? -half : half);
     int64_t integer = (int64_t)rounded;
     int64_t decimal = (int64_t)((rounded - (float)integer) * (float)t);
-    char tmp[32];
+    char tmp[64];
     char* q = tmp;
     if (n < 0) {
         *q++ = '-';

@@ -8,6 +8,8 @@ from conftest import require_fixture
 
 from foldcomp_tpu import native
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 @pytest.fixture(scope="module")
 def lib():
@@ -144,3 +146,42 @@ def test_db_writer_native_roundtrip(lib, tmp_path):
     assert r.get_data(r.position_of_key(2)) == b"BBBB\x00"
     assert r.lookup_key("c") == 3
     r.close()
+
+
+def test_decoder_fuzz_robustness(lib):
+    """Mutated/truncated FCZ streams must never crash the native decoder
+    (run in a subprocess so a crash fails the test instead of pytest)."""
+    import subprocess
+    import sys
+
+    code = r'''
+import sys
+sys.path.insert(0, %r)
+import numpy as np
+from foldcomp_tpu.native import decode_fcz_pdb_native
+blob = open(%r, "rb").read()
+rng = np.random.default_rng(123)
+for trial in range(800):
+    b = bytearray(blob)
+    kind = trial %% 4
+    if kind == 0:
+        for _ in range(rng.integers(1, 16)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+    elif kind == 1:
+        b = b[:rng.integers(4, len(b))]
+    elif kind == 2:
+        for off in rng.integers(4, 76, size=6):
+            b[off] = rng.integers(0, 256)
+    else:
+        for off in rng.integers(76, 88, size=4):
+            b[off] = rng.integers(0, 256)
+    try:
+        decode_fcz_pdb_native(bytes(b))
+    except ValueError:
+        pass
+print("ok")
+''' % (REPO_ROOT, str(require_fixture("test_af.fcz")))
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert "ok" in r.stdout
