@@ -455,11 +455,64 @@ def _compress_write(sink, sink_kind, output, fname, blob, parts):
 
 
 def _run_compress_fast(opts: Options, entries, sink, sink_kind, output: str):
-    """Batched device encode: parse + fragment on host, encode FAST_BATCH
-    fragments per device call (codec/batch.py)."""
+    """Batched device encode: vectorized host prep over the native parser's
+    raw arrays (codec/batch.py encode_pdb_device), FAST_BATCH fragments per
+    device call; CIF/fallback entries go through the Python fragment path."""
     from .backend import ensure_backend
-    from .codec.batch import encode_fragment_batch
+    from .codec.batch import (encode_fragment_batch, encode_pdb_device,
+                              encode_tensor_batch)
     ensure_backend()
+
+    pending_t = []   # (fname, parts, tensors)
+
+    def flush_tensors():
+        if not pending_t:
+            return
+        fczs = encode_tensor_batch(
+            [t for _, _, t, _ in pending_t],
+            [m for _, _, _, m in pending_t],
+            anchor_threshold=opts.anchor_threshold)
+        for (fname, parts, _, _), f in zip(pending_t, fczs):
+            if f is not None:
+                _compress_write(sink, sink_kind, output, fname,
+                                fcz.serialize(f), parts)
+        pending_t.clear()
+
+    def try_device_path(name, buf):
+        """True if handled via the vectorized raw-array pipeline."""
+        base = base_name(name)
+        parts = get_file_parts(base)
+        lowered = base.lower()
+        if lowered.endswith(".cif") or lowered.endswith(".cif.gz"):
+            return False
+        raw = gzip.decompress(buf) if buf[:2] == b"\x1f\x8b" else buf
+        if raw.lstrip()[:5] == b"data_":
+            return False
+        fallback = get_file_parts(output)[0] if sink_kind == "file" \
+            else parts[0]
+        try:
+            res = encode_pdb_device(raw, opts.anchor_threshold,
+                                    title=None, fallback_title=fallback)
+        except Exception:
+            return False
+        if res is None:
+            return False
+        tensors, metas = res
+        for t, m in zip(tensors, metas):
+            if m["error"]:
+                print(f"[Error] {base}: {m['error']}", file=sys.stderr)
+                continue
+            if opts.skip_discontinuous and m["n_frags_in_chain"] > 1:
+                continue
+            fname = parts[0]
+            if m["n_chains"] > 1:
+                fname += m["chain"]
+            if m["n_frags_in_chain"] > 1:
+                fname += f"_{m['frag_ord']}"
+            pending_t.append((fname, parts, t, m))
+        if len(pending_t) >= FAST_BATCH:
+            flush_tensors()
+        return True
 
     pending = []  # (fname, parts, fragment)
 
@@ -489,6 +542,8 @@ def _run_compress_fast(opts: Options, entries, sink, sink_kind, output: str):
         pending.clear()
 
     for name, buf in entries:
+        if try_device_path(name, bytes(buf)):
+            continue
         base = base_name(name)
         parts = get_file_parts(base)
         try:
@@ -522,6 +577,7 @@ def _run_compress_fast(opts: Options, entries, sink, sink_kind, output: str):
                 pending.append((fname, parts, frag))
                 if len(pending) >= FAST_BATCH:
                     flush()
+    flush_tensors()
     flush()
     sink.close()
     return 0

@@ -308,6 +308,82 @@ def _format_batch(fczs, metas, outs, use_alt_order):
 # Encode batching
 # ---------------------------------------------------------------------------
 
+def _slot_lut():
+    """uint64 key table: (code << 32) | name4-as-u32 -> atom14 slot."""
+    from ..core.aatable import NAME_TO_SLOT
+
+    keys, slots = [], []
+    for code in range(NUM_AA):
+        for name, slot in NAME_TO_SLOT[code].items():
+            field = name.ljust(4) if len(name) == 4 else " " + name.ljust(3)
+            k = (np.uint64(code) << np.uint64(32)) | np.uint64(
+                int.from_bytes(field.encode(), "little"))
+            keys.append(k)
+            slots.append(slot)
+    keys = np.asarray(keys, np.uint64)
+    order = np.argsort(keys)
+    return keys[order], np.asarray(slots, np.int32)[order]
+
+
+_SLOT_KEYS = None
+_SLOT_VALS = None
+
+
+def atoms_to_tensors_vec(name4: np.ndarray, res3: np.ndarray,
+                         residue_index: np.ndarray, coords: np.ndarray,
+                         temp: np.ndarray):
+    """Vectorized fragment -> dense per-residue tensors.
+
+    name4: uint8 [N, 4] raw PDB name columns; res3: uint8 [N, 3];
+    residue_index/coords/temp as parsed. Returns (atom14 [L,14,3],
+    res_code [L], tf_ca [L], groups_start [L]). First-occurrence-wins slot
+    assignment (findFirstAtomCoords parity) via reversed scatter.
+    """
+    global _SLOT_KEYS, _SLOT_VALS
+    if _SLOT_KEYS is None:
+        _SLOT_KEYS, _SLOT_VALS = _slot_lut()
+    from ..core.codes import int_from_three_letter
+
+    n = len(residue_index)
+    # residue groups: boundaries where residue_index changes; the final
+    # atom always joins the current group (splitAtomByResidue parity)
+    change = np.empty(n, bool)
+    change[0] = True
+    if n > 1:
+        change[1:] = residue_index[1:] != residue_index[:-1]
+        change[n - 1] = False
+        change[0] = True
+    gstart = np.flatnonzero(change)
+    n_res = len(gstart)
+    group_of = np.cumsum(change) - 1          # [N] residue ordinal per atom
+
+    # residue codes from the group-start residue names
+    res_code = np.asarray(
+        [int_from_three_letter(bytes(res3[i]).decode("latin1").strip())
+         for i in gstart], np.int32)
+
+    # atom slot lookup: key = (code << 32) | name4 bytes
+    name_u32 = name4.view(np.uint32).reshape(-1).astype(np.uint64)
+    code_per_atom = res_code[group_of].astype(np.uint64)
+    keys = (code_per_atom << np.uint64(32)) | name_u32
+    pos = np.searchsorted(_SLOT_KEYS, keys)
+    pos = np.clip(pos, 0, len(_SLOT_KEYS) - 1)
+    valid = _SLOT_KEYS[pos] == keys
+    slot = np.where(valid, _SLOT_VALS[pos], -1)
+
+    atom14 = np.zeros((n_res, 14, 3), F32)
+    # reversed order => the FIRST occurrence ends up winning
+    rev = np.arange(n - 1, -1, -1)
+    vr = rev[valid[rev]]
+    atom14[group_of[vr], slot[vr]] = coords[vr]
+
+    tf_ca = np.zeros(n_res, F32)
+    is_ca = valid & (slot == 1)
+    cr = rev[is_ca[rev]]
+    tf_ca[group_of[cr]] = temp[cr]
+    return atom14, res_code, tf_ca, gstart
+
+
 def fragment_to_tensors(atoms: AtomArray):
     """One continuous single-chain fragment -> dense per-residue tensors.
 
@@ -365,6 +441,159 @@ def _anchor_indices(n_res: int, threshold: int):
     interval = n_res // (n_all - 1)
     return np.asarray([i * interval for i in range(n_all - 1)] + [n_res - 1],
                       I32)
+
+
+def encode_pdb_device(data: bytes, anchor_threshold: int = 25,
+                      title: str | None = None, fallback_title: str = ""):
+    """PDB buffer -> fragments ready for the device encoder, all host work
+    vectorized over raw parse arrays (no per-atom Python).
+
+    Returns (frag_tensors, frag_meta) where frag_tensors is a list of
+    (atom14, res_code, tf_ca) and frag_meta mirrors the native encoder's
+    fragment dicts (chain/frag ordinals for output naming), or None when
+    the native parser is unavailable.
+    """
+    from ..core.codes import one_letter_from_three
+    from ..native import _parse_raw, get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = _parse_raw(lib, data)
+    n = raw["n"]
+    if n == 0:
+        return [], []
+    name4 = np.frombuffer(raw["name4"].raw[:n * 4], np.uint8) \
+        .reshape(n, 4).copy()
+    res3 = np.frombuffer(raw["res3"].raw[:n * 3], np.uint8) \
+        .reshape(n, 3).copy()
+    chain = np.frombuffer(raw["chain"].raw[:n], np.uint8).copy()
+    ridx = raw["residue_index"][:n]
+    aidx = raw["atom_index"][:n]
+    coords = raw["coords"][:n]
+    temp = raw["temp"][:n]
+    if title is None:
+        title = raw["title"] or fallback_title
+
+    # removeAlternativePosition: drop consecutive duplicate atom names
+    keep = np.ones(n, bool)
+    if n > 1:
+        keep[1:] = (name4[1:] != name4[:-1]).any(axis=1)
+    sel = np.flatnonzero(keep)
+    name4, res3, chain = name4[sel], res3[sel], chain[sel]
+    ridx, aidx, coords, temp = ridx[sel], aidx[sel], coords[sel], temp[sel]
+    n = len(sel)
+
+    is_n_atom = (name4 == np.frombuffer(b" N  ", np.uint8)).all(axis=1)
+
+    # chain fragmentation (identify_chains semantics: fragments may skip a
+    # leading non-N run of a new chain)
+    chains = []
+    start = 0
+    i = 1
+    while i < n:
+        if chain[i] != chain[i - 1]:
+            if is_n_atom[i]:
+                chains.append((start, i))
+                start = i
+            else:
+                nxt = np.flatnonzero(is_n_atom[i:])
+                if len(nxt):
+                    chains.append((start, i))
+                    start = i + int(nxt[0])
+                    i = start
+        i += 1
+    chains.append((start, n))
+
+    frag_tensors, frag_meta = [], []
+    for c_ord, (c0, c1) in enumerate(chains):
+        n_pos = np.flatnonzero(is_n_atom[c0:c1]) + c0
+        if len(n_pos) == 0:
+            frags = [(c0, c1)]
+        else:
+            gaps = np.flatnonzero(np.diff(ridx[n_pos]) > 1) + 1
+            starts = [int(n_pos[0])] + [int(n_pos[g]) for g in gaps]
+            frags = [(s, e) for s, e in
+                     zip(starts, starts[1:] + [c1])]
+        for f_ord, (f0, f1) in enumerate(frags):
+            atom14, res_code, tf_ca, _ = atoms_to_tensors_vec(
+                name4[f0:f1], res3[f0:f1], ridx[f0:f1], coords[f0:f1],
+                temp[f0:f1])
+            if len(res_code) < 2:
+                frag_meta.append(dict(error="fragment must contain at "
+                                      "least 2 residues", chain_ord=c_ord,
+                                      frag_ord=f_ord,
+                                      n_frags_in_chain=len(frags),
+                                      n_chains=len(chains)))
+                frag_tensors.append(None)
+                continue
+            first3 = bytes(res3[f0]).decode("latin1").strip()
+            last3 = bytes(res3[f1 - 1]).decode("latin1").strip()
+            frag_meta.append(dict(
+                error=None,
+                n_atom=f1 - f0,
+                idx_residue=int(ridx[f0]), idx_atom=int(aidx[f0]),
+                chain=chr(chain[f0]),
+                first_residue=one_letter_from_three(first3),
+                last_residue=one_letter_from_three(last3),
+                title=title,
+                has_oxt=bytes(name4[f1 - 1]) == b" OXT",
+                oxt_coords=coords[f1 - 1].astype(F32),
+                chain_ord=c_ord, frag_ord=f_ord,
+                n_frags_in_chain=len(frags), n_chains=len(chains)))
+            frag_tensors.append((atom14, res_code, tf_ca))
+    return frag_tensors, frag_meta
+
+
+def encode_tensor_batch(frag_tensors, frag_meta, anchor_threshold: int = 25,
+                        l_bucket: int = 32):
+    """Device-encode prepared fragment tensors -> List[FczData | None]."""
+    from ..kernels.encode import encode_batch_core
+
+    live = [(i, t) for i, t in enumerate(frag_tensors) if t is not None]
+    results = [None] * len(frag_tensors)
+    if not live:
+        return results
+    b = len(live)
+    l_pad = _round_up(max(t[0].shape[0] for _, t in live), l_bucket)
+    atom14 = np.zeros((b, l_pad, 14, 3), F32)
+    res_code = np.zeros((b, l_pad), I32)
+    tf_ca = np.zeros((b, l_pad), F32)
+    res_mask = np.zeros((b, l_pad), bool)
+    for k, (_, (a14, rc, tf)) in enumerate(live):
+        m = a14.shape[0]
+        atom14[k, :m] = a14
+        res_code[k, :m] = rc
+        tf_ca[k, :m] = tf
+        res_mask[k, :m] = True
+    out = encode_batch_core(atom14[:, :, :3], atom14, res_code, tf_ca,
+                            res_mask)
+    out = {key: np.asarray(v) for key, v in out.items()}
+    for k, (i, (a14, rc, tf)) in enumerate(live):
+        meta = frag_meta[i]
+        nres = a14.shape[0]
+        anchors = _anchor_indices(nres, anchor_threshold)
+        counts = np.where(rc < NUM_AA, N_SC_TORSION[rc], 0)
+        sc_stream = np.concatenate(
+            [out["sc_q"][k, r, :counts[r]] for r in range(nres)]) \
+            if counts.sum() else np.zeros(0, np.uint8)
+        results[i] = FczData(
+            n_residue=nres, n_atom=meta["n_atom"],
+            idx_residue=meta["idx_residue"], idx_atom=meta["idx_atom"],
+            n_anchor=len(anchors), chain=meta["chain"],
+            n_sc_torsion=len(sc_stream),
+            first_residue=meta["first_residue"],
+            last_residue=meta["last_residue"], title=meta["title"],
+            mins=out["mins"][k], cont_fs=out["cont_fs"][k],
+            anchor_indices=anchors,
+            anchor_coords=a14[anchors, :3].astype(F32),
+            has_oxt=meta["has_oxt"], oxt_coords=meta["oxt_coords"],
+            records=out["records"][k, :nres],
+            sc_codes=sc_stream.astype(np.uint8),
+            tf_min=np.float32(out["tf_min"][k]),
+            tf_cont=np.float32(out["tf_cont"][k]),
+            tf_codes=out["tf_q"][k, :nres].astype(np.uint8))
+    return results
 
 
 def encode_fragment_batch(fragments, anchor_threshold: int = 25,
