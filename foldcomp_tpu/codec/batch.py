@@ -240,11 +240,15 @@ def decode_fcz_stream(payload_iter, batch_size: int = 128,
     accelerator never waits on the host between batches. `payload_iter`
     yields FczData objects; results come back in input order.
     """
+    import os as _os
     import queue
     import threading
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..kernels.decode import decode_batch_core
 
+    n_workers = max(2, (_os.cpu_count() or 4) - 1)
+    pool = ThreadPoolExecutor(n_workers)
     q_packed = queue.Queue(maxsize=prefetch)
 
     def producer():
@@ -274,14 +278,15 @@ def decode_fcz_stream(payload_iter, batch_size: int = 128,
             arrays["seg_m"], seg_width=seg_pad, refine_iters=refine_iters)
         # format the PREVIOUS batch while this one runs on device
         if pending is not None:
-            yield from _format_batch(*pending, use_alt_order)
+            yield from _format_batch(*pending, use_alt_order, pool=pool)
         pending = (fczs, metas, outs)
     if pending is not None:
-        yield from _format_batch(*pending, use_alt_order)
+        yield from _format_batch(*pending, use_alt_order, pool=pool)
     t.join()
+    pool.shutdown()
 
 
-def _format_batch(fczs, metas, outs, use_alt_order):
+def _format_batch(fczs, metas, outs, use_alt_order, pool=None):
     atom14, res_code, temp = (np.asarray(o) for o in outs)
     try:
         from ..native import format_atom14_native, get_lib
@@ -289,13 +294,23 @@ def _format_batch(fczs, metas, outs, use_alt_order):
     except Exception:
         have_native = False
     if have_native:
-        for i, (f, m) in enumerate(zip(fczs, metas)):
+        def fmt(arg):
+            i, m = arg
             n = m.n_residue
-            yield f, format_atom14_native(
+            return format_atom14_native(
                 atom14[i, :n], temp[i, :n], res_code[i, :n], n,
                 m.idx_residue, m.idx_atom, m.chain, m.first_residue,
                 m.last_residue, m.has_oxt, m.oxt_coords, use_alt_order,
                 m.title)
+
+        if pool is not None:
+            # the native formatter releases the GIL: fan the batch out
+            for f, text in zip(fczs, pool.map(fmt, enumerate(metas),
+                                              chunksize=8)):
+                yield f, text
+        else:
+            for i, (f, m) in enumerate(zip(fczs, metas)):
+                yield f, fmt((i, m))
     else:
         from ..io.pdb import format_pdb
         decoded = unpack_decode_result(atom14, res_code, temp, metas,
