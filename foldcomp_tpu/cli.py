@@ -947,6 +947,9 @@ def main(argv=None) -> int:
                 print(f"Output database: {output}")
             elif opts.save_as_tar:
                 print(f"Output tar file: {output}")
+            elif mode == "extract" and opts.ext_merge:
+                # merged extraction writes one file (main.cpp:727-733)
+                print(f"Output: {output.rstrip('/')}")
             else:
                 print(f"Output directory: {output}")
 
