@@ -671,9 +671,17 @@ def _run_decompress_fast(opts: Options, entries, sink, sink_kind,
             f.entry_name = name
             yield f
 
+    t_last = time.perf_counter()
+    n_done = 0
     for f, text in decode_fcz_stream(payloads(), batch_size=FAST_BATCH,
                                      use_alt_order=opts.alt):
         _decompress_write(sink, sink_kind, output, f.entry_name, text)
+        n_done += 1
+        if opts.measure_time and n_done % FAST_BATCH == 0:
+            now = time.perf_counter()
+            print(f"batch[{n_done - FAST_BATCH}:{n_done}]\t"
+                  f"{now - t_last:.6f}", file=sys.stderr)
+            t_last = now
     sink.close()
     return 0
 
