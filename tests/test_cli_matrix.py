@@ -151,3 +151,21 @@ def test_subdb_extension(tmp_path, ref_test_dir):
         for name in subset:
             key = db.lookup_key(name)
             assert db.position_of_key(key) >= 0
+
+
+@needs_ref
+def test_stdout_banner_parity(tmp_path, ref_test_dir):
+    """Mode banners match the reference binary line for line."""
+    fcz_file = ref_test_dir / "test_af.fcz"
+    pdb_file = ref_test_dir / "test_af.pdb"
+    cases = [
+        ("check", str(fcz_file)),
+        ("compress", "-y", str(pdb_file), str(tmp_path / "x.fcz")),
+        ("decompress", "-y", str(fcz_file), str(tmp_path / "x.pdb")),
+        ("extract", "--plddt", str(fcz_file), str(tmp_path / "x.plddt")),
+    ]
+    for args in cases:
+        ours = run_cli(*args).stdout
+        theirs = subprocess.run([REF_BIN, *args], capture_output=True,
+                                text=True).stdout
+        assert ours == theirs, (args, ours, theirs)
