@@ -370,14 +370,13 @@ def compress_entry(name: str, buf: bytes, opts: Options,
         raw = gzip.decompress(buf) if buf[:2] == b"\x1f\x8b" else buf
         if raw.lstrip()[:5] != b"data_":
             try:
-                from .native import encode_pdb_native, peek_title_native
-                parsed_title = peek_title_native(raw)
+                from .native import encode_pdb_native
+                frags = encode_pdb_native(raw, opts.anchor_threshold,
+                                          title=None, split=True,
+                                          fallback_title=fallback)
             except Exception:
-                parsed_title = None
-            if parsed_title is not None:
-                title = parsed_title if parsed_title else fallback
-                frags = encode_pdb_native(raw, opts.anchor_threshold, title,
-                                          split=True)
+                frags = None
+            if frags is not None:
                 if not frags:
                     print("[Error] No atoms found in the input file: "
                           f"{base}", file=sys.stderr)

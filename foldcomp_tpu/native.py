@@ -220,14 +220,17 @@ def peek_title_native(data: bytes) -> str | None:
     return _parse_raw(lib, data)["title"]
 
 
-def encode_pdb_native(data: bytes, threshold: int, title: str,
-                      split: bool, max_frags: int = 4096):
+def encode_pdb_native(data: bytes, threshold: int, title: str | None,
+                      split: bool, max_frags: int = 4096,
+                      fallback_title: str = ""):
     """Native exact compress of a PDB buffer.
 
     Returns a list of fragment dicts (blob, chain, chain_ord, frag_ord,
     n_frags_in_chain, n_chains, error) in reference CLI order, or None when
     the native library is unavailable. `split=False` is the Python-binding
-    mode (all atoms, one fragment).
+    mode (all atoms, one fragment). With title=None the stored title is the
+    parsed structure title, or `fallback_title` when absent — resolved from
+    the same single parse (main.cpp:464-465 rule).
     """
     lib = get_lib()
     if lib is None:
@@ -236,6 +239,8 @@ def encode_pdb_native(data: bytes, threshold: int, title: str,
     n = b["n"]
     if n == 0:
         return []
+    if title is None:
+        title = b["title"] or fallback_title
     tbytes = title.encode("latin1", "replace")
     cap = 16 * n + (len(tbytes) + 4096) * 8 + (1 << 16)
     out = ctypes.create_string_buffer(cap)
