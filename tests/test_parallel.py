@@ -74,3 +74,20 @@ def test_sharded_roundtrip(mesh):
                                atol=1e-3)
     single_rmsd = float(np.sqrt(np.asarray(ss) / np.asarray(na)))
     assert abs(single_rmsd - float(global_rmsd)) < 1e-4
+
+
+def test_sequence_parallel_features(mesh):
+    """Halo-exchange SP extraction matches the unsharded computation."""
+    from foldcomp_tpu.parallel.pipeline import make_mesh
+    from foldcomp_tpu.parallel.seqpar import (reference_backbone_features,
+                                              sharded_backbone_features)
+
+    seq_mesh = make_mesh(8, axis_name="seq")
+    rng = np.random.default_rng(0)
+    t = 8 * 96
+    ca = np.cumsum(rng.normal(0, 1.2, (t, 3)), axis=0).astype(np.float32)
+    ts, an = sharded_backbone_features(seq_mesh, ca[:, 0], ca[:, 1],
+                                       ca[:, 2])
+    rt, ra = reference_backbone_features(ca[:, 0], ca[:, 1], ca[:, 2])
+    assert np.abs(np.asarray(ts) - np.asarray(rt)).max() < 0.01
+    assert np.abs(np.asarray(an) - np.asarray(ra)).max() < 0.01
