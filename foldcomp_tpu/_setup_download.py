@@ -24,6 +24,12 @@ async def _remote_size(client, url) -> int:
 async def _download_range(client, url, start, end, output, mode):
     pos = start
     with open(output, mode) as f:
+        # For a resumed chunk ("ab"), `start` was already advanced by the
+        # pre-existing size and tell() starts at that size too — so the
+        # chunk's original start is start - tell(), and the retry position
+        # is that base plus however much the file now holds. (The reference
+        # setup.py double-counts here and silently corrupts the resume.)
+        base = pos - f.tell()
         while True:
             try:
                 async with client.stream(
@@ -35,7 +41,7 @@ async def _download_range(client, url, start, end, output, mode):
                 # server closed the connection: resume from written position
                 f.flush()
                 os.fsync(f.fileno())
-                pos = start + f.tell()
+                pos = base + f.tell()
                 if pos < end:
                     continue
             break

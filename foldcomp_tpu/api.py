@@ -61,6 +61,8 @@ def _parse_atom_lines(pdb_input: str, require_single_chain: bool):
 def compress(name: str, pdb_content: str,
              anchor_residue_threshold: int = DEFAULT_ANCHOR_THRESHOLD) -> bytes:
     """PDB string -> FCZ bytes (foldcomp.cxx:295-328 parity)."""
+    if anchor_residue_threshold < 1:
+        raise FoldcompError("anchor_residue_threshold must be >= 1")
     # the binding's parser consumes ATOM records only and rejects
     # multi-chain input (foldcomp.cxx:253-293)
     atom_lines = []

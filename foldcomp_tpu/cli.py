@@ -310,6 +310,10 @@ def parse_args(argv):
         elif a in ("-b", "--break"):
             i += 1
             opts.anchor_threshold = int(argv[i])
+            if opts.anchor_threshold < 1:
+                print("[Error] Anchor threshold must be >= 1",
+                      file=sys.stderr)
+                raise SystemExit(1)
         elif a in ("-z", "--tar"):
             opts.save_as_tar = True
         elif a in ("-d", "--db"):
@@ -805,7 +809,9 @@ def run_extract(opts: Options, entries, output: str, single: bool,
 def run_check(opts: Options, entries):
     for name, buf in entries:
         try:
-            f = fcz.parse(bytes(buf))
+            # non-strict: truncated entries surface as the reference's
+            # E_*_COUNT_MISMATCH codes instead of a parse error
+            f = fcz.parse(bytes(buf), strict=False)
         except fcz.FczFormatError:
             print("[Error] File is not a valid fcz file", file=sys.stderr)
             continue

@@ -108,8 +108,16 @@ def encode(atoms: AtomArray, anchor_threshold: int = DEFAULT_ANCHOR_THRESHOLD,
         title = atoms.title
 
     # Anchors (_setAnchor, foldcomp.cpp:745-761)
+    if anchor_threshold < 1:
+        raise EncodeError("anchor threshold must be >= 1")
     n_inner = n_res // anchor_threshold
     n_all = n_inner + 2
+    if n_all > 255:
+        # nAnchor is a uint8 header field; a silently wrapped count would
+        # produce a self-inconsistent stream
+        raise EncodeError(
+            f"chain too long for anchor threshold {anchor_threshold}: "
+            f"{n_all} anchors exceeds the format's 255-anchor limit")
     interval = n_res // (n_all - 1)
     anchor_indices = np.asarray(
         [i * interval for i in range(n_all - 1)] + [n_res - 1], np.int32)

@@ -36,6 +36,11 @@ VALIDITY_MESSAGES = {
 
 
 def check_validity(f: FczData) -> int:
+    """Reference checkValidity (foldcomp.cpp:1492-1532). The count checks
+    have teeth when `f` comes from fcz.parse(strict=False), which clips the
+    tail arrays to the bytes actually present in the stream — a truncated
+    entry then reports the matching E_*_COUNT_MISMATCH code. The empty
+    checks use std::all_of semantics (an empty range counts as empty)."""
     if f.n_residue != len(f.records):
         return E_BACKBONE_COUNT_MISMATCH
     if f.n_sc_torsion != len(f.sc_codes):
@@ -43,11 +48,11 @@ def check_validity(f: FczData) -> int:
     if f.n_residue != len(f.tf_codes):
         return E_TEMP_FACTOR_COUNT_MISMATCH
     _res, phi, psi, omega, *_ = unpack_records(f.records)
-    if np.all((phi == 0) & (psi == 0) & (omega == 0)):
+    if bool(np.all((phi == 0) & (psi == 0) & (omega == 0))):
         return E_EMPTY_BACKBONE_ANGLE
-    if len(f.sc_codes) and np.all(f.sc_codes == 0):
+    if bool(np.all(f.sc_codes == 0)):
         return E_EMPTY_SIDECHAIN_ANGLE
-    if len(f.tf_codes) and np.all(f.tf_codes == 0):
+    if bool(np.all(f.tf_codes == 0)):
         return E_EMPTY_TEMP_FACTOR
     return SUCCESS
 

@@ -133,7 +133,20 @@ class FczFormatError(ValueError):
     pass
 
 
-def parse(data: bytes) -> FczData:
+def parse(data: bytes, strict: bool = True) -> FczData:
+    """Parse one FCZ payload.
+
+    strict=True (decode paths): any truncation raises FczFormatError so a
+    bad DB entry is skipped, never silently mis-decoded.
+    strict=False (the `check` path): the variable-length tail arrays are
+    clipped to the bytes actually present, so check_validity can compare
+    header counts against the real stream contents and report the
+    reference's E_*_COUNT_MISMATCH codes (foldcomp.h:59-67) on truncated
+    entries. (The reference's read() fills vectors to header counts from
+    unspecified buffer contents on short reads — foldcomp.cpp:975-1025 —
+    so its own count checks cannot fire; clipping gives the error codes
+    their intended meaning.)
+    """
     if len(data) < 4 + HEADER_SIZE or data[:4] != MAGIC:
         raise FczFormatError("not a valid fcz stream (bad magic)")
     (n_res, n_atom, idx_res, idx_atom, n_anchor, chain, _pad1, n_sc,
@@ -142,25 +155,56 @@ def parse(data: bytes) -> FczData:
     mins = np.asarray(floats[:6], np.float32)
     cont_fs = np.asarray(floats[6:], np.float32)
     off = 4 + HEADER_SIZE
-    anchor_indices = np.frombuffer(data, "<i4", count=n_anchor, offset=off).copy()
-    off += 4 * n_anchor
+
+    def take(count, itemsize, dtype):
+        """Read `count` items; returns (array, new_off). Clips in
+        non-strict mode, raises in strict mode when short."""
+        nonlocal off
+        avail = max(0, len(data) - off) // itemsize
+        n = count if avail >= count else avail
+        if n < count and strict:
+            raise FczFormatError(
+                f"truncated fcz stream ({len(data)} bytes, "
+                f"needed {off + count * itemsize})")
+        if n == 0:
+            arr = np.zeros(0, dtype)
+        else:
+            arr = np.frombuffer(data, dtype, count=n, offset=off).copy()
+        off += count * itemsize
+        return arr
+
+    def pad_to(arr, count, itemsize):
+        """Zero-fill a clipped fixed-geometry array (non-strict only)."""
+        if len(arr) < count:
+            arr = np.concatenate(
+                [arr, np.zeros(count - len(arr), arr.dtype)])
+        return arr
+
+    anchor_indices = pad_to(take(n_anchor, 4, "<i4"), n_anchor, 4)
     title = data[off:off + len_title].decode("latin1")
+    if len(title) < len_title and strict:
+        raise FczFormatError("truncated fcz stream (title)")
     off += len_title
-    anchor_coords = np.frombuffer(data, "<f4", count=9 * n_anchor,
-                                  offset=off).reshape(n_anchor, 3, 3).copy()
-    off += 36 * n_anchor
-    has_oxt = data[off] != 0
+    anchor_coords = pad_to(take(9 * n_anchor, 4, "<f4"),
+                           9 * n_anchor, 4).reshape(n_anchor, 3, 3)
+    has_oxt = bool(data[off]) if off < len(data) else False
+    if off >= len(data) and strict:
+        raise FczFormatError("truncated fcz stream (oxt flag)")
     off += 1
-    oxt = np.frombuffer(data, "<f4", count=3, offset=off).copy()
-    off += 12
-    records = np.frombuffer(data, np.uint8, count=8 * n_res,
-                            offset=off).reshape(n_res, 8).copy()
-    off += 8 * n_res
-    sc_codes = np.frombuffer(data, np.uint8, count=n_sc, offset=off).copy()
-    off += n_sc
-    tf_min, tf_cont = struct.unpack_from("<ff", data, off)
+    oxt = pad_to(take(3, 4, "<f4"), 3, 4)
+    # variable tail arrays: clipped (not padded) so check_validity sees
+    # the actual stream counts
+    records = take(8 * n_res, 1, np.uint8)
+    records = records[:(len(records) // 8) * 8].reshape(-1, 8)
+    sc_codes = take(n_sc, 1, np.uint8)
+    if off + 8 <= len(data):
+        tf_min, tf_cont = struct.unpack_from("<ff", data, off)
+    elif strict:
+        raise FczFormatError("truncated fcz stream (tempFactor discretizer)")
+    else:
+        tf_min, tf_cont = 0.0, 0.0
     off += 8
-    tf_codes = np.frombuffer(data, np.uint8, count=n_res, offset=off).copy()
+    tf_codes = take(n_res, 1, np.uint8)
     return FczData(
         n_residue=n_res, n_atom=n_atom, idx_residue=idx_res, idx_atom=idx_atom,
         n_anchor=n_anchor, chain=chain.decode("latin1"), n_sc_torsion=n_sc,

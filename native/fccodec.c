@@ -100,17 +100,28 @@ typedef struct {
     char first_res, last_res;
     uint32_t len_title;
     float mins[6], cont_fs[6];
-    const int32_t* anchor_idx;
+    int32_t* anchor_idx;       /* owned aligned copy [n_anchor] */
     const char* title;
-    const float* anchor_xyz;   /* [n_anchor][3][3] */
+    float* anchor_xyz;         /* owned aligned copy [n_anchor][3][3] */
     uint8_t has_oxt;
-    const float* oxt;
+    float oxt[3];
     const uint8_t* records;    /* [n_residue][8] */
     const uint8_t* sc_codes;   /* [n_sc] */
     float tf_min, tf_cont;
     const uint8_t* tf_codes;   /* [n_residue] */
 } fcz_view;
 
+static void fcz_view_release(fcz_view* v) {
+    free(v->anchor_idx);
+    free(v->anchor_xyz);
+    v->anchor_idx = NULL;
+    v->anchor_xyz = NULL;
+}
+
+/* On success the caller owns v->anchor_idx / v->anchor_xyz and must call
+ * fcz_view_release. The multi-byte arrays are copied out because the FCZ
+ * layout gives them no alignment (the title length is arbitrary), so
+ * aliasing them in place is UB. */
 static int fcz_parse_view(const uint8_t* p, int64_t len, fcz_view* v) {
     if (len < 76 || memcmp(p, "FCMP", 4) != 0) return -1;
     const uint8_t* h = p + 4;
@@ -126,30 +137,47 @@ static int fcz_parse_view(const uint8_t* p, int64_t len, fcz_view* v) {
     memcpy(&v->len_title, h + 20, 4);
     memcpy(v->mins, h + 24, 24);
     memcpy(v->cont_fs, h + 48, 24);
+    v->anchor_idx = NULL;
+    v->anchor_xyz = NULL;
+    /* bounds-check the whole layout first, then copy */
     int64_t off = 4 + 72;
-    v->anchor_idx = (const int32_t*)(p + off);
+    int64_t o_aidx = off;
     off += 4 * v->n_anchor;
-    v->title = (const char*)(p + off);
+    int64_t o_title = off;
     off += v->len_title;
-    v->anchor_xyz = (const float*)(p + off);
+    int64_t o_axyz = off;
     off += 36 * v->n_anchor;
     if (off >= len) return -2;
-    v->has_oxt = p[off];
+    int64_t o_oxt_flag = off;
     off += 1;
-    v->oxt = (const float*)(p + off);
+    int64_t o_oxt = off;
     off += 12;
-    v->records = p + off;
+    int64_t o_rec = off;
     off += 8 * (int64_t)v->n_residue;
-    v->sc_codes = p + off;
+    int64_t o_sc = off;
     off += v->n_sc;
     v->tf_min = 0; v->tf_cont = 0;
     if (off + 8 > len) return -2;
     memcpy(&v->tf_min, p + off, 4);
     memcpy(&v->tf_cont, p + off + 4, 4);
     off += 8;
-    v->tf_codes = p + off;
+    int64_t o_tf = off;
     off += v->n_residue;
     if (off > len) return -2;
+    v->title = (const char*)(p + o_title);
+    v->has_oxt = p[o_oxt_flag];
+    memcpy(v->oxt, p + o_oxt, 12);
+    v->records = p + o_rec;
+    v->sc_codes = p + o_sc;
+    v->tf_codes = p + o_tf;
+    v->anchor_idx = (int32_t*)malloc((size_t)v->n_anchor * 4 + 4);
+    v->anchor_xyz = (float*)malloc((size_t)v->n_anchor * 36 + 4);
+    if (!v->anchor_idx || !v->anchor_xyz) {
+        fcz_view_release(v);
+        return -2;
+    }
+    memcpy(v->anchor_idx, p + o_aidx, (size_t)v->n_anchor * 4);
+    memcpy(v->anchor_xyz, p + o_axyz, (size_t)v->n_anchor * 36);
     return 0;
 }
 
@@ -168,7 +196,13 @@ int64_t fcz_decode_pdb(const uint8_t* buf, int64_t len, int use_alt,
     int err = fcz_parse_view(buf, len, &v);
     if (err) return err;
     int n = v.n_residue;
-    if (n < 1 || v.n_anchor < 2) return -3;
+    if (n < 1 || v.n_anchor < 2) { fcz_view_release(&v); return -3; }
+    /* corrupted anchor indices must not overflow the 3*idx torsion-offset
+     * arithmetic below; valid streams are unaffected (indices in [0,n-1]) */
+    for (int s = 0; s < v.n_anchor; s++) {
+        if (v.anchor_idx[s] < 0) v.anchor_idx[s] = 0;
+        if (v.anchor_idx[s] > n - 1) v.anchor_idx[s] = n - 1;
+    }
 
     /* unpack + continuize records (convertBytesToBackboneChain
      * foldcomp.cpp:60-77; continuize foldcomp.cpp:784-805) */
@@ -203,8 +237,10 @@ int64_t fcz_decode_pdb(const uint8_t* buf, int64_t len, int use_alt,
         tstream[3 * i + 2] = phi[i];
     }
 
-    /* backbone reconstruction per anchor segment (foldcomp.cpp:812-858) */
-    v3* bb = (v3*)malloc((size_t)(3 * n + 3) * sizeof(v3));
+    /* backbone reconstruction per anchor segment (foldcomp.cpp:812-858).
+     * calloc: malformed anchor indices can leave rows unwritten, and the
+     * side-chain/output stage must not leak heap contents into PDB text */
+    v3* bb = (v3*)calloc((size_t)(3 * n + 3), sizeof(v3));
     int bb_n = 0;
     v3 prev3[3];
     memcpy(prev3, v.anchor_xyz, 36);
@@ -378,6 +414,7 @@ int64_t fcz_decode_pdb(const uint8_t* buf, int64_t len, int use_alt,
     free(tstream); free(bb); free(fwd); free(rev); free(angs); free(segt);
     free(aidx); free(ridx); free(name4); free(res3); free(chn);
     free(coords); free(temp);
+    fcz_view_release(&v);
     return written;
 }
 
@@ -385,6 +422,7 @@ int64_t fcz_decode_pdb(const uint8_t* buf, int64_t len, int use_alt,
 int64_t fcz_decode_pdb_cap(const uint8_t* buf, int64_t len) {
     fcz_view v;
     if (fcz_parse_view(buf, len, &v)) return -1;
+    fcz_view_release(&v);
     return (int64_t)v.len_title + 64 + ((int64_t)v.len_title / 70 + 2) * 12
         + ((int64_t)v.n_residue * 14 + 4) * 120;
 }
@@ -495,7 +533,10 @@ static inline void wr_f32(uint8_t** p, float v) {
 /* Encode one continuous single-chain fragment given parsed atom arrays
  * (indices into the caller's arrays via `idx`, count `na`).
  * Returns FCZ byte length written to out, or negative error:
- *  -1 fewer than 2 residues, -2 unknown residue name. */
+ *  -1 fewer than 2 residues, -2 unknown residue name,
+ *  -4 invalid anchor threshold (< 1),
+ *  -5 chain too long for the format (n_anchor would overflow the uint8
+ *     header field, producing a self-inconsistent stream). */
 static int64_t encode_fragment(
         const char* name4, const char* res3, const char* chain,
         const int32_t* atom_index, const int32_t* residue_index,
@@ -514,6 +555,8 @@ static int64_t encode_fragment(
     }
     int n_res = nbb / 3;
     if (n_res < 2) { free(bb); return -1; }
+    if (threshold < 1) { free(bb); return -4; }
+    if (n_res / threshold + 2 > 255) { free(bb); return -5; }
 
     v3* flat = (v3*)malloc((size_t)(3 * n_res) * sizeof(v3));
     for (int i = 0; i < 3 * n_res; i++) {

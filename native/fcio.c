@@ -483,8 +483,15 @@ int64_t fcdb_reader_get(void* h, int64_t pos, const char** ptr,
                         int64_t* length) {
     fcdb_reader* r = (fcdb_reader*)h;
     if (pos < 0 || pos >= r->size || !r->data) return -1;
-    *ptr = r->data + r->offsets[pos];
-    *length = r->lengths[pos];
+    int64_t off = r->offsets[pos];
+    int64_t len = r->lengths[pos];
+    /* a corrupt or mismatched .index must not let callers read outside the
+     * mmap'd data region (ctypes.string_at would leak or segfault) */
+    if (off < 0 || len < 0 || off > r->data_size ||
+        len > r->data_size - off)
+        return -1;
+    *ptr = r->data + off;
+    *length = len;
     return 0;
 }
 

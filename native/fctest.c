@@ -1,0 +1,238 @@
+/* fctest — standalone sanitizer harness for the native codec/IO layer.
+ *
+ * The reference CI builds {gcc,clang} x {ASan,UBSan,TSan} and runs its
+ * golden e2e assertions under them (.github/workflows/build-static.yml,
+ * cmake/FindASan.cmake). ctypes cannot load an ASan-instrumented .so into
+ * an uninstrumented Python, so this harness links the same sources into an
+ * instrumented executable and drives the same code paths directly:
+ *
+ *   fctest decode <fcz>            parse + full decode to PDB text
+ *   fctest fuzz <fcz> <trials>     deterministic mutation/truncation fuzz
+ *   fctest roundtrip <pdb>         parse PDB -> encode -> decode
+ *   fctest db <dbdata> <dbindex>   decode every entry of an MMseqs2 db
+ *   fctest badindex <dbdata>       corrupt .index offsets must be rejected
+ *
+ * Built by tests/test_sanitizer.py with
+ *   -fsanitize=address,undefined -fno-sanitize-recover=all
+ * so any heap error or UB aborts with a nonzero exit.
+ */
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <unistd.h>
+
+extern int64_t fcz_decode_pdb(const uint8_t* buf, int64_t len, int use_alt,
+                              char* out);
+extern int64_t fcz_decode_pdb_cap(const uint8_t* buf, int64_t len);
+extern int64_t fcio_count_atoms(const char* text, int64_t len);
+extern int64_t fcio_parse_pdb(const char* text, int64_t len,
+                              int32_t* atom_index, int32_t* residue_index,
+                              char* name4, char* res3, char* chain,
+                              float* coords, float* occ, float* temp,
+                              char* title, int32_t* title_len,
+                              int32_t title_cap);
+extern int64_t fcz_encode_atoms(
+        const char* name4, const char* res3, const char* chain,
+        const int32_t* atom_index, const int32_t* residue_index,
+        const float* coords, const float* temp, int64_t n_atoms,
+        int threshold, const char* title, int32_t title_len, int split,
+        uint8_t* out, int64_t out_cap,
+        int64_t* frag_off, int64_t* frag_len, char* frag_chain,
+        int32_t* frag_meta, int32_t max_frags);
+extern void* fcdb_reader_open(const char* data_path, const char* index_path,
+                              int use_data);
+extern int64_t fcdb_reader_size(void* h);
+extern int64_t fcdb_reader_get(void* h, int64_t pos, const char** ptr,
+                               int64_t* length);
+extern void fcdb_reader_close(void* h);
+
+static uint8_t* read_file(const char* path, int64_t* out_len) {
+    FILE* f = fopen(path, "rb");
+    if (!f) { fprintf(stderr, "cannot open %s\n", path); exit(2); }
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    uint8_t* buf = (uint8_t*)malloc((size_t)sz + 1);
+    if (fread(buf, 1, (size_t)sz, f) != (size_t)sz) exit(2);
+    fclose(f);
+    buf[sz] = 0;
+    *out_len = sz;
+    return buf;
+}
+
+/* decode one payload with an exactly-sized output buffer so ASan catches
+ * any formatter overrun of the advertised capacity */
+static int64_t decode_one(const uint8_t* buf, int64_t len, int quiet) {
+    int64_t cap = fcz_decode_pdb_cap(buf, len);
+    if (cap < 0) return cap;
+    if (cap > (int64_t)256 * 1024 * 1024) return -9; /* absurd header */
+    char* out = (char*)malloc((size_t)cap);
+    int64_t w = fcz_decode_pdb(buf, len, 0, out);
+    if (w > cap) { fprintf(stderr, "decode overran cap\n"); exit(3); }
+    if (!quiet && w > 0) fwrite(out, 1, (size_t)w, stdout);
+    free(out);
+    return w;
+}
+
+/* xorshift64 — deterministic fuzz independent of libc rand */
+static uint64_t rng_state = 0x9E3779B97F4A7C15ull;
+static uint64_t rng(void) {
+    uint64_t x = rng_state;
+    x ^= x << 13; x ^= x >> 7; x ^= x << 17;
+    return rng_state = x;
+}
+
+static int cmd_fuzz(const char* path, int trials) {
+    int64_t len;
+    uint8_t* blob = read_file(path, &len);
+    uint8_t* b = (uint8_t*)malloc((size_t)len);
+    for (int t = 0; t < trials; t++) {
+        memcpy(b, blob, (size_t)len);
+        int64_t blen = len;
+        switch (t % 4) {
+        case 0: /* random byte flips anywhere */
+            for (int k = 0; k < 1 + (int)(rng() % 16); k++)
+                b[rng() % (uint64_t)len] = (uint8_t)rng();
+            break;
+        case 1: /* truncation */
+            blen = 4 + (int64_t)(rng() % (uint64_t)(len - 4));
+            break;
+        case 2: /* header corruption */
+            for (int k = 0; k < 6; k++)
+                b[4 + rng() % 72] = (uint8_t)rng();
+            break;
+        default: /* anchor-index corruption */
+            for (int k = 0; k < 4 && len > 92; k++)
+                b[76 + rng() % 16] = (uint8_t)rng();
+            break;
+        }
+        decode_one(b, blen, 1);
+    }
+    free(b);
+    free(blob);
+    printf("fuzz ok %d\n", trials);
+    return 0;
+}
+
+static int cmd_roundtrip(const char* path) {
+    int64_t len;
+    uint8_t* text = read_file(path, &len);
+    int64_t n = fcio_count_atoms((const char*)text, len);
+    if (n <= 0) { fprintf(stderr, "no atoms\n"); return 2; }
+    int32_t* aidx = (int32_t*)malloc((size_t)n * 4);
+    int32_t* ridx = (int32_t*)malloc((size_t)n * 4);
+    char* name4 = (char*)malloc((size_t)n * 4);
+    char* res3 = (char*)malloc((size_t)n * 3);
+    char* chain = (char*)malloc((size_t)n);
+    float* coords = (float*)malloc((size_t)n * 12);
+    float* occ = (float*)malloc((size_t)n * 4);
+    float* temp = (float*)malloc((size_t)n * 4);
+    char title[4096];
+    int32_t title_len = 0;
+    int64_t got = fcio_parse_pdb((const char*)text, len, aidx, ridx, name4,
+                                 res3, chain, coords, occ, temp, title,
+                                 &title_len, sizeof(title));
+    if (got != n) { fprintf(stderr, "parse count mismatch\n"); return 2; }
+
+    int64_t cap = n * 20 + title_len + ((int64_t)1 << 20);
+    uint8_t* out = (uint8_t*)malloc((size_t)cap);
+    int64_t foff[256], flen[256];
+    char fch[256];
+    int32_t fmeta[1024];
+    int64_t nf = fcz_encode_atoms(name4, res3, chain, aidx, ridx, coords,
+                                  temp, n, 25, title, title_len, 1, out,
+                                  cap, foff, flen, fch, fmeta, 256);
+    if (nf <= 0) { fprintf(stderr, "encode failed (%lld)\n",
+                           (long long)nf); return 2; }
+    int decoded = 0;
+    for (int64_t i = 0; i < nf; i++) {
+        if (flen[i] <= 0) continue;
+        if (decode_one(out + foff[i], flen[i], 1) > 0) decoded++;
+    }
+    /* threshold edge cases the python layer now rejects: the native layer
+     * must error cleanly, never divide by zero or truncate counts */
+    int64_t w0 = fcz_encode_atoms(name4, res3, chain, aidx, ridx, coords,
+                                  temp, n, 0, title, title_len, 0, out, cap,
+                                  foff, flen, fch, fmeta, 256);
+    if (w0 > 0 && flen[0] > 0) { fprintf(stderr, "b=0 accepted\n"); return 2; }
+    int64_t w1 = fcz_encode_atoms(name4, res3, chain, aidx, ridx, coords,
+                                  temp, n, 1, title, title_len, 0, out, cap,
+                                  foff, flen, fch, fmeta, 256);
+    (void)w1; /* threshold=1 on a big chain: either ok or clean -5 */
+    printf("roundtrip ok %lld fragments, %d decoded\n", (long long)nf,
+           decoded);
+    free(text); free(aidx); free(ridx); free(name4); free(res3);
+    free(chain); free(coords); free(occ); free(temp); free(out);
+    return 0;
+}
+
+static int cmd_db(const char* data, const char* index) {
+    void* h = fcdb_reader_open(data, index, 1);
+    if (!h) { fprintf(stderr, "cannot open db\n"); return 2; }
+    int64_t nok = 0, n = fcdb_reader_size(h);
+    for (int64_t i = 0; i < n; i++) {
+        const char* ptr;
+        int64_t len;
+        if (fcdb_reader_get(h, i, &ptr, &len) != 0) continue;
+        if (len > 1 && decode_one((const uint8_t*)ptr, len - 1, 1) > 0)
+            nok++;
+    }
+    fcdb_reader_close(h);
+    printf("db ok %lld/%lld\n", (long long)nok, (long long)n);
+    return 0;
+}
+
+static int cmd_badindex(const char* data) {
+    /* write an index whose offsets/lengths run outside the data file; every
+     * lookup must be rejected, not read out of bounds */
+    char tmpl[] = "/tmp/fctest_badidx_XXXXXX";
+    int fd = mkstemp(tmpl);
+    if (fd < 0) return 2;
+    FILE* f = fdopen(fd, "w");
+    fprintf(f, "0\t999999999999\t16\n");
+    fprintf(f, "1\t-8\t16\n");
+    fprintf(f, "2\t0\t999999999999\n");
+    fprintf(f, "3\t16\t-4\n");
+    fclose(f);
+    void* h = fcdb_reader_open(data, tmpl, 1);
+    unlink(tmpl);
+    if (!h) return 2;
+    const char* ptr;
+    int64_t len;
+    for (int64_t i = 0; i < fcdb_reader_size(h); i++) {
+        if (fcdb_reader_get(h, i, &ptr, &len) == 0) {
+            fprintf(stderr, "out-of-bounds entry %lld accepted\n",
+                    (long long)i);
+            return 3;
+        }
+    }
+    fcdb_reader_close(h);
+    printf("badindex ok\n");
+    return 0;
+}
+
+int main(int argc, char** argv) {
+    if (argc < 3) {
+        fprintf(stderr,
+                "usage: fctest decode|fuzz|roundtrip|db|badindex ...\n");
+        return 2;
+    }
+    if (strcmp(argv[1], "decode") == 0) {
+        int64_t len;
+        uint8_t* buf = read_file(argv[2], &len);
+        int64_t w = decode_one(buf, len, 0);
+        free(buf);
+        return w > 0 ? 0 : 1;
+    }
+    if (strcmp(argv[1], "fuzz") == 0)
+        return cmd_fuzz(argv[2], argc > 3 ? atoi(argv[3]) : 400);
+    if (strcmp(argv[1], "roundtrip") == 0)
+        return cmd_roundtrip(argv[2]);
+    if (strcmp(argv[1], "db") == 0 && argc > 3)
+        return cmd_db(argv[2], argv[3]);
+    if (strcmp(argv[1], "badindex") == 0)
+        return cmd_badindex(argv[2]);
+    fprintf(stderr, "unknown mode\n");
+    return 2;
+}
