@@ -93,6 +93,7 @@ def parse_cif(data, default_title: str = "") -> AtomArray:
                 j += 1
             if tags and tags[0].startswith("_atom_site."):
                 col = {t[len("_atom_site."):]: k for k, t in enumerate(tags)}
+                ncols = len(tags)
 
                 def pick(row, *names, default=""):
                     for nm in names:
@@ -101,39 +102,73 @@ def parse_cif(data, default_title: str = "") -> AtomArray:
                             return row[k]
                     return default
 
+                # Values are accumulated as a token stream: CIF rows may wrap
+                # across lines and may contain ';'-delimited text blocks. A
+                # loop whose token count is not a multiple of the tag count is
+                # malformed; gemmi throws and the reference rejects the whole
+                # file ("No atoms found", structure_reader.cpp loadFromBuffer
+                # catch), so we do the same instead of mis-aligning columns.
+                buf = []
                 while j < n_lines:
                     row_line = lines[j]
                     s = row_line.strip()
-                    if not s or s.startswith("#") or s == "loop_" or s.startswith("_") \
-                            or s.startswith("data_"):
+                    if not s or s.startswith("#") or s == "loop_" \
+                            or s.startswith("_") or s.startswith("data_"):
                         break
-                    row = _tokenize(row_line)
-                    j += 1
-                    if len(row) < 3:
-                        continue
-                    atom_name.append(pick(row, "auth_atom_id", "label_atom_id"))
-                    residue_name.append(pick(row, "auth_comp_id", "label_comp_id"))
-                    chain.append(pick(row, "auth_asym_id", "label_asym_id"))
-                    try:
-                        atom_index.append(int(pick(row, "id", default="0")))
-                    except ValueError:
-                        atom_index.append(0)
-                    try:
-                        residue_index.append(int(pick(row, "auth_seq_id",
-                                                      "label_seq_id", default="0")))
-                    except ValueError:
-                        residue_index.append(0)
-                    xs.append(float(pick(row, "Cartn_x", default="0")))
-                    ys.append(float(pick(row, "Cartn_y", default="0")))
-                    zs.append(float(pick(row, "Cartn_z", default="0")))
-                    try:
-                        occ.append(float(pick(row, "occupancy", default="1")))
-                    except ValueError:
-                        occ.append(1.0)
-                    try:
-                        bf.append(float(pick(row, "B_iso_or_equiv", default="0")))
-                    except ValueError:
-                        bf.append(0.0)
+                    if row_line.startswith(";"):
+                        # multiline text value: one token up to closing ';'
+                        val = [row_line[1:].strip()]
+                        j += 1
+                        while j < n_lines and not lines[j].startswith(";"):
+                            val.append(lines[j].strip())
+                            j += 1
+                        j += 1  # closing ';'
+                        buf.append(" ".join(v for v in val if v))
+                    else:
+                        buf.extend(_tokenize(row_line))
+                        j += 1
+                    while len(buf) >= ncols:
+                        row = buf[:ncols]
+                        del buf[:ncols]
+                        atom_name.append(pick(row, "auth_atom_id",
+                                              "label_atom_id"))
+                        residue_name.append(pick(row, "auth_comp_id",
+                                                 "label_comp_id"))
+                        chain.append(pick(row, "auth_asym_id",
+                                          "label_asym_id"))
+                        try:
+                            atom_index.append(int(pick(row, "id", default="0")))
+                        except ValueError:
+                            atom_index.append(0)
+                        try:
+                            residue_index.append(int(pick(
+                                row, "auth_seq_id", "label_seq_id",
+                                default="0")))
+                        except ValueError:
+                            residue_index.append(0)
+                        try:
+                            xs.append(float(pick(row, "Cartn_x", default="0")))
+                            ys.append(float(pick(row, "Cartn_y", default="0")))
+                            zs.append(float(pick(row, "Cartn_z", default="0")))
+                        except ValueError:
+                            xs.append(0.0), ys.append(0.0), zs.append(0.0)
+                        try:
+                            occ.append(float(pick(row, "occupancy",
+                                                  default="1")))
+                        except ValueError:
+                            occ.append(1.0)
+                        try:
+                            bf.append(float(pick(row, "B_iso_or_equiv",
+                                                 default="0")))
+                        except ValueError:
+                            bf.append(0.0)
+                if buf:
+                    # ragged loop: reject the whole file like the reference
+                    atom_name, residue_name, chain = [], [], []
+                    atom_index, residue_index = [], []
+                    xs, ys, zs, occ, bf = [], [], [], [], []
+                    i = n_lines
+                    break
                 i = j - 1
             else:
                 i = j - 1
