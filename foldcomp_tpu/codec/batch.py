@@ -232,13 +232,20 @@ def decode_fcz_to_pdb_batch(fczs, refine_iters: int = 2,
 
 def decode_fcz_stream(payload_iter, batch_size: int = 128,
                       refine_iters: int = 2, use_alt_order: bool = False,
-                      prefetch: int = 2):
-    """Pipelined streaming decode: yields (payload, pdb_text) in order.
+                      prefetch: int = 2, bucket_window: int = 4):
+    """Pipelined streaming decode: yields (payload, pdb_text) in input order.
 
     Three overlapped stages — host pack (worker thread), device decode
     (async dispatch), and native text formatting (main thread) — so the
-    accelerator never waits on the host between batches. `payload_iter`
-    yields FczData objects; results come back in input order.
+    accelerator never waits on the host between batches.
+
+    Length bucketing: payloads are collected into windows of
+    `bucket_window` batches and sorted by residue count inside each window
+    before batching, so one long chain no longer pads an entire batch of
+    short ones to its length (SURVEY.md §7 ragged-batch plan). Because
+    windows are contiguous in arrival order, results can still be yielded
+    in exact input order from a reorder buffer bounded by one window.
+    `bucket_window=0` disables sorting (arrival-order batches).
     """
     import os as _os
     import queue
@@ -250,27 +257,53 @@ def decode_fcz_stream(payload_iter, batch_size: int = 128,
     n_workers = max(2, (_os.cpu_count() or 4) - 1)
     pool = ThreadPoolExecutor(n_workers)
     q_packed = queue.Queue(maxsize=prefetch)
+    window_len = batch_size * max(bucket_window, 1)
+
+    def emit_window(window, base):
+        order = range(len(window)) if bucket_window == 0 else \
+            sorted(range(len(window)), key=lambda i: window[i].n_residue)
+        for i0 in range(0, len(window), batch_size):
+            sel = list(order)[i0:i0 + batch_size]
+            batch = [window[j] for j in sel]
+            idxs = [base + j for j in sel]
+            q_packed.put((idxs, batch, pack_decode_batch(batch)))
 
     def producer():
-        batch = []
+        window = []
+        base = 0
         for f in payload_iter:
-            batch.append(f)
-            if len(batch) >= batch_size:
-                q_packed.put((batch, pack_decode_batch(batch)))
-                batch = []
-        if batch:
-            q_packed.put((batch, pack_decode_batch(batch)))
+            window.append(f)
+            if len(window) >= window_len:
+                emit_window(window, base)
+                base += len(window)
+                window = []
+        if window:
+            emit_window(window, base)
         q_packed.put(None)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
 
-    pending = None  # (fczs, metas, device outputs) awaiting formatting
+    resbuf = {}          # global index -> (payload, text)
+    next_out = 0
+    pending = None       # (idxs, fczs, metas, device outputs)
+
+    def drain(pend):
+        nonlocal next_out
+        idxs, fczs, metas, outs = pend
+        for gi, (f, text) in zip(idxs, _format_batch(fczs, metas, outs,
+                                                     use_alt_order,
+                                                     pool=pool)):
+            resbuf[gi] = (f, text)
+        while next_out in resbuf:
+            yield resbuf.pop(next_out)
+            next_out += 1
+
     while True:
         item = q_packed.get()
         if item is None:
             break
-        fczs, (arrays, metas, seg_pad) = item
+        idxs, fczs, (arrays, metas, seg_pad) = item
         outs = decode_batch_core(
             arrays["records"], arrays["mins"], arrays["cont_fs"],
             arrays["sc_codes"], arrays["tf_codes"], arrays["tf_min"],
@@ -278,10 +311,11 @@ def decode_fcz_stream(payload_iter, batch_size: int = 128,
             arrays["seg_m"], seg_width=seg_pad, refine_iters=refine_iters)
         # format the PREVIOUS batch while this one runs on device
         if pending is not None:
-            yield from _format_batch(*pending, use_alt_order, pool=pool)
-        pending = (fczs, metas, outs)
+            yield from drain(pending)
+        pending = (idxs, fczs, metas, outs)
     if pending is not None:
-        yield from _format_batch(*pending, use_alt_order, pool=pool)
+        yield from drain(pending)
+    assert not resbuf, "reorder buffer not drained"
     t.join()
     pool.shutdown()
 
@@ -322,6 +356,225 @@ def _format_batch(fczs, metas, outs, use_alt_order, pool=None):
 # ---------------------------------------------------------------------------
 # Encode batching
 # ---------------------------------------------------------------------------
+
+# FixedAngleDiscretizer(255) factor, computed in f32 like discretizer.h:89
+_SC_DISC_F = np.float32(np.float32(255.0) / np.float32(360.0))
+
+
+def _host_cos(inner, denom2):
+    """cos_t = (float)(inner / sqrt((double)(s1*s2))) — the reference's
+    double-promoted division (torsion_angle.cpp:63, float3d.h:36-44)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return (inner.astype(np.float64)
+                / np.sqrt(denom2.astype(np.float64))).astype(F32)
+
+
+def _host_dihedral(inner, denom2, det):
+    """Finish a dihedral from f32 parts with the reference's f64 acos and
+    NaN guard (torsion_angle.cpp:64-96)."""
+    cos_t = _host_cos(inner, denom2)
+    with np.errstate(invalid="ignore"):
+        ang = (np.arccos(cos_t.astype(np.float64))
+               * (180.0 / np.pi)).astype(F32)
+    nanm = np.isnan(ang)
+    ang = np.where(nanm, np.where(cos_t < 0, F32(180.0), F32(0.0)), ang)
+    return np.where(det < 0, -ang, ang).astype(F32)
+
+
+def _host_bond(inner, denom2):
+    """float3d::angle tail: f64 acos, NO NaN guard (NaN propagates)."""
+    cos_t = _host_cos(inner, denom2)
+    with np.errstate(invalid="ignore"):
+        return (np.arccos(cos_t.astype(np.float64))
+                * (180.0 / np.pi)).astype(F32)
+
+
+def _host_quant_round(v, mask, nbin):
+    """Reference Discretizer fit + rounding discretize over axis 0.
+
+    v [K, B] f32; disc_f/cont_f in f32 (discretizer.cpp:36-41), the +0.5
+    added in double before truncation (discretizer.cpp:49)."""
+    vmin = np.where(mask, v, np.float32(np.inf)).min(axis=0).astype(F32)
+    vmax = np.where(mask, v, np.float32(-np.inf)).max(axis=0).astype(F32)
+    rng = (vmax - vmin).astype(F32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        disc_f = (np.float32(nbin) / rng).astype(F32)
+        cont_f = (rng / np.float32(nbin)).astype(F32)
+        t = ((v - vmin[None, :]) * disc_f[None, :]).astype(F32) \
+            .astype(np.float64) + 0.5
+    t = np.where(np.isnan(t) | (t < 0), 0.0, t)
+    return t.astype(np.uint32), vmin, cont_f
+
+
+def _np_dihedral_parts(px, py, pz):
+    """Backbone dihedral parts in numpy f32, one op per rounding step —
+    bit-identical to the locally built C (no fma contraction; see
+    encode_sc_parts_core's docstring for why this cannot run under XLA).
+    px/py/pz: [3L, B]; returns (inner, denom2, det) each [3L-3, B]."""
+    d_x = px[1:] - px[:-1]
+    d_y = py[1:] - py[:-1]
+    d_z = pz[1:] - pz[:-1]
+    d1x, d1y, d1z = d_x[:-2], d_y[:-2], d_z[:-2]
+    d2x, d2y, d2z = d_x[1:-1], d_y[1:-1], d_z[1:-1]
+    d3x, d3y, d3z = d_x[2:], d_y[2:], d_z[2:]
+    u1x = d1y * d2z - d2y * d1z
+    u1y = d1z * d2x - d2z * d1x
+    u1z = d1x * d2y - d2x * d1y
+    u2x = d2y * d3z - d3y * d2z
+    u2y = d2z * d3x - d3z * d2x
+    u2z = d2x * d3y - d3x * d2y
+    inner = (u1x * u2x) + (u1y * u2y) + (u1z * u2z)
+    s1 = u1x * u1x + u1y * u1y + u1z * u1z
+    s2 = u2x * u2x + u2y * u2y + u2z * u2z
+    pbx = u2y * d2z - d2y * u2z
+    pby = u2z * d2x - d2z * u2x
+    pbz = u2x * d2y - d2x * u2y
+    det = (u1x * pbx) + (u1y * pby) + (u1z * pbz)
+    return inner, s1 * s2, det
+
+
+def _np_bond_parts(px, py, pz):
+    """Bond-angle parts in numpy f32 (float3d.h:36-44 rounding order).
+    px/py/pz: [3L, B]; returns (inner, s1*s2) each [3L-2, B]."""
+    ax, ay, az = px[:-2], py[:-2], pz[:-2]
+    bx, by, bz = px[1:-1], py[1:-1], pz[1:-1]
+    cx, cy, cz = px[2:], py[2:], pz[2:]
+    d1x, d1y, d1z = ax - bx, ay - by, az - bz
+    d2x, d2y, d2z = cx - bx, cy - by, cz - bz
+    inner = (d1x * d2x) + (d1y * d2y) + (d1z * d2z)
+    s1 = d1x * d1x + d1y * d1y + d1z * d1z
+    s2 = d2x * d2x + d2y * d2y + d2z * d2z
+    return inner, s1 * s2
+
+
+def _exact_sc_t(p0, p1, p2, p3):
+    """Exact host recompute of flagged side-chain values: f32 dihedral
+    parts with C op ordering + f64 acos tail, scaled to the 255-bin
+    truncation domain. p0..p3: [M, 3] f32."""
+    d1x, d1y, d1z = p1[:, 0] - p0[:, 0], p1[:, 1] - p0[:, 1], \
+        p1[:, 2] - p0[:, 2]
+    d2x, d2y, d2z = p2[:, 0] - p1[:, 0], p2[:, 1] - p1[:, 1], \
+        p2[:, 2] - p1[:, 2]
+    d3x, d3y, d3z = p3[:, 0] - p2[:, 0], p3[:, 1] - p2[:, 1], \
+        p3[:, 2] - p2[:, 2]
+    u1x = d1y * d2z - d2y * d1z
+    u1y = d1z * d2x - d2z * d1x
+    u1z = d1x * d2y - d2x * d1y
+    u2x = d2y * d3z - d3y * d2z
+    u2y = d2z * d3x - d3z * d2x
+    u2z = d2x * d3y - d3x * d2y
+    inner = (u1x * u2x) + (u1y * u2y) + (u1z * u2z)
+    s1 = u1x * u1x + u1y * u1y + u1z * u1z
+    s2 = u2x * u2x + u2y * u2y + u2z * u2z
+    pbx = u2y * d2z - d2y * u2z
+    pby = u2z * d2x - d2z * u2x
+    pbz = u2x * d2y - d2x * u2y
+    det = (u1x * pbx) + (u1y * pby) + (u1z * pbz)
+    ang = _host_dihedral(inner, s1 * s2, det)
+    return ((ang + np.float32(180.0)) * _SC_DISC_F).astype(F32)
+
+
+def finish_encode_host(sc_parts, atom14, res_code, tf_ca, res_mask):
+    """Host half of the bit-parity batched encode.
+
+    Computes the 6 backbone streams entirely in numpy f32 + the
+    reference's f64-promoted acos (bit-identical to the exact path), and
+    finishes the device-computed side-chain parts the same way. Returns
+    the same dict encode_batch_core produces:
+    records/sc_q/tf_q/mins/cont_fs/tf_min/tf_cont.
+    """
+    from .fcz import pack_records as pack_records_np
+
+    atom14 = np.asarray(atom14, F32)
+    bb = atom14[:, :, :3]
+    res_code = np.asarray(res_code)
+    tf_ca = np.asarray(tf_ca, F32)
+    res_mask = np.asarray(res_mask, bool)
+    b, l = res_code.shape
+    n_res = res_mask.sum(axis=1).astype(np.int64)
+
+    flat = np.transpose(bb.reshape(b, 3 * l, 3), (1, 2, 0))  # [3L, 3, B]
+    fx, fy, fz = flat[:, 0], flat[:, 1], flat[:, 2]
+    t_inner, t_denom2, t_det = _np_dihedral_parts(fx, fy, fz)
+    a_inner, a_denom2 = _np_bond_parts(fx, fy, fz)
+
+    tors = _host_dihedral(t_inner, t_denom2, t_det)        # [3L-3, B]
+    psi, omega, phi = tors[0::3], tors[1::3], tors[2::3]
+    angs = _host_bond(a_inner, a_denom2)
+    ca_c_n, c_n_ca, n_ca_c = angs[1::3], angs[2::3], angs[3::3]
+
+    i = np.arange(l - 1, dtype=np.int64)[:, None]
+    amask = i < (n_res[None, :] - 1)                       # [L-1, B]
+
+    def q6(v, nbin):
+        return _host_quant_round(v, amask[:v.shape[0]], nbin)
+
+    phi_q, phi_min, phi_cf = q6(phi, 2 ** 12 - 1)
+    psi_q, psi_min, psi_cf = q6(psi, 2 ** 12 - 1)
+    om_q, om_min, om_cf = q6(omega, 2 ** 11 - 1)
+    ncac_q, ncac_min, ncac_cf = q6(n_ca_c, 2 ** 8 - 1)
+    cacn_q, cacn_min, cacn_cf = q6(ca_c_n, 2 ** 8 - 1)
+    cnca_q, cnca_min, cnca_cf = q6(c_n_ca, 2 ** 8 - 1)
+
+    amask_l = np.arange(l)[None, :] < (n_res[:, None] - 1)  # [B, L]
+
+    def to_bl(q):
+        out = np.zeros((b, l), np.uint32)
+        out[:, :q.shape[0]] = q.T
+        return np.where(amask_l, out, 0)
+
+    residue = np.where(res_mask, res_code, 0).astype(np.uint32)
+    records = pack_records_np(
+        residue.reshape(-1), to_bl(phi_q).reshape(-1),
+        to_bl(psi_q).reshape(-1), to_bl(om_q).reshape(-1),
+        to_bl(ncac_q).reshape(-1), to_bl(cacn_q).reshape(-1),
+        to_bl(cnca_q).reshape(-1)).reshape(b, l, 8)
+
+    # side chains: fixed [-180,180] 255-bin truncating quantizer
+    # (foldcomp.cpp:532-538 -> discretizer.cpp:55-57, all f32)
+    sc_ang = _host_dihedral(sc_parts["sc_inner"], sc_parts["sc_denom2"],
+                            sc_parts["sc_det"])            # [11, L, B]
+    sc_t = ((sc_ang + np.float32(180.0)) * _SC_DISC_F).astype(F32)
+
+    # Boundary rescue: XLA's f32 parts can differ from the C compiler's by
+    # a few ulps; a value within that noise of a truncation boundary could
+    # land in the neighboring bin. Flag such values (tolerance scaled by
+    # the acos error amplification 1/sqrt(1-cos^2)) and recompute exactly
+    # on host from atom14 — the flagged set is ~1e-3 of all values, so the
+    # rescue is O(flagged), and the resulting codes are bit-parity.
+    cos_sc = _host_cos(sc_parts["sc_inner"], sc_parts["sc_denom2"])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        amp = 1.0 / np.sqrt(np.maximum(1.0 - cos_sc.astype(np.float64) ** 2,
+                                       1e-12))
+        tol = _SC_DISC_F * (4 * 57.29578 * 1.2e-7) * amp + 1e-4
+        dist = np.abs(sc_t - np.round(sc_t))
+        flagged = dist < tol
+    flagged &= np.isfinite(sc_t)
+    if flagged.any():
+        from ..core.aatable import PRED_IDX
+        ks, ls, bs = np.nonzero(flagged)          # slot-3, residue, batch
+        codes = np.clip(res_code[bs, ls], 0, 23)
+        preds = np.asarray(PRED_IDX)[codes, ks + 3]    # [M, 3]
+        p0 = atom14[bs, ls, preds[:, 0]]
+        p1 = atom14[bs, ls, preds[:, 1]]
+        p2 = atom14[bs, ls, preds[:, 2]]
+        p3 = atom14[bs, ls, ks + 3]
+        sc_t[ks, ls, bs] = _exact_sc_t(p0, p1, p2, p3)
+
+    sc_t = np.where(np.isnan(sc_t) | (sc_t < 0), 0.0, sc_t)
+    sc_q = np.transpose(sc_t.astype(np.uint32).astype(np.uint8), (2, 1, 0))
+
+    # tempFactors: per-protein rounding quantizer (foldcomp.cpp:543-550)
+    tf_q, tf_min, tf_cont = _host_quant_round(tf_ca.T, res_mask.T,
+                                              2 ** 8 - 1)
+    tf_q = np.where(res_mask, tf_q.T, 0).astype(np.uint8)
+
+    mins = np.stack([phi_min, psi_min, om_min, ncac_min, cacn_min,
+                     cnca_min], axis=-1)
+    cont_fs = np.stack([phi_cf, psi_cf, om_cf, ncac_cf, cacn_cf, cnca_cf],
+                       axis=-1)
+    return dict(records=records, sc_q=sc_q, tf_q=tf_q, mins=mins,
+                cont_fs=cont_fs, tf_min=tf_min, tf_cont=tf_cont)
 
 def _slot_lut():
     """uint64 key table: (code << 32) | name4-as-u32 -> atom14 slot."""
@@ -553,7 +806,9 @@ def encode_pdb_device(data: bytes, anchor_threshold: int = 25,
                 last_residue=one_letter_from_three(last3),
                 title=title,
                 has_oxt=bytes(name4[f1 - 1]) == b" OXT",
-                oxt_coords=coords[f1 - 1].astype(F32),
+                oxt_coords=(coords[f1 - 1].astype(F32)
+                            if bytes(name4[f1 - 1]) == b" OXT"
+                            else np.zeros(3, F32)),
                 chain_ord=c_ord, frag_ord=f_ord,
                 n_frags_in_chain=len(frags), n_chains=len(chains)))
             frag_tensors.append((atom14, res_code, tf_ca))
@@ -562,8 +817,13 @@ def encode_pdb_device(data: bytes, anchor_threshold: int = 25,
 
 def encode_tensor_batch(frag_tensors, frag_meta, anchor_threshold: int = 25,
                         l_bucket: int = 32):
-    """Device-encode prepared fragment tensors -> List[FczData | None]."""
-    from ..kernels.encode import encode_batch_core
+    """Device-encode prepared fragment tensors -> List[FczData | None].
+
+    Device computes the side-chain angle parts (encode_sc_parts_core); the
+    host computes the backbone streams and finishes everything with the
+    reference's f64-promoted acos + quantization (finish_encode_host) so
+    the records are bit-parity with the exact encoder."""
+    from ..kernels.encode import encode_sc_parts_core
 
     live = [(i, t) for i, t in enumerate(frag_tensors) if t is not None]
     results = [None] * len(frag_tensors)
@@ -581,13 +841,16 @@ def encode_tensor_batch(frag_tensors, frag_meta, anchor_threshold: int = 25,
         res_code[k, :m] = rc
         tf_ca[k, :m] = tf
         res_mask[k, :m] = True
-    out = encode_batch_core(atom14[:, :, :3], atom14, res_code, tf_ca,
-                            res_mask)
-    out = {key: np.asarray(v) for key, v in out.items()}
+    parts = encode_sc_parts_core(atom14, res_code)
+    out = finish_encode_host({k: np.asarray(v) for k, v in parts.items()},
+                             atom14, res_code, tf_ca, res_mask)
     for k, (i, (a14, rc, tf)) in enumerate(live):
         meta = frag_meta[i]
         nres = a14.shape[0]
         anchors = _anchor_indices(nres, anchor_threshold)
+        if len(anchors) > 255:
+            # nAnchor is a uint8 header field; see encoder.encode
+            continue
         counts = np.where(rc < NUM_AA, N_SC_TORSION[rc], 0)
         sc_stream = np.concatenate(
             [out["sc_q"][k, r, :counts[r]] for r in range(nres)]) \
@@ -613,8 +876,10 @@ def encode_tensor_batch(frag_tensors, frag_meta, anchor_threshold: int = 25,
 
 def encode_fragment_batch(fragments, anchor_threshold: int = 25,
                           l_bucket: int = 32):
-    """Batched (device) encode of AtomArray fragments -> List[FczData]."""
-    from ..kernels.encode import encode_batch_core
+    """Batched (device) encode of AtomArray fragments -> List[FczData].
+
+    Same parts/finish split as encode_tensor_batch: bit-parity records."""
+    from ..kernels.encode import encode_sc_parts_core
 
     tensors = [fragment_to_tensors(a) for a in fragments]
     b = len(tensors)
@@ -630,9 +895,9 @@ def encode_fragment_batch(fragments, anchor_threshold: int = 25,
         tf_ca[i, :n] = tf
         res_mask[i, :n] = True
 
-    out = encode_batch_core(atom14[:, :, :3], atom14, res_code, tf_ca,
-                            res_mask)
-    out = {k: np.asarray(v) for k, v in out.items()}
+    parts = encode_sc_parts_core(atom14, res_code)
+    out = finish_encode_host({k: np.asarray(v) for k, v in parts.items()},
+                             atom14, res_code, tf_ca, res_mask)
 
     fczs = []
     for i, (a14, rc, tf, meta) in enumerate(tensors):

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from .bitpack import pack_records
-from .geometry import bond_angle_c, dihedral_c
+from .geometry import (bond_angle_c, bond_angle_parts_c, dihedral_c,
+                       dihedral_parts_c)
 from .sidechain import MAX_ATOM, _PRED_IDX
 
 F32 = jnp.float32
@@ -44,6 +45,55 @@ def _masked_min_max(v, mask):
     vmin = jnp.min(jnp.where(mask, v, _BIG), axis=0)
     vmax = jnp.max(jnp.where(mask, v, -_BIG), axis=0)
     return vmin, vmax
+
+
+@jax.jit
+def encode_sc_parts_core(atom14, res_code):
+    """Device half of the bit-parity encode path: side-chain dihedral parts.
+
+    Computes the f32 cross/dot/norm/determinant parts of every side-chain
+    dihedral (the ~11-per-residue bulk of encode arithmetic); the host
+    (codec/batch.py finish_encode_host) finishes them with the reference's
+    f64-promoted sqrt/division/acos. The 6 backbone streams are NOT
+    computed here: their 11/12-bit quantizers flip on 1-ulp cosine
+    differences and XLA's reassociation/contraction does not reproduce the
+    C compiler's per-op f32 rounding, so the (much cheaper) backbone parts
+    run on host numpy, which is bit-identical to the locally built
+    reference (see tests/test_fast_codec.py). Side chains use the fixed
+    255-bin [-180,180] quantizer (1.41 deg/bin) where ulp noise is
+    harmless.
+
+    atom14:   f32 [B, L, 14, 3] all atoms in table slots (missing -> 0)
+    res_code: i32 [B, L]        5-bit residue codes
+
+    Returns dict of f32 arrays sc_inner/sc_denom2/sc_det [11, L, B].
+    """
+    a14 = jnp.transpose(atom14, (2, 3, 1, 0))        # [14, 3, L, B]
+    sxa, sya, sza = a14[:, 0], a14[:, 1], a14[:, 2]  # [14, L, B]
+    codes_lb = jnp.clip(res_code.T, 0, 23)           # [L, B]
+    preds = jnp.asarray(_PRED_IDX)[codes_lb]         # [L, B, 14, 3]
+
+    def sel(arr, idx, upto):
+        acc = arr[0]
+        for kk in range(1, upto):
+            acc = jnp.where(idx == kk, arr[kk], acc)
+        return acc
+
+    sc_i, sc_d2, sc_dt = [], [], []
+    for k in range(3, MAX_ATOM):
+        p0 = preds[..., k, 0]
+        p1 = preds[..., k, 1]
+        p2 = preds[..., k, 2]
+        si, sd2, sdt = dihedral_parts_c(
+            sel(sxa, p0, k), sel(sya, p0, k), sel(sza, p0, k),
+            sel(sxa, p1, k), sel(sya, p1, k), sel(sza, p1, k),
+            sel(sxa, p2, k), sel(sya, p2, k), sel(sza, p2, k),
+            sxa[k], sya[k], sza[k])
+        sc_i.append(si)
+        sc_d2.append(sd2)
+        sc_dt.append(sdt)
+    return dict(sc_inner=jnp.stack(sc_i), sc_denom2=jnp.stack(sc_d2),
+                sc_det=jnp.stack(sc_dt))
 
 
 @jax.jit

@@ -112,22 +112,39 @@ def place_atom_c(ax, ay, az, bx, by, bz, cx, cy, cz,
     return ox, oy, oz
 
 
-def bond_angle_c(ax, ay, az, bx, by, bz, cx, cy, cz):
-    """Component-form 3-point angle at b, degrees."""
+def bond_angle_parts_c(ax, ay, az, bx, by, bz, cx, cy, cz):
+    """3-point angle split into (inner, s1*s2) f32 parts.
+
+    The parts are everything the reference computes in float
+    (float3d.h:36-44); the remaining double-promoted sqrt/division/acos
+    (getCosineTheta -> angle) can then be finished either on device in f32
+    (bond_angle_c) or on host in f64 for bit parity with the reference
+    (codec/batch.py finish_encode_host)."""
     d1x, d1y, d1z = ax - bx, ay - by, az - bz
     d2x, d2y, d2z = cx - bx, cy - by, cz - bz
     inner = d1x * d2x + d1y * d2y + d1z * d2z
     s1 = d1x * d1x + d1y * d1y + d1z * d1z
     s2 = d2x * d2x + d2y * d2y + d2z * d2z
+    return inner, s1 * s2
+
+
+def bond_angle_c(ax, ay, az, bx, by, bz, cx, cy, cz):
+    """Component-form 3-point angle at b, degrees."""
+    inner, denom2 = bond_angle_parts_c(ax, ay, az, bx, by, bz, cx, cy, cz)
     # exact sqrt+divide (not rsqrt): quantizer min/max parity near +-180
     # depends on correctly-rounded cosines
-    cos_t = inner / jnp.sqrt(jnp.maximum(s1 * s2, F32(_EPS)))
+    cos_t = inner / jnp.sqrt(jnp.maximum(denom2, F32(_EPS)))
     return (jnp.arccos(jnp.clip(cos_t, -1.0, 1.0)) * F32(_DEG)).astype(F32)
 
 
-def dihedral_c(p0x, p0y, p0z, p1x, p1y, p1z, p2x, p2y, p2z,
-               p3x, p3y, p3z):
-    """Component-form dihedral in degrees (getTorsionFromXYZ parity)."""
+def dihedral_parts_c(p0x, p0y, p0z, p1x, p1y, p1z, p2x, p2y, p2z,
+                     p3x, p3y, p3z):
+    """Dihedral split into (inner, denom2, det) f32 parts.
+
+    All the float work of getTorsionFromXYZ (torsion_angle.cpp:46-96:
+    cross products, dot products, squared norms, the sign determinant);
+    the double-promoted sqrt/division/acos tail can be finished on device
+    (dihedral_c) or on host in f64 for bit parity."""
     d1x, d1y, d1z = p1x - p0x, p1y - p0y, p1z - p0z
     d2x, d2y, d2z = p2x - p1x, p2y - p1y, p2z - p1z
     d3x, d3y, d3z = p3x - p2x, p3y - p2y, p3z - p2z
@@ -140,6 +157,18 @@ def dihedral_c(p0x, p0y, p0z, p1x, p1y, p1z, p2x, p2y, p2z,
     inner = u1x * u2x + u1y * u2y + u1z * u2z
     denom2 = (u1x * u1x + u1y * u1y + u1z * u1z) * \
         (u2x * u2x + u2y * u2y + u2z * u2z)
+    pbx = u2y * d2z - d2y * u2z
+    pby = u2z * d2x - d2z * u2x
+    pbz = u2x * d2y - d2x * u2y
+    det = u1x * pbx + u1y * pby + u1z * pbz
+    return inner, denom2, det
+
+
+def dihedral_c(p0x, p0y, p0z, p1x, p1y, p1z, p2x, p2y, p2z,
+               p3x, p3y, p3z):
+    """Component-form dihedral in degrees (getTorsionFromXYZ parity)."""
+    inner, denom2, det = dihedral_parts_c(p0x, p0y, p0z, p1x, p1y, p1z,
+                                          p2x, p2y, p2z, p3x, p3y, p3z)
     bad = denom2 <= 0.0
     # sqrt+divide, not rsqrt: a 1-ulp cosine error near +-180 flips the
     # NaN guard and shifts the per-protein quantizer min/max
@@ -148,10 +177,6 @@ def dihedral_c(p0x, p0y, p0z, p1x, p1y, p1z, p2x, p2y, p2z,
     nan_like = bad | (jnp.abs(cos_t) > 1.0)
     ang = jnp.where(nan_like, jnp.where(cos_t < 0, F32(180.0), F32(0.0)),
                     ang)
-    pbx = u2y * d2z - d2y * u2z
-    pby = u2z * d2x - d2z * u2x
-    pbz = u2x * d2y - d2x * u2y
-    det = u1x * pbx + u1y * pby + u1z * pbz
     return jnp.where(det < 0, -ang, ang).astype(F32)
 
 

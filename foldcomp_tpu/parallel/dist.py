@@ -63,6 +63,14 @@ def decompress_db_shard(db_path: str, out_path: str, shard: int,
     """
     from ..codec import fcz
 
+    have_native = False
+    if not fast:
+        try:
+            from ..native import decode_fcz_pdb_native, get_lib
+            have_native = get_lib() is not None
+        except Exception:
+            have_native = False
+
     reader = DatabaseReader(db_path, use_lookup=True)
     writer = DatabaseWriter(shard_db_path(out_path, shard))
     n_written = 0
@@ -93,6 +101,17 @@ def decompress_db_shard(db_path: str, out_path: str, shard: int,
             if data.endswith(b"\x00"):
                 data = data[:-1]
             name = reader.name_of_key(key) or str(key)
+            if have_native:
+                # exact native decoder (byte-identical to the reference
+                # binary, GIL-releasing C)
+                try:
+                    payload = decode_fcz_pdb_native(bytes(data),
+                                                    as_bytes=True)
+                except ValueError:
+                    continue
+                writer.append(payload + b"\x00", key, name)
+                n_written += 1
+                continue
             try:
                 f = fcz.parse(data)
             except fcz.FczFormatError:
@@ -148,30 +167,85 @@ def merge_shard_dbs(out_path: str, n_shards: int, cleanup: bool = True):
 
 
 def compress_db_shard(db_path: str, out_path: str, shard: int,
-                      n_shards: int, anchor_threshold: int = 25) -> int:
-    """Compress this shard's range of a PDB-payload database to FCZ."""
-    from ..native import encode_pdb_native, peek_title_native
+                      n_shards: int, anchor_threshold: int = 25,
+                      fast: bool = True, batch_entries: int = 64) -> int:
+    """Compress this shard's range of a PDB-payload database to FCZ.
 
+    fast=True (default) runs the batched device encoder: host prep is the
+    vectorized raw-array pipeline (codec/batch.py encode_pdb_device),
+    fragments from `batch_entries` database entries are encoded in one
+    device batch (kernels/encode.py), and the FCZ bytes are serialized
+    host-side. fast=False keeps the per-entry native exact encoder
+    (byte-identical to the reference binary).
+    """
     reader = DatabaseReader(db_path, use_lookup=True)
     writer = DatabaseWriter(shard_db_path(out_path, shard))
     n_written = 0
+
+    device_ready = False
+    if fast:
+        try:
+            from ..codec.batch import encode_pdb_device, encode_tensor_batch
+            from ..codec import fcz as fcz_mod
+            from ..native import get_lib
+            device_ready = get_lib() is not None
+        except Exception:
+            device_ready = False
+
     try:
         start, end = shard_range(len(reader), shard, n_shards)
-        for pos in range(start, end):
-            key = reader.get_key(pos)
-            data = reader.get_data(pos)
-            if data.endswith(b"\x00"):
-                data = data[:-1]
-            name = reader.name_of_key(key) or str(key)
-            title = peek_title_native(data)
-            if title is None:
-                continue
-            frags = encode_pdb_native(data, anchor_threshold,
-                                      title or name, split=True)
-            for f in frags or []:
-                if not f["error"]:
-                    writer.append(f["blob"], key, name)
-                    n_written += 1
+        if device_ready:
+            pend_tensors, pend_meta, pend_entry = [], [], []
+
+            def flush():
+                nonlocal n_written
+                if not pend_tensors:
+                    return
+                for f, (key, name) in zip(
+                        encode_tensor_batch(pend_tensors, pend_meta,
+                                            anchor_threshold),
+                        pend_entry):
+                    if f is not None:
+                        writer.append(fcz_mod.serialize(f), key, name)
+                        n_written += 1
+                pend_tensors.clear()
+                pend_meta.clear()
+                pend_entry.clear()
+
+            for pos in range(start, end):
+                key = reader.get_key(pos)
+                data = reader.get_data(pos)
+                if data.endswith(b"\x00"):
+                    data = data[:-1]
+                name = reader.name_of_key(key) or str(key)
+                prepped = encode_pdb_device(data, anchor_threshold,
+                                            fallback_title=name)
+                if prepped is None:
+                    continue
+                tensors, metas = prepped
+                for t, m in zip(tensors, metas):
+                    if t is None or m.get("error"):
+                        continue
+                    pend_tensors.append(t)
+                    pend_meta.append(m)
+                    pend_entry.append((key, name))
+                if len(pend_entry) >= batch_entries:
+                    flush()
+            flush()
+        else:
+            from ..native import encode_pdb_native
+            for pos in range(start, end):
+                key = reader.get_key(pos)
+                data = reader.get_data(pos)
+                if data.endswith(b"\x00"):
+                    data = data[:-1]
+                name = reader.name_of_key(key) or str(key)
+                frags = encode_pdb_native(data, anchor_threshold, None,
+                                          split=True, fallback_title=name)
+                for f in frags or []:
+                    if not f["error"]:
+                        writer.append(f["blob"], key, name)
+                        n_written += 1
     finally:
         writer.close()
         reader.close()

@@ -73,7 +73,7 @@ def test_sharded_compress(tmp_path, ref_test_dir):
     out = str(tmp_path / "fczdb")
     total = 0
     for s in range(2):
-        total += compress_db_shard(pdb_db, out, s, 2)
+        total += compress_db_shard(pdb_db, out, s, 2, fast=False)
     merge_shard_dbs(out, 2)
     r = DatabaseReader(out, use_lookup=True)
     assert len(r) == total == 2
@@ -104,5 +104,43 @@ def test_sharded_fast_path_matches_exact(tmp_path, ref_test_dir):
         b = parse_pdb(ex.get_data(pos).rstrip(b"\x00"))
         assert a.atom_name == b.atom_name
         assert rmsd(a.coords, b.coords) < 2e-3
+    fa.close()
+    ex.close()
+
+
+def test_sharded_compress_device_path(tmp_path, ref_test_dir):
+    """The batched device encoder is the default sharded compress path;
+    its output is byte-identical to the exact path (the host finishing
+    reproduces the reference's f64-promoted acos + quantization)."""
+    from foldcomp_tpu.io.db import DatabaseWriter
+    from foldcomp_tpu.parallel.dist import compress_db_shard
+    from foldcomp_tpu.codec import fcz as fcz_mod
+    from foldcomp_tpu.codec.decoder import decode
+    from foldcomp_tpu.core.exact import rmsd
+
+    pdb_db = str(tmp_path / "pdbdb")
+    w = DatabaseWriter(pdb_db)
+    for i, name in enumerate(("test.pdb", "test_af.pdb")):
+        w.append((ref_test_dir / name).read_bytes() + b"\x00", i, name)
+    w.close()
+
+    out_fast = str(tmp_path / "fast")
+    out_exact = str(tmp_path / "exact")
+    nf = ne = 0
+    for s in range(2):
+        nf += compress_db_shard(pdb_db, out_fast, s, 2, fast=True)
+        ne += compress_db_shard(pdb_db, out_exact, s, 2, fast=False)
+    merge_shard_dbs(out_fast, 2)
+    merge_shard_dbs(out_exact, 2)
+    assert nf == ne == 2
+
+    fa = DatabaseReader(out_fast, use_lookup=True)
+    ex = DatabaseReader(out_exact, use_lookup=True)
+    assert len(fa) == len(ex)
+    for pos in range(len(fa)):
+        key = fa.get_key(pos)
+        # byte-identical: the fast path's host finishing reproduces the
+        # exact encoder bit-for-bit
+        assert fa.get_data(pos) == ex.get_data(ex.position_of_key(key))
     fa.close()
     ex.close()

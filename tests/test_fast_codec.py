@@ -69,32 +69,42 @@ def test_fast_roundtrip_rmsd_gate(test_pdb_fragment):
 
 
 def test_fast_encode_bins_match_exact(test_pdb_fragment):
+    """The fast encoder is BIT-IDENTICAL to the exact encoder: the device
+    computes the f32 angle parts, the host finishes with the reference's
+    f64-promoted acos (torsion_angle.cpp:63-65) and exact quantization,
+    and near-boundary side-chain values are rescued by exact host
+    recompute (codec/batch.py finish_encode_host)."""
     f_exact = encode_exact(test_pdb_fragment)
     f_fast = encode_fragment_batch([test_pdb_fragment])[0]
     assert f_fast.n_residue == f_exact.n_residue
     assert f_fast.n_sc_torsion == f_exact.n_sc_torsion
     assert (f_fast.anchor_indices == f_exact.anchor_indices).all()
-    assert np.allclose(f_fast.anchor_coords, f_exact.anchor_coords)
-    assert np.allclose(f_fast.mins, f_exact.mins, atol=1e-3)
-    assert np.allclose(f_fast.cont_fs, f_exact.cont_fs, atol=1e-5)
-    # Well-conditioned streams are bin-identical up to rare ulp boundary
-    # flips; omega clusters at +-180 where acos in f32 has unbounded
-    # derivative, so +-1-bin flips there are inherent to the fast path
-    # (the exact/native path is bit-exact; RMSD quality is gated separately).
-    from foldcomp_tpu.codec.fcz import unpack_records
-    ue = unpack_records(f_exact.records)
-    uf = unpack_records(f_fast.records)
-    for name, idx, floor in (("res", 0, 1.0), ("phi", 1, 0.99),
-                             ("psi", 2, 0.99), ("omega", 3, 0.90),
-                             ("n_ca_c", 4, 0.99), ("ca_c_n", 5, 0.99),
-                             ("c_n_ca", 6, 0.99)):
-        frac = (ue[idx] == uf[idx]).mean()
-        assert frac >= floor, (name, frac)
-        if frac < 1.0:
-            assert np.abs(ue[idx].astype(int)
-                          - uf[idx].astype(int)).max() <= 1, name
-    assert (f_fast.sc_codes == f_exact.sc_codes).mean() > 0.99
-    assert (f_fast.tf_codes == f_exact.tf_codes).mean() > 0.99
+    assert np.array_equal(f_fast.anchor_coords, f_exact.anchor_coords)
+    assert np.array_equal(f_fast.mins, f_exact.mins)
+    assert np.array_equal(f_fast.cont_fs, f_exact.cont_fs)
+    assert np.array_equal(f_fast.records, f_exact.records)
+    assert np.array_equal(f_fast.sc_codes, f_exact.sc_codes)
+    assert np.array_equal(f_fast.tf_codes, f_exact.tf_codes)
+    assert fcz.serialize(f_fast) == fcz.serialize(f_exact)
+
+
+def test_fast_encode_byte_parity_all_fixtures():
+    """Every fixture fragment serializes byte-identically via the fast
+    (batched device) encoder."""
+    frags = []
+    for name in ("test.pdb", "test_af.pdb", "multichain.pdb"):
+        atoms = parse_pdb(require_fixture(name).read_bytes())
+        atoms = remove_alternative_positions(atoms)
+        for cs, ce in identify_chains(atoms):
+            for fs, fe in identify_discontinuous_fragments(atoms, cs, ce):
+                f = atoms.slice(fs, fe)
+                if len(f) > 6:
+                    frags.append(f)
+    assert len(frags) >= 4
+    fasts = encode_fragment_batch(frags)
+    for frag, ff in zip(frags, fasts):
+        assert fcz.serialize(ff) == fcz.serialize(encode_exact(frag)), \
+            frag.title
 
 
 def test_fast_batch_mixed_lengths(test_pdb_fragment, test_af_fcz):
