@@ -1,26 +1,32 @@
-"""Benchmark: batched FCZ decode throughput on the attached accelerator.
+"""Benchmark: FCZ codec throughput on the attached accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-The headline metric is device decode throughput (packed FCZ records ->
-all-atom coordinates) in residues/s, measured on a realistic corpus: the
-276-residue test.pdb structure replicated into a padded batch. The baseline
-is the reference C++ foldcomp's end-to-end `decompress -t 4` wall throughput
-measured on this container's 4 CPU cores (BENCH_BASELINE.json: 168300
-residues/s).
+Headline: device decode throughput (packed FCZ records -> all-atom
+coordinates), SUSTAINED form — batches dispatched back-to-back with one
+final barrier, the shape the streaming pipeline actually runs (per-dispatch
+tunnel overhead overlaps device compute). Extras report the sync
+(block-every-batch) device rate and full END-TO-END wall rates through the
+real CLI: db -> db decompress (FCZ parse -> pack -> device -> PDB format ->
+db write) and db -> db compress, plus the device-encode rate.
+
+Baseline: the reference C++ foldcomp's end-to-end `decompress -t 4` wall
+throughput on this container's 4 CPU cores (BENCH_BASELINE.json:
+168300 residues/s; compress baseline 232700 res/s).
 """
 from __future__ import annotations
 
 import json
+import os
 import pathlib
+import tempfile
 import time
 
 BASELINE = json.loads(
     (pathlib.Path(__file__).parent / "BENCH_BASELINE.json").read_text())
 
 
-def _load_fcz():
-    from foldcomp_tpu.codec.encoder import encode
+def _load_fragment():
     from foldcomp_tpu.io.pdb import parse_pdb
     from foldcomp_tpu.io.structure import (identify_chains,
                                            identify_discontinuous_fragments,
@@ -32,13 +38,101 @@ def _load_fcz():
     atoms = remove_alternative_positions(parse_pdb(ref.read_bytes()))
     (cs, ce), = identify_chains(atoms)
     (fs, fe), = identify_discontinuous_fragments(atoms, cs, ce)
-    return encode(atoms.slice(fs, fe))
+    return atoms.slice(fs, fe), ref
+
+
+def _load_fcz():
+    from foldcomp_tpu.codec.encoder import encode
+    return encode(_load_fragment()[0])
+
+
+def bench_device_decode(jax, f, batch_size=512, iters=10):
+    from foldcomp_tpu.codec.batch import pack_decode_batch_seg
+    from foldcomp_tpu.kernels.decode import decode_seg_batch_core
+
+    arrays, metas = pack_decode_batch_seg([f] * batch_size)
+    n_res_total = sum(m.n_residue for m in metas)
+    dev = {k: jax.device_put(v) for k, v in arrays.items()}
+
+    def run():
+        return decode_seg_batch_core(
+            dev["seg_records"], dev["mins_lane"], dev["cont_lane"],
+            dev["sc_codes_seg"], dev["anchor_xyz"], dev["seg_m"],
+            refine_iters=2)
+
+    jax.block_until_ready(run())
+    jax.block_until_ready(run())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.block_until_ready(run())
+    sync = n_res_total * iters / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    outs = [run() for _ in range(iters)]
+    jax.block_until_ready(outs)
+    sustained = n_res_total * iters / (time.perf_counter() - t0)
+    return sync, sustained
+
+
+def bench_device_encode(jax, frag, batch_size=512, iters=5):
+    """Bit-parity batched encode rate (device sc parts + host finishing)."""
+    from foldcomp_tpu.codec.batch import (encode_tensor_batch,
+                                          fragment_to_tensors)
+
+    a14, rc, tf, meta = fragment_to_tensors(frag)
+    meta = dict(meta, error=None)
+    tensors = [(a14, rc, tf)] * batch_size
+    metas = [meta] * batch_size
+    n_res_total = len(rc) * batch_size
+    encode_tensor_batch(tensors, metas)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        encode_tensor_batch(tensors, metas)
+    return n_res_total * iters / (time.perf_counter() - t0)
+
+
+def _build_dbs(workdir, n_entries):
+    """Synthetic FCZ db + PDB db of replicated fixture entries."""
+    from foldcomp_tpu.codec.fcz import serialize
+    from foldcomp_tpu.io.db import DatabaseWriter
+    from foldcomp_tpu.io.pdb import format_pdb
+
+    frag, _ = _load_fragment()
+    f = _load_fcz()
+    blob = serialize(f) + b"\x00"
+    pdb_text = format_pdb(frag, f.title).encode() + b"\x00"
+    fcz_db = os.path.join(workdir, "fcz_db")
+    pdb_db = os.path.join(workdir, "pdb_db")
+    w = DatabaseWriter(fcz_db)
+    for i in range(n_entries):
+        w.append(blob, i, f"e{i}")
+    w.close()
+    w = DatabaseWriter(pdb_db)
+    for i in range(n_entries):
+        w.append(pdb_text, i, f"e{i}")
+    w.close()
+    return fcz_db, pdb_db, f.n_residue * n_entries
+
+
+def bench_e2e(workdir, fcz_db, pdb_db, n_res_total):
+    """Full CLI wall: db -> db decompress and compress with --fast."""
+    from foldcomp_tpu import cli
+
+    out1 = os.path.join(workdir, "out_pdb_db")
+    t0 = time.perf_counter()
+    rc = cli.main(["decompress", "--fast", "-y", "-d", fcz_db, out1])
+    dt_d = time.perf_counter() - t0
+    assert rc == 0
+
+    out2 = os.path.join(workdir, "out_fcz_db")
+    t0 = time.perf_counter()
+    rc = cli.main(["compress", "--fast", "-y", "-d", pdb_db, out2])
+    dt_c = time.perf_counter() - t0
+    assert rc == 0
+    return n_res_total / dt_d, n_res_total / dt_c
 
 
 def main():
     import jax
-    # persistent compile cache: repeat bench runs skip the (slow, possibly
-    # remote) compile step
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/tmp/foldcomp_tpu_jaxcache")
@@ -48,45 +142,28 @@ def main():
     from foldcomp_tpu.backend import ensure_backend
     ensure_backend()
 
-    from foldcomp_tpu.codec.batch import pack_decode_batch
-    from foldcomp_tpu.kernels.decode import decode_batch_core
-
     f = _load_fcz()
-    # B=2048 reaches 3.22M res/s (19x baseline) but its first compile takes
-    # ~7 min over the remote-compile tunnel and the persistent cache does
-    # not cover it; B=512 keeps the bench reliable (~2.2M res/s, 13x).
-    batch_size = 512
-    arrays, metas, seg_pad = pack_decode_batch([f] * batch_size)
-    n_res_total = sum(m.n_residue for m in metas)
+    frag, _ = _load_fragment()
+    sync, sustained = bench_device_decode(jax, f)
+    enc_rate = bench_device_encode(jax, frag)
 
-    dev_arrays = {k: jax.device_put(v) for k, v in arrays.items()}
+    with tempfile.TemporaryDirectory() as workdir:
+        fcz_db, pdb_db, n_res_total = _build_dbs(workdir, 2000)
+        e2e_dec, e2e_comp = bench_e2e(workdir, fcz_db, pdb_db, n_res_total)
 
-    def run():
-        out = decode_batch_core(
-            dev_arrays["records"], dev_arrays["mins"], dev_arrays["cont_fs"],
-            dev_arrays["sc_codes"], dev_arrays["tf_codes"],
-            dev_arrays["tf_min"], dev_arrays["tf_cont"],
-            dev_arrays["anchor_xyz"], dev_arrays["seg_start"],
-            dev_arrays["seg_m"], seg_width=seg_pad, refine_iters=2)
-        jax.block_until_ready(out)
-        return out
-
-    run()  # compile + warm
-    run()
-
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        run()
-    dt = time.perf_counter() - t0
-
-    value = n_res_total * iters / dt
     base = BASELINE["decompress_residues_per_s_wall_t4"]
+    base_c = BASELINE.get("compress_residues_per_s_wall_t4", 232700)
     print(json.dumps({
         "metric": "decode_throughput",
-        "value": round(value, 1),
+        "value": round(sustained, 1),
         "unit": "residues/s",
-        "vs_baseline": round(value / base, 3),
+        "vs_baseline": round(sustained / base, 3),
+        "decode_sync_res_s": round(sync, 1),
+        "encode_device_res_s": round(enc_rate, 1),
+        "e2e_decompress_db_res_s": round(e2e_dec, 1),
+        "e2e_decompress_vs_baseline": round(e2e_dec / base, 3),
+        "e2e_compress_db_res_s": round(e2e_comp, 1),
+        "e2e_compress_vs_baseline": round(e2e_comp / base_c, 3),
     }))
 
 

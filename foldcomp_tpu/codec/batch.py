@@ -127,6 +127,153 @@ def pack_decode_batch(fczs, l_bucket: int = 32, s_bucket: int = 4,
     return arrays, metas, seg_pad
 
 
+@dataclass
+class SegDecodeMeta:
+    """Per-protein host-side state for the segment-space decode path.
+
+    Carries everything needed to assemble/format the protein from the
+    device's segment-space atom14 output — residue codes and temp factors
+    are computed on host (they never need the device), and (lane_of,
+    rec_of) index each residue's row in the [N, SEG, 14, 3] output (the
+    'stitch' done as a host fancy-index)."""
+    n_residue: int
+    idx_residue: int
+    idx_atom: int
+    chain: str
+    title: str
+    first_residue: str
+    last_residue: str
+    has_oxt: bool
+    oxt_coords: np.ndarray
+    res_code: np.ndarray   # i32 [n]
+    temp: np.ndarray       # f32 [n]
+    lane_of: np.ndarray    # i64 [n]
+    rec_of: np.ndarray     # i64 [n]
+
+
+def pack_decode_batch_seg(fczs, s_bucket: int = 4, seg_bucket: int = 8):
+    """List[FczData] -> segment-space device arrays + SegDecodeMeta list.
+
+    The host window-expands records/side-chain codes into segment space so
+    the device pipeline needs zero gathers (see kernels/decode.py
+    decode_seg_core). Windows overlap by one record (the shared anchor
+    residue), ~4% duplication at the default anchor interval."""
+    b = len(fczs)
+    seg_info = [segments_of(f) for f in fczs]
+    s_pad = _round_up(max(len(st) for st, _ in seg_info), s_bucket)
+    seg_pad = _round_up(max(max(cn) for _, cn in seg_info), seg_bucket)
+    n = b * s_pad
+
+    seg_records = np.zeros((n, seg_pad, 8), np.uint8)
+    sc_seg = np.zeros((n, seg_pad, 11), np.uint8)
+    mins_lane = np.zeros((n, 6), F32)
+    cont_lane = np.zeros((n, 6), F32)
+    anchor_xyz = np.zeros((b, s_pad + 1, 3, 3), F32)
+    seg_m = np.ones(n, I32)
+    metas = []
+    ar = np.arange(seg_pad)
+    for i, f in enumerate(fczs):
+        nres = f.n_residue
+        starts, counts = seg_info[i]
+        s_i = len(starts)
+        starts_a = np.asarray(starts, np.int64)
+        idx = np.minimum(starts_a[:, None] + ar[None, :], nres - 1)
+        base = i * s_pad
+        seg_records[base:base + s_i] = f.records[idx]
+        mins_lane[base:base + s_pad] = f.mins
+        cont_lane[base:base + s_pad] = f.cont_fs
+        anchor_xyz[i, :f.n_anchor] = f.anchor_coords
+        seg_m[base:base + s_i] = counts
+
+        res_code_all = unpack_records(f.records)[0].astype(np.int32)
+        counts_sc = np.where(res_code_all < NUM_AA,
+                             N_SC_TORSION[res_code_all], 0)
+        sc_res = np.zeros((nres, 11), np.uint8)
+        total = int(counts_sc.sum())
+        if total:
+            res_of = np.repeat(np.arange(nres, dtype=np.int64), counts_sc)
+            ends = np.cumsum(counts_sc)
+            within = np.arange(total, dtype=np.int64) - \
+                np.repeat(ends - counts_sc, counts_sc)
+            sc_res.reshape(-1)[res_of * 11 + within] = f.sc_codes[:total]
+        sc_seg[base:base + s_i] = sc_res[idx]
+
+        # residue r -> (lane, record): last segment starting <= r owns it
+        # (foldcomp.cpp:849-857 stitch semantics)
+        r = np.arange(nres)
+        s_of_r = np.searchsorted(starts_a, r, side="right") - 1
+        s_of_r = np.clip(s_of_r, 0, s_i - 1)
+        lane_of = base + s_of_r
+        rec_of = np.clip(r - starts_a[s_of_r], 0, seg_pad - 1)
+
+        temp = (f.tf_codes.astype(F32) * np.float32(f.tf_cont)
+                + np.float32(f.tf_min)).astype(F32)
+        metas.append(SegDecodeMeta(
+            n_residue=nres, idx_residue=f.idx_residue, idx_atom=f.idx_atom,
+            chain=f.chain, title=f.title, first_residue=f.first_residue,
+            last_residue=f.last_residue, has_oxt=f.has_oxt,
+            oxt_coords=np.asarray(f.oxt_coords, F32),
+            res_code=res_code_all, temp=temp,
+            lane_of=lane_of, rec_of=rec_of))
+
+    arrays = dict(
+        seg_records=np.ascontiguousarray(seg_records.transpose(1, 0, 2)),
+        mins_lane=mins_lane, cont_lane=cont_lane,
+        sc_codes_seg=np.ascontiguousarray(sc_seg.transpose(2, 1, 0)),
+        anchor_xyz=anchor_xyz, seg_m=seg_m)
+    return arrays, metas
+
+
+def _seg_decode_arrays(arrays, refine_iters=2):
+    from ..kernels.decode import decode_seg_batch_core
+    return decode_seg_batch_core(
+        arrays["seg_records"], arrays["mins_lane"], arrays["cont_lane"],
+        arrays["sc_codes_seg"], arrays["anchor_xyz"], arrays["seg_m"],
+        refine_iters=refine_iters)
+
+
+def _assemble_protein(a14, meta, use_alt_order: bool = False):
+    """[n, 14, 3] atoms + SegDecodeMeta -> AtomArray."""
+    n = meta.n_residue
+    codes = meta.res_code
+    names, rnames, chains, ridx, coords, temps = [], [], [], [], [], []
+    first_three = three_letter_from_one(meta.first_residue)
+    for r in range(n):
+        code = int(codes[r])
+        rname = first_three if r == 0 else (
+            THREE_LETTER[code] if code < len(THREE_LETTER) else "UNK")
+        if code < NUM_AA:
+            cnt = int(N_ATOMS[code])
+            order = list(range(cnt))
+            if use_alt_order:
+                order = [int(x) for x in ALT_PERM[code, :cnt]]
+            names.extend(ATOM_NAMES[code][k] for k in order)
+            coords.extend(a14[r, k] for k in order)
+        else:
+            cnt = 3
+            names.extend(("N", "CA", "C"))
+            coords.extend(a14[r, k] for k in range(3))
+        rnames.extend([rname] * cnt)
+        chains.extend([meta.chain] * cnt)
+        ridx.extend([meta.idx_residue + r] * cnt)
+        temps.extend([meta.temp[r]] * cnt)
+    if meta.has_oxt:
+        names.append("OXT")
+        rnames.append(three_letter_from_one(meta.last_residue))
+        chains.append(meta.chain)
+        # reference quirk: OXT residue_index = header.nResidue
+        # (foldcomp.cpp:962-965)
+        ridx.append(n)
+        coords.append(meta.oxt_coords)
+        temps.append(meta.temp[n - 1])
+    n_total = len(names)
+    return AtomArray(
+        names, rnames, chains,
+        np.arange(meta.idx_atom, meta.idx_atom + n_total, dtype=I32),
+        np.asarray(ridx, I32), np.asarray(coords, F32),
+        np.ones(n_total, F32), np.asarray(temps, F32), meta.title)
+
+
 def unpack_decode_result(atom14, res_code, temp, metas,
                          use_alt_order: bool = False):
     """Device outputs -> List[AtomArray] (decoder.decode-compatible)."""
@@ -177,16 +324,12 @@ def unpack_decode_result(atom14, res_code, temp, metas,
 
 
 def decode_fcz_batch(fczs, refine_iters: int = 2, use_alt_order: bool = False):
-    """Convenience: parse payloads through the batched device decoder."""
-    from ..kernels.decode import decode_batch_core
-    arrays, metas, seg_pad = pack_decode_batch(fczs)
-    atom14, res_code, temp = decode_batch_core(
-        arrays["records"], arrays["mins"], arrays["cont_fs"],
-        arrays["sc_codes"], arrays["tf_codes"], arrays["tf_min"],
-        arrays["tf_cont"], arrays["anchor_xyz"], arrays["seg_start"],
-        arrays["seg_m"], seg_width=seg_pad, refine_iters=refine_iters)
-    return unpack_decode_result(atom14, res_code, temp, metas,
-                                use_alt_order=use_alt_order)
+    """Parse payloads through the batched device decoder (segment-space
+    core; the residue re-index happens on host)."""
+    arrays, metas = pack_decode_batch_seg(fczs)
+    atom14_seg = np.asarray(_seg_decode_arrays(arrays, refine_iters))
+    return [_assemble_protein(atom14_seg[m.lane_of, m.rec_of], m,
+                              use_alt_order) for m in metas]
 
 
 def decode_fcz_to_pdb_batch(fczs, refine_iters: int = 2,
@@ -196,13 +339,8 @@ def decode_fcz_to_pdb_batch(fczs, refine_iters: int = 2,
     When the native formatter is available the atom14 tensors go straight to
     text (no per-atom Python); otherwise falls back through AtomArray.
     """
-    from ..kernels.decode import decode_batch_core
-    arrays, metas, seg_pad = pack_decode_batch(fczs)
-    atom14, res_code, temp = decode_batch_core(
-        arrays["records"], arrays["mins"], arrays["cont_fs"],
-        arrays["sc_codes"], arrays["tf_codes"], arrays["tf_min"],
-        arrays["tf_cont"], arrays["anchor_xyz"], arrays["seg_start"],
-        arrays["seg_m"], seg_width=seg_pad, refine_iters=refine_iters)
+    arrays, metas = pack_decode_batch_seg(fczs)
+    atom14_seg = np.asarray(_seg_decode_arrays(arrays, refine_iters))
 
     try:
         from ..native import format_atom14_native, get_lib
@@ -210,24 +348,19 @@ def decode_fcz_to_pdb_batch(fczs, refine_iters: int = 2,
     except Exception:
         have_native = False
 
-    if have_native:
-        atom14 = np.asarray(atom14)
-        res_code = np.asarray(res_code)
-        temp = np.asarray(temp)
-        out = []
-        for i, m in enumerate(metas):
-            n = m.n_residue
+    out = []
+    for m in metas:
+        a14 = np.ascontiguousarray(atom14_seg[m.lane_of, m.rec_of])
+        if have_native:
             out.append(format_atom14_native(
-                atom14[i, :n], temp[i, :n], res_code[i, :n], n,
-                m.idx_residue, m.idx_atom, m.chain, m.first_residue,
-                m.last_residue, m.has_oxt, m.oxt_coords, use_alt_order,
-                m.title))
-        return out
-
-    from ..io.pdb import format_pdb
-    decoded = unpack_decode_result(atom14, res_code, temp, metas,
-                                   use_alt_order=use_alt_order)
-    return [format_pdb(a, f.title) for a, f in zip(decoded, fczs)]
+                a14, m.temp, m.res_code, m.n_residue, m.idx_residue,
+                m.idx_atom, m.chain, m.first_residue, m.last_residue,
+                m.has_oxt, m.oxt_coords, use_alt_order, m.title))
+        else:
+            from ..io.pdb import format_pdb
+            atoms = _assemble_protein(a14, m, use_alt_order)
+            out.append(format_pdb(atoms, m.title))
+    return out
 
 
 def decode_fcz_stream(payload_iter, batch_size: int = 128,
@@ -252,8 +385,6 @@ def decode_fcz_stream(payload_iter, batch_size: int = 128,
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
-    from ..kernels.decode import decode_batch_core
-
     n_workers = max(2, (_os.cpu_count() or 4) - 1)
     pool = ThreadPoolExecutor(n_workers)
     q_packed = queue.Queue(maxsize=prefetch)
@@ -266,7 +397,7 @@ def decode_fcz_stream(payload_iter, batch_size: int = 128,
             sel = list(order)[i0:i0 + batch_size]
             batch = [window[j] for j in sel]
             idxs = [base + j for j in sel]
-            q_packed.put((idxs, batch, pack_decode_batch(batch)))
+            q_packed.put((idxs, batch, pack_decode_batch_seg(batch)))
 
     def producer():
         window = []
@@ -303,12 +434,8 @@ def decode_fcz_stream(payload_iter, batch_size: int = 128,
         item = q_packed.get()
         if item is None:
             break
-        idxs, fczs, (arrays, metas, seg_pad) = item
-        outs = decode_batch_core(
-            arrays["records"], arrays["mins"], arrays["cont_fs"],
-            arrays["sc_codes"], arrays["tf_codes"], arrays["tf_min"],
-            arrays["tf_cont"], arrays["anchor_xyz"], arrays["seg_start"],
-            arrays["seg_m"], seg_width=seg_pad, refine_iters=refine_iters)
+        idxs, fczs, (arrays, metas) = item
+        outs = _seg_decode_arrays(arrays, refine_iters)
         # format the PREVIOUS batch while this one runs on device
         if pending is not None:
             yield from drain(pending)
@@ -321,36 +448,33 @@ def decode_fcz_stream(payload_iter, batch_size: int = 128,
 
 
 def _format_batch(fczs, metas, outs, use_alt_order, pool=None):
-    atom14, res_code, temp = (np.asarray(o) for o in outs)
+    atom14_seg = np.asarray(outs)
     try:
         from ..native import format_atom14_native, get_lib
         have_native = get_lib() is not None
     except Exception:
         have_native = False
     if have_native:
-        def fmt(arg):
-            i, m = arg
-            n = m.n_residue
+        def fmt(m):
+            a14 = np.ascontiguousarray(atom14_seg[m.lane_of, m.rec_of])
             return format_atom14_native(
-                atom14[i, :n], temp[i, :n], res_code[i, :n], n,
-                m.idx_residue, m.idx_atom, m.chain, m.first_residue,
-                m.last_residue, m.has_oxt, m.oxt_coords, use_alt_order,
-                m.title)
+                a14, m.temp, m.res_code, m.n_residue, m.idx_residue,
+                m.idx_atom, m.chain, m.first_residue, m.last_residue,
+                m.has_oxt, m.oxt_coords, use_alt_order, m.title)
 
         if pool is not None:
             # the native formatter releases the GIL: fan the batch out
-            for f, text in zip(fczs, pool.map(fmt, enumerate(metas),
-                                              chunksize=8)):
+            for f, text in zip(fczs, pool.map(fmt, metas, chunksize=8)):
                 yield f, text
         else:
-            for i, (f, m) in enumerate(zip(fczs, metas)):
-                yield f, fmt((i, m))
+            for f, m in zip(fczs, metas):
+                yield f, fmt(m)
     else:
         from ..io.pdb import format_pdb
-        decoded = unpack_decode_result(atom14, res_code, temp, metas,
-                                       use_alt_order=use_alt_order)
-        for f, atoms in zip(fczs, decoded):
-            yield f, format_pdb(atoms, f.title)
+        for f, m in zip(fczs, metas):
+            a14 = atom14_seg[m.lane_of, m.rec_of]
+            atoms = _assemble_protein(a14, m, use_alt_order)
+            yield f, format_pdb(atoms, m.title)
 
 
 # ---------------------------------------------------------------------------

@@ -240,6 +240,86 @@ def _decode_core_vec3(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
     return atom14, res_code, temp
 
 
+@partial(jax.jit, static_argnames=("refine_iters", "nerf_impl",
+                                   "gather_free"))
+def decode_seg_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
+                    anchor_xyz, seg_m, refine_iters: int = 2,
+                    nerf_impl: str = "xla", gather_free: bool = True):
+    """Segment-space decode: ZERO device gathers.
+
+    The round-2 TPU profile showed the device time of the residue-space
+    core was dominated by two take_along_axis passes — the segment-window
+    gather in prep (15.6 ms sustained at B=512) and the stitch
+    (17.8 ms) — while the NeRF scans cost 4.9 ms and side chains 7.2 ms.
+    Here the host packer window-expands the byte records into segment
+    space (a cheap numpy fancy-index; the windows overlap by one record),
+    the entire device pipeline stays in segment space, and the residue
+    re-index ("stitch") happens on host while formatting. Everything on
+    device is elementwise + the scans.
+
+    seg_records: u8  [SEG, N, 8]  window-expanded records (lane n = b*S+s)
+    mins_lane:   f32 [N, 6]; cont_lane: f32 [N, 6] (per-lane broadcast)
+    sc_codes_seg:u8  [11, SEG, N] side-chain codes in segment space
+    anchor_xyz:  f32 [B, S+1, 3, 3]
+    seg_m:       i32 [N] record count per segment
+    Returns atom14_seg f32 [N, SEG, 14, 3].
+    """
+    seg, n, _ = seg_records.shape
+    res_code, phi_q, psi_q, omega_q, ncac_q, cacn_q, cnca_q = \
+        unpack_records(seg_records)                  # each [SEG, N]
+
+    def cont(q, idx):
+        return q.astype(F32) * cont_lane[None, :, idx] \
+            + mins_lane[None, :, idx]
+
+    seg_ang = jnp.stack(
+        [cont(psi_q, 1), cont(omega_q, 2), cont(phi_q, 0),
+         cont(ncac_q, 3), cont(cacn_q, 4), cont(cnca_q, 5)],
+        axis=1)                                      # [SEG, 6, N]
+    seg_is_pro = res_code == PRO_CODE
+
+    if nerf_impl == "pallas":
+        from .nerf_pallas import decode_backbone_segments_fused
+        bx, by, bz = decode_backbone_segments_fused(
+            seg_ang, seg_is_pro, anchor_xyz, seg_m,
+            refine_iters=refine_iters)
+    else:
+        bx, by, bz = decode_backbone_segments_c(
+            seg_ang, seg_is_pro, anchor_xyz, seg_m,
+            refine_iters=refine_iters, gather_free=gather_free)
+
+    # [T=3*SEG, N] atom rows -> [3, SEG, N] residue-major backbone
+    rx = jnp.transpose(bx.reshape(seg, 3, n), (1, 0, 2))
+    ry = jnp.transpose(by.reshape(seg, 3, n), (1, 0, 2))
+    rz = jnp.transpose(bz.reshape(seg, 3, n), (1, 0, 2))
+
+    sc_torsions = sc_codes_seg.astype(F32) * _SC_CONT_F + _SC_MIN
+    sx, sy, sz = place_sidechains_c(rx, ry, rz, res_code, sc_torsions,
+                                    gather_free=gather_free)
+
+    atom14 = jnp.stack([sx, sy, sz], axis=-1)        # [14, SEG, N, 3]
+    return jnp.transpose(atom14, (2, 1, 0, 3))       # [N, SEG, 14, 3]
+
+
+def decode_seg_batch_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
+                          anchor_xyz, seg_m, refine_iters: int = 2):
+    """Backend-dispatched segment-space decode (see decode_seg_core)."""
+    import os
+
+    import jax
+
+    backend = jax.default_backend()
+    if backend == "cpu":
+        return decode_seg_core(seg_records, mins_lane, cont_lane,
+                               sc_codes_seg, anchor_xyz, seg_m,
+                               refine_iters=refine_iters,
+                               gather_free=False)
+    nerf_impl = "pallas" if os.environ.get("FOLDCOMP_TPU_PALLAS") else "xla"
+    return decode_seg_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
+                           anchor_xyz, seg_m, refine_iters=refine_iters,
+                           nerf_impl=nerf_impl, gather_free=True)
+
+
 def decode_batch_core(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
                       tf_cont, anchor_xyz, seg_start, seg_m,
                       seg_width: int, refine_iters: int = 2):

@@ -286,12 +286,91 @@ def _segment_kernel(seed_ref, ang_ref, pro_ref, ranchor_ref, t_ref,
     return
 
 
+def _sweep_blend_kernel(fx_ref, fy_ref, fz_ref, ang_ref, ranchor_ref,
+                        t_ref, bx_ref, by_ref, bz_ref):
+    """Phase-2-only kernel: gather-free descending reverse sweep + blend
+    over pre-computed forward coords (see _segment_kernel phase 2)."""
+    seg = ang_ref.shape[0]
+    t_max = 3 * seg
+    t = t_ref[0].astype(jnp.float32)
+    ti = t_ref[0]
+    n_x, n_y, n_z = ranchor_ref[0], ranchor_ref[1], ranchor_ref[2]
+    ca_x, ca_y, ca_z = ranchor_ref[3], ranchor_ref[4], ranchor_ref[5]
+    c_x, c_y, c_z = ranchor_ref[6], ranchor_ref[7], ranchor_ref[8]
+    bls = (_C_TO_N, _CA_TO_C, _N_TO_CA)
+    zero = jnp.zeros_like(n_x)
+    v1x = v1y = v1z = v2x = v2y = v2z = v3x = v3y = v3z = zero
+    for r in range(t_max - 1, -1, -1):
+        tor = ang_ref[r // 3, r % 3]
+        rc = min(r + 1, t_max - 2)
+        cos_a, sin_a = _bond_angle_cs(
+            fx_ref[rc - 1], fy_ref[rc - 1], fz_ref[rc - 1],
+            fx_ref[rc], fy_ref[rc], fz_ref[rc],
+            fx_ref[rc + 1], fy_ref[rc + 1], fz_ref[rc + 1])
+        px, py, pz = _place_cs(v3x, v3y, v3z, v2x, v2y, v2z, v1x, v1y, v1z,
+                               bls[(2 - r) % 3], cos_a, sin_a, tor)
+        is_c = ti == (r + 1)
+        is_ca = ti == (r + 2)
+        is_n = ti == (r + 3)
+        sx = jnp.where(is_c, c_x, jnp.where(is_ca, ca_x,
+                                            jnp.where(is_n, n_x, 0.0)))
+        sy = jnp.where(is_c, c_y, jnp.where(is_ca, ca_y,
+                                            jnp.where(is_n, n_y, 0.0)))
+        sz = jnp.where(is_c, c_z, jnp.where(is_ca, ca_z,
+                                            jnp.where(is_n, n_z, 0.0)))
+        active = r <= ti - 4
+        ox = jnp.where(active, px, sx)
+        oy = jnp.where(active, py, sy)
+        oz = jnp.where(active, pz, sz)
+        w_r = float(r)
+        w_f = t - w_r
+        inv_t = 1.0 / jnp.maximum(t, 1.0)
+        bx_ref[r] = (fx_ref[r] * w_f + ox * w_r) * inv_t
+        by_ref[r] = (fy_ref[r] * w_f + oy * w_r) * inv_t
+        bz_ref[r] = (fz_ref[r] * w_f + oz * w_r) * inv_t
+        v3x, v3y, v3z = v2x, v2y, v2z
+        v2x, v2y, v2z = v1x, v1y, v1z
+        v1x, v1y, v1z = ox, oy, oz
+    return
+
+
+def sweep_blend_pallas(fx, fy, fz, seg_angles, rev_anchor, t_atoms):
+    """fx/fy/fz [T, N] forward coords + [SEG, 6, N] angles + [9, N] next
+    anchor + [N] atom counts -> blended (bx, by, bz) [T, N]."""
+    seg, _, n = seg_angles.shape
+    t_max = 3 * seg
+    block = min(LANE_BLOCK, n)
+    grid = (pl.cdiv(n, block),)
+    return pl.pallas_call(
+        _sweep_blend_kernel,
+        grid=grid,
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((t_max, block), lambda i: (0, i)),
+            pl.BlockSpec((t_max, block), lambda i: (0, i)),
+            pl.BlockSpec((t_max, block), lambda i: (0, i)),
+            pl.BlockSpec((seg, 6, block), lambda i: (0, 0, i)),
+            pl.BlockSpec((9, block), lambda i: (0, i)),
+            pl.BlockSpec((1, block), lambda i: (0, i)),
+        ],
+        out_specs=[pl.BlockSpec((t_max, block), lambda i: (0, i))] * 3,
+        out_shape=[jax.ShapeDtypeStruct((t_max, n), F32)] * 3,
+    )(fx, fy, fz, seg_angles, rev_anchor, t_atoms[None, :])
+
+
 def decode_backbone_segments_fused(seg_angles, seg_is_pro, anchor_xyz,
                                    seg_m, refine_iters: int = 2):
-    """Fully fused per-segment reconstruction (forward + sweep + blend) as
-    one Pallas kernel per refine iteration. Contract matches
-    decode_backbone_segments_c."""
-    from .nerf import _comp9
+    """Pallas segment reconstruction with the rigid-reseed refinement.
+
+    Round-1 ran the full fused kernel (forward + sweep) once per refine
+    iteration — 2x the work. Like the XLA form (nerf.py
+    decode_backbone_segments_c), iteration 2's forward chain is a rigid
+    transform of iteration 1's (the NeRF recurrence is rigid in its seed
+    frame), and its seed comes from blending iteration 1's forward tail
+    against the stored anchor directly — so the total device work is ONE
+    forward kernel + one cheap elementwise rigid map + ONE sweep/blend
+    kernel. Contract matches decode_backbone_segments_c."""
+    from .nerf import _comp9, _rigid_reseed
 
     I32 = jnp.int32
     seg, _, n = seg_angles.shape
@@ -300,49 +379,46 @@ def decode_backbone_segments_fused(seg_angles, seg_is_pro, anchor_xyz,
     pro_f = seg_is_pro.astype(F32)
     b, s = anchor_xyz.shape[0], anchor_xyz.shape[1] - 1
 
-    fwd_seed = jnp.stack(_comp9(anchor_xyz[:, :-1]), axis=0)     # [9, N]
-    rev_anchor = jnp.stack(_comp9(anchor_xyz[:, 1:]), axis=0)    # [9, N]
+    fwd_anchor9 = _comp9(anchor_xyz[:, :-1])
+    rev_anchor9 = _comp9(anchor_xyz[:, 1:])
+    fwd_seed = jnp.stack(fwd_anchor9, axis=0)                    # [9, N]
+    rev_anchor = jnp.stack(rev_anchor9, axis=0)                  # [9, N]
 
-    block = min(LANE_BLOCK, n)
-    grid = (pl.cdiv(n, block),)
+    fx, fy, fz = forward_scan_pallas(fwd_seed, seg_angles, pro_f)
 
-    def call(seeds):
-        outs = pl.pallas_call(
-            _segment_kernel,
-            grid=grid,
-            interpret=jax.default_backend() != "tpu",
-            in_specs=[
-                pl.BlockSpec((9, block), lambda i: (0, i)),
-                pl.BlockSpec((seg, 6, block), lambda i: (0, 0, i)),
-                pl.BlockSpec((seg, block), lambda i: (0, i)),
-                pl.BlockSpec((9, block), lambda i: (0, i)),
-                pl.BlockSpec((1, block), lambda i: (0, i)),
-            ],
-            out_specs=[pl.BlockSpec((t_max, block), lambda i: (0, i))] * 6,
-            out_shape=[jax.ShapeDtypeStruct((t_max, n), F32)] * 6,
-        )(seeds, seg_angles, pro_f, rev_anchor, t_atoms[None, :])
-        return outs[:3]
+    if refine_iters >= 2:
+        # blended tail rows {t-3, t-2, t-1} mix the forward tail with the
+        # stored anchor (the sweep's seed rows ARE the anchor), so the
+        # next seed needs no sweep; see nerf.py for the derivation
+        k = jnp.arange(3, dtype=I32)[:, None]
+        tail_idx = jnp.clip(t_atoms[None, :] - 3 + k, 0, t_max - 1)
+        tf = jnp.maximum(t_atoms[None, :].astype(F32), F32(1.0))
+        w_r = (t_atoms[None, :] - 3 + k).astype(F32)
+        w_f = tf - w_r
+        anchor_rows = (
+            jnp.stack([rev_anchor9[0], rev_anchor9[3], rev_anchor9[6]]),
+            jnp.stack([rev_anchor9[1], rev_anchor9[4], rev_anchor9[7]]),
+            jnp.stack([rev_anchor9[2], rev_anchor9[5], rev_anchor9[8]]))
+        tails = []
+        for comp, f_ in ((0, fx), (1, fy), (2, fz)):
+            f_tail = jnp.take_along_axis(f_, tail_idx, axis=0)   # [3, N]
+            tails.append((f_tail * w_f + anchor_rows[comp] * w_r) / tf)
 
-    seeds = fwd_seed
-    blended = None
-    for it in range(max(1, refine_iters)):
-        bx, by, bz = call(seeds)
-        blended = (bx, by, bz)
-        if it + 1 < refine_iters:
-            k = jnp.arange(3, dtype=I32)[:, None]
-            tail_idx = jnp.clip(t_atoms[None, :] - 3 + k, 0, t_max - 1)
-            new_seeds = []
-            for comp in range(3):
-                tails = jnp.take_along_axis(blended[comp], tail_idx,
-                                            axis=0).reshape(3, b, s)
-                anchor_col = anchor_xyz[:, 0, :, comp].T
-                prev = jnp.concatenate(
-                    [anchor_col[:, :, None], tails[:, :, :-1]], axis=2)
-                new_seeds.append(prev.reshape(3, b * s))
-            seeds = jnp.stack(
-                [new_seeds[comp][atom] for atom in range(3)
-                 for comp in range(3)], axis=0)
-    return blended
+        new_seeds = []
+        for comp in range(3):
+            t3 = tails[comp].reshape(3, b, s)
+            anchor_col = anchor_xyz[:, 0, :, comp].T             # [3, B]
+            prev = jnp.concatenate([anchor_col[:, :, None], t3[:, :, :-1]],
+                                   axis=2)
+            new_seeds.append(prev.reshape(3, b * s))
+        seeds2 = tuple(new_seeds[comp][atom]
+                       for atom in range(3) for comp in range(3))
+        fx, fy, fz = _rigid_reseed(fx, fy, fz, fwd_anchor9, seeds2)
+        fx = fx.at[0].set(seeds2[0]).at[1].set(seeds2[3]).at[2].set(seeds2[6])
+        fy = fy.at[0].set(seeds2[1]).at[1].set(seeds2[4]).at[2].set(seeds2[7])
+        fz = fz.at[0].set(seeds2[2]).at[1].set(seeds2[5]).at[2].set(seeds2[8])
+
+    return sweep_blend_pallas(fx, fy, fz, seg_angles, rev_anchor, t_atoms)
 
 
 def decode_backbone_segments_pallas(seg_angles, seg_is_pro, anchor_xyz,
