@@ -533,7 +533,7 @@ def _host_quant_round(v, mask, nbin):
 def _np_dihedral_parts(px, py, pz):
     """Backbone dihedral parts in numpy f32, one op per rounding step —
     bit-identical to the locally built C (no fma contraction; see
-    encode_sc_parts_core's docstring for why this cannot run under XLA).
+    encode_sc_q_core's docstring for why this cannot run under XLA).
     px/py/pz: [3L, B]; returns (inner, denom2, det) each [3L-3, B]."""
     d_x = px[1:] - px[:-1]
     d_y = py[1:] - py[:-1]
@@ -654,26 +654,14 @@ def finish_encode_host(sc_parts, atom14, res_code, tf_ca, res_mask):
         to_bl(ncac_q).reshape(-1), to_bl(cacn_q).reshape(-1),
         to_bl(cnca_q).reshape(-1)).reshape(b, l, 8)
 
-    # side chains: fixed [-180,180] 255-bin truncating quantizer
-    # (foldcomp.cpp:532-538 -> discretizer.cpp:55-57, all f32)
-    sc_ang = _host_dihedral(sc_parts["sc_inner"], sc_parts["sc_denom2"],
-                            sc_parts["sc_det"])            # [11, L, B]
-    sc_t = ((sc_ang + np.float32(180.0)) * _SC_DISC_F).astype(F32)
-
-    # Boundary rescue: XLA's f32 parts can differ from the C compiler's by
-    # a few ulps; a value within that noise of a truncation boundary could
-    # land in the neighboring bin. Flag such values (tolerance scaled by
-    # the acos error amplification 1/sqrt(1-cos^2)) and recompute exactly
-    # on host from atom14 — the flagged set is ~1e-3 of all values, so the
-    # rescue is O(flagged), and the resulting codes are bit-parity.
-    cos_sc = _host_cos(sc_parts["sc_inner"], sc_parts["sc_denom2"])
-    with np.errstate(invalid="ignore", divide="ignore"):
-        amp = 1.0 / np.sqrt(np.maximum(1.0 - cos_sc.astype(np.float64) ** 2,
-                                       1e-12))
-        tol = _SC_DISC_F * (4 * 57.29578 * 1.2e-7) * amp + 1e-4
-        dist = np.abs(sc_t - np.round(sc_t))
-        flagged = dist < tol
-    flagged &= np.isfinite(sc_t)
+    # Side chains: the device quantized them (fixed [-180,180] 255-bin
+    # truncating quantizer, foldcomp.cpp:532-538) and flagged every value
+    # within ulp-tolerance of a truncation boundary plus all NaN-guard
+    # outputs (kernels/encode.py encode_sc_q_core). Unflagged bins cannot
+    # differ from the exact path; flagged ones (~1e-3 of values) are
+    # recomputed here with the exact f32 parts + f64 acos — bit parity.
+    q = np.asarray(sc_parts["sc_q"], np.uint8).copy()   # [11, L, B]
+    flagged = np.asarray(sc_parts["sc_flag"]) > 0
     if flagged.any():
         from ..core.aatable import PRED_IDX
         ks, ls, bs = np.nonzero(flagged)          # slot-3, residue, batch
@@ -683,10 +671,11 @@ def finish_encode_host(sc_parts, atom14, res_code, tf_ca, res_mask):
         p1 = atom14[bs, ls, preds[:, 1]]
         p2 = atom14[bs, ls, preds[:, 2]]
         p3 = atom14[bs, ls, ks + 3]
-        sc_t[ks, ls, bs] = _exact_sc_t(p0, p1, p2, p3)
-
-    sc_t = np.where(np.isnan(sc_t) | (sc_t < 0), 0.0, sc_t)
-    sc_q = np.transpose(sc_t.astype(np.uint32).astype(np.uint8), (2, 1, 0))
+        t_new = _exact_sc_t(p0, p1, p2, p3)
+        t_new = np.where(np.isnan(t_new) | (t_new < 0),
+                         np.float32(0.0), t_new)
+        q[ks, ls, bs] = t_new.astype(np.uint32).astype(np.uint8)
+    sc_q = np.transpose(q, (2, 1, 0))
 
     # tempFactors: per-protein rounding quantizer (foldcomp.cpp:543-550)
     tf_q, tf_min, tf_cont = _host_quant_round(tf_ca.T, res_mask.T,
@@ -943,11 +932,12 @@ def encode_tensor_batch(frag_tensors, frag_meta, anchor_threshold: int = 25,
                         l_bucket: int = 32):
     """Device-encode prepared fragment tensors -> List[FczData | None].
 
-    Device computes the side-chain angle parts (encode_sc_parts_core); the
-    host computes the backbone streams and finishes everything with the
-    reference's f64-promoted acos + quantization (finish_encode_host) so
-    the records are bit-parity with the exact encoder."""
-    from ..kernels.encode import encode_sc_parts_core
+    Device quantizes the side chains and flags near-boundary values
+    (encode_sc_q_core); the host computes the backbone streams, rescues
+    flagged side-chain codes, and finishes with the reference's
+    f64-promoted acos + quantization (finish_encode_host) so the records
+    are bit-parity with the exact encoder."""
+    from ..kernels.encode import encode_sc_q_core
 
     live = [(i, t) for i, t in enumerate(frag_tensors) if t is not None]
     results = [None] * len(frag_tensors)
@@ -965,8 +955,9 @@ def encode_tensor_batch(frag_tensors, frag_meta, anchor_threshold: int = 25,
         res_code[k, :m] = rc
         tf_ca[k, :m] = tf
         res_mask[k, :m] = True
-    parts = encode_sc_parts_core(atom14, res_code)
-    out = finish_encode_host({k: np.asarray(v) for k, v in parts.items()},
+    sc_q, sc_flag = encode_sc_q_core(atom14, res_code)
+    out = finish_encode_host(dict(sc_q=np.asarray(sc_q),
+                                  sc_flag=np.asarray(sc_flag)),
                              atom14, res_code, tf_ca, res_mask)
     for k, (i, (a14, rc, tf)) in enumerate(live):
         meta = frag_meta[i]
@@ -1002,8 +993,8 @@ def encode_fragment_batch(fragments, anchor_threshold: int = 25,
                           l_bucket: int = 32):
     """Batched (device) encode of AtomArray fragments -> List[FczData].
 
-    Same parts/finish split as encode_tensor_batch: bit-parity records."""
-    from ..kernels.encode import encode_sc_parts_core
+    Same device/host split as encode_tensor_batch: bit-parity records."""
+    from ..kernels.encode import encode_sc_q_core
 
     tensors = [fragment_to_tensors(a) for a in fragments]
     b = len(tensors)
@@ -1019,8 +1010,9 @@ def encode_fragment_batch(fragments, anchor_threshold: int = 25,
         tf_ca[i, :n] = tf
         res_mask[i, :n] = True
 
-    parts = encode_sc_parts_core(atom14, res_code)
-    out = finish_encode_host({k: np.asarray(v) for k, v in parts.items()},
+    sc_q, sc_flag = encode_sc_q_core(atom14, res_code)
+    out = finish_encode_host(dict(sc_q=np.asarray(sc_q),
+                                  sc_flag=np.asarray(sc_flag)),
                              atom14, res_code, tf_ca, res_mask)
 
     fczs = []

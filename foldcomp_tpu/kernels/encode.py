@@ -48,26 +48,19 @@ def _masked_min_max(v, mask):
 
 
 @jax.jit
-def encode_sc_parts_core(atom14, res_code):
-    """Device half of the bit-parity encode path: side-chain dihedral parts.
+def encode_sc_q_core(atom14, res_code):
+    """Device side-chain quantization + near-boundary rescue flags.
 
-    Computes the f32 cross/dot/norm/determinant parts of every side-chain
-    dihedral (the ~11-per-residue bulk of encode arithmetic); the host
-    (codec/batch.py finish_encode_host) finishes them with the reference's
-    f64-promoted sqrt/division/acos. The 6 backbone streams are NOT
-    computed here: their 11/12-bit quantizers flip on 1-ulp cosine
-    differences and XLA's reassociation/contraction does not reproduce the
-    C compiler's per-op f32 rounding, so the (much cheaper) backbone parts
-    run on host numpy, which is bit-identical to the locally built
-    reference (see tests/test_fast_codec.py). Side chains use the fixed
-    255-bin [-180,180] quantizer (1.41 deg/bin) where ulp noise is
-    harmless.
-
-    atom14:   f32 [B, L, 14, 3] all atoms in table slots (missing -> 0)
-    res_code: i32 [B, L]        5-bit residue codes
-
-    Returns dict of f32 arrays sc_inner/sc_denom2/sc_det [11, L, B].
-    """
+    Returns (sc_q, sc_flag), each u8 [11, L, B]. sc_q is the fixed
+    255-bin truncating quantization computed in device f32; sc_flag marks
+    values whose scaled angle lies within an ulp-derived tolerance of a
+    truncation boundary (tolerance amplified by 1/sqrt(1-cos^2), the acos
+    input sensitivity), plus every NaN-guard output. The host keeps
+    unflagged codes as-is (device f32 cannot flip those bins vs the exact
+    path) and recomputes flagged ones exactly from atom14
+    (codec/batch.py finish_encode_host) — bit-parity at 2 bytes/slot of
+    D2H transfer instead of 12 for the raw parts (the parts form was
+    transfer-bound on the axon tunnel)."""
     a14 = jnp.transpose(atom14, (2, 3, 1, 0))        # [14, 3, L, B]
     sxa, sya, sza = a14[:, 0], a14[:, 1], a14[:, 2]  # [14, L, B]
     codes_lb = jnp.clip(res_code.T, 0, 23)           # [L, B]
@@ -79,21 +72,34 @@ def encode_sc_parts_core(atom14, res_code):
             acc = jnp.where(idx == kk, arr[kk], acc)
         return acc
 
-    sc_i, sc_d2, sc_dt = [], [], []
+    qs, flags = [], []
+    deg = F32(57.29577951308232)
     for k in range(3, MAX_ATOM):
         p0 = preds[..., k, 0]
         p1 = preds[..., k, 1]
         p2 = preds[..., k, 2]
-        si, sd2, sdt = dihedral_parts_c(
+        inner, denom2, det = dihedral_parts_c(
             sel(sxa, p0, k), sel(sya, p0, k), sel(sza, p0, k),
             sel(sxa, p1, k), sel(sya, p1, k), sel(sza, p1, k),
             sel(sxa, p2, k), sel(sya, p2, k), sel(sza, p2, k),
             sxa[k], sya[k], sza[k])
-        sc_i.append(si)
-        sc_d2.append(sd2)
-        sc_dt.append(sdt)
-    return dict(sc_inner=jnp.stack(sc_i), sc_denom2=jnp.stack(sc_d2),
-                sc_det=jnp.stack(sc_dt))
+        bad = denom2 <= 0.0
+        cos_t = inner / jnp.sqrt(jnp.where(bad, F32(1.0), denom2))
+        ang = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0)) * deg
+        nan_like = bad | (jnp.abs(cos_t) > 1.0)
+        ang = jnp.where(nan_like,
+                        jnp.where(cos_t < 0, F32(180.0), F32(0.0)), ang)
+        ang = jnp.where(det < 0, -ang, ang)
+        t = (ang + F32(180.0)) * _SC_DISC_F
+        t = jnp.where(jnp.isnan(t) | (t < 0), F32(0.0), t)
+        q = jnp.clip(t.astype(I32), 0, 255).astype(jnp.uint8)
+        amp = jax.lax.rsqrt(jnp.maximum(F32(1.0) - cos_t * cos_t,
+                                        F32(1e-12)))
+        tol = _SC_DISC_F * deg * F32(1e-6) * (F32(1.0) + amp) + F32(2e-4)
+        dist = jnp.abs(t - jnp.round(t))
+        flags.append(((dist < tol) | nan_like).astype(jnp.uint8))
+        qs.append(q)
+    return jnp.stack(qs), jnp.stack(flags)            # [11, L, B] each
 
 
 @jax.jit
