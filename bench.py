@@ -144,6 +144,27 @@ def bench_e2e(workdir, fcz_db, pdb_db, n_res_total):
     return (n_res_total / dt_d, n_res_total / dt_c, cold_d, cold_c)
 
 
+def bench_e2e_native(workdir, fcz_db, pdb_db, n_res_total, threads=4):
+    """Default CLI path (byte-exact native codec, thread pool) — the
+    product default for small/medium jobs, and not bound by the axon
+    tunnel's ~33 MB/s host<->device link."""
+    from foldcomp_tpu import cli
+
+    out1 = os.path.join(workdir, "native_pdb_db")
+    t0 = time.perf_counter()
+    rc = cli.main(["decompress", "--exact", "-t", str(threads), "-y", "-d",
+                   fcz_db, out1])
+    dt_d = time.perf_counter() - t0
+    assert rc == 0
+    out2 = os.path.join(workdir, "native_fcz_db")
+    t0 = time.perf_counter()
+    rc = cli.main(["compress", "-t", str(threads), "-y", "-d", pdb_db,
+                   out2])
+    dt_c = time.perf_counter() - t0
+    assert rc == 0
+    return n_res_total / dt_d, n_res_total / dt_c
+
+
 def main():
     import jax
     try:
@@ -160,15 +181,25 @@ def main():
     sync, sustained = bench_device_decode(jax, f)
     enc_rate = bench_device_encode(jax, frag)
 
-    with tempfile.TemporaryDirectory() as workdir:
+    # e2e on tmpfs: the VM disk writes at 131 MB/s and would floor the
+    # 229 MB decompressed corpus at ~1.8 s regardless of the pipeline;
+    # the reference baseline keys below were re-measured on tmpfs too
+    e2e_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(dir=e2e_root) as workdir:
         # 1280 = exact multiples of the stream window (512) and batch
         # (128): no remainder-batch shapes to compile
         fcz_db, pdb_db, n_res_total = _build_dbs(workdir, 1280)
         e2e_dec, e2e_comp, cold_d, cold_c = bench_e2e(
             workdir, fcz_db, pdb_db, n_res_total)
+        nat_dec, nat_comp = bench_e2e_native(workdir, fcz_db, pdb_db,
+                                             n_res_total)
 
     base = BASELINE["decompress_residues_per_s_wall_t4"]
     base_c = BASELINE.get("compress_residues_per_s_wall_t4", 232700)
+    base_tmpfs = BASELINE.get("decompress_residues_per_s_wall_t4_tmpfs",
+                              base)
+    base_c_tmpfs = BASELINE.get("compress_residues_per_s_wall_t4_tmpfs",
+                                base_c)
     print(json.dumps({
         "metric": "decode_throughput",
         "value": round(sustained, 1),
@@ -177,10 +208,15 @@ def main():
         "decode_sync_res_s": round(sync, 1),
         "encode_device_res_s": round(enc_rate, 1),
         "e2e_decompress_db_res_s": round(e2e_dec, 1),
-        "e2e_decompress_vs_baseline": round(e2e_dec / base, 3),
+        "e2e_decompress_vs_baseline": round(e2e_dec / base_tmpfs, 3),
         "e2e_compress_db_res_s": round(e2e_comp, 1),
-        "e2e_compress_vs_baseline": round(e2e_comp / base_c, 3),
+        "e2e_compress_vs_baseline": round(e2e_comp / base_c_tmpfs, 3),
         "e2e_cold_first_run_s": [round(cold_d, 1), round(cold_c, 1)],
+        "e2e_native_decompress_res_s": round(nat_dec, 1),
+        "e2e_native_decompress_vs_baseline": round(nat_dec / base_tmpfs, 3),
+        "e2e_native_compress_res_s": round(nat_comp, 1),
+        "e2e_native_compress_vs_baseline": round(nat_comp / base_c_tmpfs,
+                                                 3),
     }))
 
 

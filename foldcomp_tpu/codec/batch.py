@@ -232,6 +232,25 @@ def _seg_decode_arrays(arrays, refine_iters=2):
         refine_iters=refine_iters)
 
 
+def _outs_to_host(outs):
+    """Device decode output -> host arrays (full or compact form)."""
+    if isinstance(outs, tuple):
+        off, ca = outs
+        return np.asarray(off), np.asarray(ca)
+    return np.asarray(outs)
+
+
+def _gather_a14(outs_np, m):
+    """Per-protein [n, 14, 3] atoms from the (possibly compact) decode
+    output via the host residue index ("stitch")."""
+    if isinstance(outs_np, tuple):
+        off, ca = outs_np
+        o = off[m.lane_of, m.rec_of].astype(F32)
+        c = ca[m.lane_of, m.rec_of]
+        return np.ascontiguousarray(c[:, None, :] + o * np.float32(0.001))
+    return np.ascontiguousarray(outs_np[m.lane_of, m.rec_of])
+
+
 def _assemble_protein(a14, meta, use_alt_order: bool = False):
     """[n, 14, 3] atoms + SegDecodeMeta -> AtomArray."""
     n = meta.n_residue
@@ -327,9 +346,9 @@ def decode_fcz_batch(fczs, refine_iters: int = 2, use_alt_order: bool = False):
     """Parse payloads through the batched device decoder (segment-space
     core; the residue re-index happens on host)."""
     arrays, metas = pack_decode_batch_seg(fczs)
-    atom14_seg = np.asarray(_seg_decode_arrays(arrays, refine_iters))
-    return [_assemble_protein(atom14_seg[m.lane_of, m.rec_of], m,
-                              use_alt_order) for m in metas]
+    outs = _outs_to_host(_seg_decode_arrays(arrays, refine_iters))
+    return [_assemble_protein(_gather_a14(outs, m), m, use_alt_order)
+            for m in metas]
 
 
 def decode_fcz_to_pdb_batch(fczs, refine_iters: int = 2,
@@ -340,7 +359,7 @@ def decode_fcz_to_pdb_batch(fczs, refine_iters: int = 2,
     text (no per-atom Python); otherwise falls back through AtomArray.
     """
     arrays, metas = pack_decode_batch_seg(fczs)
-    atom14_seg = np.asarray(_seg_decode_arrays(arrays, refine_iters))
+    outs = _outs_to_host(_seg_decode_arrays(arrays, refine_iters))
 
     try:
         from ..native import format_atom14_native, get_lib
@@ -350,7 +369,7 @@ def decode_fcz_to_pdb_batch(fczs, refine_iters: int = 2,
 
     out = []
     for m in metas:
-        a14 = np.ascontiguousarray(atom14_seg[m.lane_of, m.rec_of])
+        a14 = _gather_a14(outs, m)
         if have_native:
             out.append(format_atom14_native(
                 a14, m.temp, m.res_code, m.n_residue, m.idx_residue,
@@ -417,12 +436,17 @@ def decode_fcz_stream(payload_iter, batch_size: int = 128,
 
     resbuf = {}          # global index -> (payload, text)
     next_out = 0
-    pending = None       # (idxs, fczs, metas, device outputs)
+    pending = None       # (idxs, fczs, metas, host-transfer future)
+    # dedicated transfer thread: D2H of batch k overlaps the formatting
+    # and writing of earlier batches (the link serializes transfers
+    # anyway, so one thread is the right width)
+    xfer = ThreadPoolExecutor(1)
 
     def drain(pend):
         nonlocal next_out
-        idxs, fczs, metas, outs = pend
-        for gi, (f, text) in zip(idxs, _format_batch(fczs, metas, outs,
+        idxs, fczs, metas, fut = pend
+        for gi, (f, text) in zip(idxs, _format_batch(fczs, metas,
+                                                     fut.result(),
                                                      use_alt_order,
                                                      pool=pool)):
             resbuf[gi] = (f, text)
@@ -436,19 +460,21 @@ def decode_fcz_stream(payload_iter, batch_size: int = 128,
             break
         idxs, fczs, (arrays, metas) = item
         outs = _seg_decode_arrays(arrays, refine_iters)
+        fut = xfer.submit(_outs_to_host, outs)
         # format the PREVIOUS batch while this one runs on device
         if pending is not None:
             yield from drain(pending)
-        pending = (idxs, fczs, metas, outs)
+        pending = (idxs, fczs, metas, fut)
     if pending is not None:
         yield from drain(pending)
     assert not resbuf, "reorder buffer not drained"
     t.join()
     pool.shutdown()
+    xfer.shutdown()
 
 
 def _format_batch(fczs, metas, outs, use_alt_order, pool=None):
-    atom14_seg = np.asarray(outs)
+    outs_np = _outs_to_host(outs)
     try:
         from ..native import format_atom14_native, get_lib
         have_native = get_lib() is not None
@@ -456,7 +482,7 @@ def _format_batch(fczs, metas, outs, use_alt_order, pool=None):
         have_native = False
     if have_native:
         def fmt(m):
-            a14 = np.ascontiguousarray(atom14_seg[m.lane_of, m.rec_of])
+            a14 = _gather_a14(outs_np, m)
             return format_atom14_native(
                 a14, m.temp, m.res_code, m.n_residue, m.idx_residue,
                 m.idx_atom, m.chain, m.first_residue, m.last_residue,
@@ -472,8 +498,8 @@ def _format_batch(fczs, metas, outs, use_alt_order, pool=None):
     else:
         from ..io.pdb import format_pdb
         for f, m in zip(fczs, metas):
-            a14 = atom14_seg[m.lane_of, m.rec_of]
-            atoms = _assemble_protein(a14, m, use_alt_order)
+            atoms = _assemble_protein(_gather_a14(outs_np, m), m,
+                                      use_alt_order)
             yield f, format_pdb(atoms, m.title)
 
 

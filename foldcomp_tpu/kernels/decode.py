@@ -241,10 +241,11 @@ def _decode_core_vec3(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
 
 
 @partial(jax.jit, static_argnames=("refine_iters", "nerf_impl",
-                                   "gather_free"))
+                                   "gather_free", "compact"))
 def decode_seg_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
                     anchor_xyz, seg_m, refine_iters: int = 2,
-                    nerf_impl: str = "xla", gather_free: bool = True):
+                    nerf_impl: str = "xla", gather_free: bool = True,
+                    compact: bool = False):
     """Segment-space decode: ZERO device gathers.
 
     The round-2 TPU profile showed the device time of the residue-space
@@ -298,12 +299,28 @@ def decode_seg_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
                                     gather_free=gather_free)
 
     atom14 = jnp.stack([sx, sy, sz], axis=-1)        # [14, SEG, N, 3]
-    return jnp.transpose(atom14, (2, 1, 0, 3))       # [N, SEG, 14, 3]
+    atom14 = jnp.transpose(atom14, (2, 1, 0, 3))     # [N, SEG, 14, 3]
+    if not compact:
+        return atom14
+    # Compact D2H form: CA in f32 + per-atom int16 millangstrom offsets
+    # from CA (every placed atom is within ~8 A of its CA; int16 mm spans
+    # +-32.7 A). 96 B/record instead of 168 — the axon tunnel's host<->
+    # device bandwidth bounds e2e throughput, not device compute. The
+    # +-0.5 mm quantization is 160x below the format's own ~0.08 A
+    # reconstruction error.
+    ca = atom14[:, :, 1]                             # [N, SEG, 3]
+    off = (atom14 - ca[:, :, None, :]) * F32(1000.0)
+    off = jnp.clip(jnp.round(off), -32767.0, 32767.0).astype(jnp.int16)
+    return off, ca
 
 
 def decode_seg_batch_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
                           anchor_xyz, seg_m, refine_iters: int = 2):
-    """Backend-dispatched segment-space decode (see decode_seg_core)."""
+    """Backend-dispatched segment-space decode (see decode_seg_core).
+
+    Returns atom14_seg f32 [N, SEG, 14, 3], or on accelerator backends
+    the compact (off_i16, ca_f32) pair (codec/batch.py reconstructs after
+    the host residue index; FOLDCOMP_TPU_COMPACT=0 disables)."""
     import os
 
     import jax
@@ -315,9 +332,11 @@ def decode_seg_batch_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
                                refine_iters=refine_iters,
                                gather_free=False)
     nerf_impl = "pallas" if os.environ.get("FOLDCOMP_TPU_PALLAS") else "xla"
+    compact = os.environ.get("FOLDCOMP_TPU_COMPACT", "1") != "0"
     return decode_seg_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
                            anchor_xyz, seg_m, refine_iters=refine_iters,
-                           nerf_impl=nerf_impl, gather_free=True)
+                           nerf_impl=nerf_impl, gather_free=True,
+                           compact=compact)
 
 
 def decode_batch_core(records, mins, cont_fs, sc_codes, tf_codes, tf_min,

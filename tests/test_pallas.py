@@ -49,3 +49,30 @@ def test_pallas_matches_xla(refine_iters):
         n = m.n_residue
         d = np.abs(a14_x[i, :n] - a14_p[i, :n]).max()
         assert d < 1e-3, (i, d)
+
+
+def test_compact_output_precision():
+    """Compact (CA f32 + int16 mm offsets) D2H form reconstructs within
+    0.5 mm of the full-f32 output — 160x below the format's own ~0.08 A
+    reconstruction error."""
+    import jax.numpy as jnp  # noqa: F401
+    from foldcomp_tpu.codec.batch import (_gather_a14, _outs_to_host,
+                                          pack_decode_batch_seg)
+    from foldcomp_tpu.kernels.decode import decode_seg_core
+
+    arrays, metas = pack_decode_batch_seg(_payloads())
+
+    def run(compact):
+        return decode_seg_core(
+            arrays["seg_records"], arrays["mins_lane"],
+            arrays["cont_lane"], arrays["sc_codes_seg"],
+            arrays["anchor_xyz"], arrays["seg_m"], refine_iters=2,
+            gather_free=False, compact=compact)
+
+    full = _outs_to_host(run(False))
+    comp = _outs_to_host(run(True))
+    assert isinstance(comp, tuple)
+    for m in metas:
+        a = _gather_a14(full, m)
+        b = _gather_a14(comp, m)
+        assert np.abs(a - b).max() < 6e-4, np.abs(a - b).max()
