@@ -144,25 +144,31 @@ def bench_e2e(workdir, fcz_db, pdb_db, n_res_total):
     return (n_res_total / dt_d, n_res_total / dt_c, cold_d, cold_c)
 
 
-def bench_e2e_native(workdir, fcz_db, pdb_db, n_res_total, threads=4):
-    """Default CLI path (byte-exact native codec, thread pool) — the
-    product default for small/medium jobs, and not bound by the axon
-    tunnel's ~33 MB/s host<->device link."""
+def bench_e2e_native(workdir, fcz_db, pdb_db, n_res_total, threads=4,
+                     trials=2):
+    """Default CLI path (byte-exact native codec, process-sharded -t) —
+    the product default for small/medium jobs, and not bound by the axon
+    tunnel's ~33 MB/s host<->device link. Best-of-N (shared-VM steal
+    noise swings subsecond walls 2-3x)."""
     from foldcomp_tpu import cli
 
-    out1 = os.path.join(workdir, "native_pdb_db")
-    t0 = time.perf_counter()
-    rc = cli.main(["decompress", "--exact", "-t", str(threads), "-y", "-d",
-                   fcz_db, out1])
-    dt_d = time.perf_counter() - t0
-    assert rc == 0
-    out2 = os.path.join(workdir, "native_fcz_db")
-    t0 = time.perf_counter()
-    rc = cli.main(["compress", "-t", str(threads), "-y", "-d", pdb_db,
-                   out2])
-    dt_c = time.perf_counter() - t0
-    assert rc == 0
-    return n_res_total / dt_d, n_res_total / dt_c
+    best_d = best_c = 0.0
+    for _ in range(trials):
+        out1 = os.path.join(workdir, "native_pdb_db")
+        t0 = time.perf_counter()
+        rc = cli.main(["decompress", "--exact", "-t", str(threads), "-y",
+                       "-d", fcz_db, out1])
+        dt_d = time.perf_counter() - t0
+        assert rc == 0
+        out2 = os.path.join(workdir, "native_fcz_db")
+        t0 = time.perf_counter()
+        rc = cli.main(["compress", "-t", str(threads), "-y", "-d", pdb_db,
+                       out2])
+        dt_c = time.perf_counter() - t0
+        assert rc == 0
+        best_d = max(best_d, n_res_total / dt_d)
+        best_c = max(best_c, n_res_total / dt_c)
+    return best_d, best_c
 
 
 def main():
@@ -186,9 +192,10 @@ def main():
     # the reference baseline keys below were re-measured on tmpfs too
     e2e_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     with tempfile.TemporaryDirectory(dir=e2e_root) as workdir:
-        # 1280 = exact multiples of the stream window (512) and batch
-        # (128): no remainder-batch shapes to compile
-        fcz_db, pdb_db, n_res_total = _build_dbs(workdir, 1280)
+        # 5120 = exact multiples of the stream window (512) and batch
+        # (128): no remainder-batch shapes to compile; big enough that
+        # worker startup and VM noise don't dominate subsecond walls
+        fcz_db, pdb_db, n_res_total = _build_dbs(workdir, 5120)
         e2e_dec, e2e_comp, cold_d, cold_c = bench_e2e(
             workdir, fcz_db, pdb_db, n_res_total)
         nat_dec, nat_comp = bench_e2e_native(workdir, fcz_db, pdb_db,

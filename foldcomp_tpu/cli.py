@@ -854,6 +854,43 @@ def run_check(opts: Options, entries):
     return 0
 
 
+def run_sharded_db(mode: str, inp: str, output: str, opts: Options) -> int:
+    """db -> db compress/decompress across opts.threads worker processes.
+
+    Each worker runs (de)compress_db_shard on its contiguous entry range
+    (original entry keys preserved, like the reference's DatabaseProcessor
+    fan-out, main.cpp:661-669); the parent merges the shard databases."""
+    import subprocess
+
+    from .parallel.dist import merge_shard_dbs
+
+    n = opts.threads
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fn = ("decompress_db_shard" if mode == "decompress"
+          else "compress_db_shard")
+    extra = ("fast=False" if mode == "decompress"
+             else f"anchor_threshold={opts.anchor_threshold}, fast=False")
+    env = dict(os.environ)
+    # workers run pure native C work — skip the accelerator plugin's
+    # sitecustomize (it imports jax, ~2 s per process)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    procs = []
+    for pid in range(n):
+        code = (f"import sys; sys.path.insert(0, {repo!r})\n"
+                f"from foldcomp_tpu.parallel.dist import {fn}\n"
+                f"{fn}({inp!r}, {output!r}, {pid}, {n}, {extra})\n")
+        procs.append(subprocess.Popen([sys.executable, "-c", code],
+                                      env=env))
+    rc = 0
+    for p in procs:
+        rc |= p.wait()
+    if rc:
+        print("[Error] sharded worker failed", file=sys.stderr)
+        return 1
+    merge_shard_dbs(output, n)
+    return 0
+
+
 def run_rmsd(path1: str, path2: str):
     def load(p):
         with open(p, "rb") as fh:
@@ -998,6 +1035,20 @@ def main(argv=None) -> int:
                 print(f"Output: {output.rstrip('/')}")
             else:
                 print(f"Output directory: {output}")
+
+    # Process-sharded batch path: db -> db with -t N runs N worker
+    # PROCESSES over contiguous entry ranges (parallel/dist.py) and merges
+    # the shard databases. The in-process thread pool scales NEGATIVELY
+    # past 2 threads on the native codec (GIL convoy on the per-entry
+    # Python bookkeeping); separate processes shard cleanly, exactly like
+    # the multi-host layout.
+    if (mode in ("compress", "decompress") and opts.threads > 1
+            and not single and not opts.fast and not single_files
+            and len(inputs) == 1 and is_database(inputs[0])
+            and opts.db_output and opts.id_file is None
+            and not opts.alt and not opts.check_before
+            and not opts.measure_time):
+        return run_sharded_db(mode, inputs[0], output, opts)
 
     rc = 0
     entry_sources = []

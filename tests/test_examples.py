@@ -18,7 +18,7 @@ def test_python_api_tour():
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", "python_api_tour.py"),
          str(REF_TEST_DIR)],
-        capture_output=True, text=True, env=env, timeout=500)
+        capture_output=True, text=True, env=env, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "done" in r.stdout
     assert "database has 24 entries" in r.stdout
