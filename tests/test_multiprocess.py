@@ -156,3 +156,53 @@ def test_multiprocess_compress(tmp_path, ref_test_dir):
         assert a.get_data(pos) == b.get_data(pos)
     a.close()
     b.close()
+
+
+def test_cli_sharded_threads_db(tmp_path, ref_test_dir):
+    """`-t N` on db->db routes through N worker processes; output equals
+    the single-thread path entry-for-entry."""
+    from foldcomp_tpu import cli
+    from foldcomp_tpu.io.db import DatabaseReader, DatabaseWriter
+
+    src = (ref_test_dir / "test_af.fcz").read_bytes()
+    fcz_db = str(tmp_path / "fczdb")
+    w = DatabaseWriter(fcz_db)
+    for i in range(12):
+        w.append(src + b"\x00", i, f"e{i}")
+    w.close()
+
+    out1 = str(tmp_path / "out1")
+    out4 = str(tmp_path / "out4")
+    assert cli.main(["decompress", "--exact", "-t", "1", "-y", "-d",
+                     fcz_db, out1]) == 0
+    assert cli.main(["decompress", "--exact", "-t", "3", "-y", "-d",
+                     fcz_db, out4]) == 0
+    a = DatabaseReader(out1, use_lookup=True)
+    b = DatabaseReader(out4, use_lookup=True)
+    assert len(a) == len(b) == 12
+    for pos in range(len(a)):
+        key = a.get_key(pos)
+        assert a.get_data(pos) == b.get_data(b.position_of_key(key))
+        assert a.name_of_key(key) == b.name_of_key(key)
+    a.close()
+    b.close()
+
+    # compress direction: pdb db -> fcz db, 2 processes vs 1 thread
+    pdb_db = str(tmp_path / "pdbdb")
+    w = DatabaseWriter(pdb_db)
+    pdb = (ref_test_dir / "test_af.pdb").read_bytes()
+    for i in range(8):
+        w.append(pdb + b"\x00", i, f"p{i}")
+    w.close()
+    c1 = str(tmp_path / "c1")
+    c2 = str(tmp_path / "c2")
+    assert cli.main(["compress", "-t", "1", "-y", "-d", pdb_db, c1]) == 0
+    assert cli.main(["compress", "-t", "2", "-y", "-d", pdb_db, c2]) == 0
+    a = DatabaseReader(c1, use_lookup=True)
+    b = DatabaseReader(c2, use_lookup=True)
+    assert len(a) == len(b) == 8
+    for pos in range(len(a)):
+        key = a.get_key(pos)
+        assert a.get_data(pos) == b.get_data(b.position_of_key(key))
+    a.close()
+    b.close()
