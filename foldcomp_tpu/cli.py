@@ -708,6 +708,38 @@ def _accelerator_present() -> bool:
         return False
 
 
+# Decompress ships ~96 compact bytes per residue device->host (see
+# kernels/decode.py). The native exact path delivers ~350k residues/s per
+# core, so below ~100 MB/s of D2H bandwidth the device pipeline cannot
+# beat it no matter how fast the chip is.
+_FAST_MIN_LINK_MBS = 100.0
+
+
+def _device_link_ok(min_mbs: float = _FAST_MIN_LINK_MBS) -> bool:
+    """Probe host<->device bandwidth; True when the link can feed the
+    batched path faster than the native CPU path.
+
+    A real TPU host moves tens of GB/s over PCIe and always passes; a
+    tunneled/remoted device (development setups) may only move tens of
+    MB/s, where shipping coordinates would bound end-to-end throughput
+    below the native codec. One 8 MB round trip decides (~0.2 s worst
+    case, amortized over batch jobs that run for many seconds)."""
+    try:
+        import numpy as np
+
+        import jax
+
+        x = np.zeros(8 << 20, np.uint8)
+        dev = jax.device_put(x)
+        jax.block_until_ready(dev)       # H2D not timed: warm the path
+        t0 = time.perf_counter()
+        np.asarray(dev)                  # D2H, the direction decode ships
+        dt = time.perf_counter() - t0
+        return (len(x) / dt) / 1e6 >= min_mbs
+    except Exception:
+        return True
+
+
 def run_decompress(opts: Options, entries, output: str, single: bool):
     sink_kind = ("db" if opts.db_output else
                  "tar" if opts.save_as_tar else
@@ -723,10 +755,16 @@ def run_decompress(opts: Options, entries, output: str, single: bool):
         head = list(itertools.islice(entries, FAST_DEFAULT_MIN + 1))
         entries = itertools.chain(head, entries)
         if len(head) > FAST_DEFAULT_MIN and _accelerator_present():
-            print("[Info] TPU backend detected: using batched decode "
-                  "(pass --exact for the byte-exact native path)",
-                  file=sys.stderr)
-            opts.fast = True
+            if _device_link_ok():
+                print("[Info] TPU backend detected: using batched decode "
+                      "(pass --exact for the byte-exact native path)",
+                      file=sys.stderr)
+                opts.fast = True
+            else:
+                print("[Info] TPU present but host<->device link is too "
+                      "slow for coordinate streaming; using the native "
+                      "path (pass --fast to force the device pipeline)",
+                      file=sys.stderr)
     if opts.fast:
         return _run_decompress_fast(opts, entries, sink, sink_kind, output)
 

@@ -686,11 +686,19 @@ def finish_encode_host(sc_parts, atom14, res_code, tf_ca, res_mask):
     # outputs (kernels/encode.py encode_sc_q_core). Unflagged bins cannot
     # differ from the exact path; flagged ones (~1e-3 of values) are
     # recomputed here with the exact f32 parts + f64 acos — bit parity.
-    q = np.asarray(sc_parts["sc_q"], np.uint8).copy()   # [11, L, B]
+    q = np.asarray(sc_parts["sc_q"], np.uint8).copy()   # [B, L, 11]
     flagged = np.asarray(sc_parts["sc_flag"]) > 0
+    # only slots the serializer will emit need bit-parity rescue: slot k
+    # of residue r matters iff k < n_sc_torsion(residue r) and the
+    # residue is real — unused slots see degenerate zero geometry, hit
+    # the NaN guard, and would otherwise all be flagged (57% of slots)
+    counts = np.where(res_code < NUM_AA, N_SC_TORSION[res_code], 0)
+    emitted = (np.arange(q.shape[2])[None, None, :]
+               < counts[:, :, None]) & res_mask[:, :, None]
+    flagged &= emitted
     if flagged.any():
         from ..core.aatable import PRED_IDX
-        ks, ls, bs = np.nonzero(flagged)          # slot-3, residue, batch
+        bs, ls, ks = np.nonzero(flagged)          # batch, residue, slot-3
         codes = np.clip(res_code[bs, ls], 0, 23)
         preds = np.asarray(PRED_IDX)[codes, ks + 3]    # [M, 3]
         p0 = atom14[bs, ls, preds[:, 0]]
@@ -700,8 +708,8 @@ def finish_encode_host(sc_parts, atom14, res_code, tf_ca, res_mask):
         t_new = _exact_sc_t(p0, p1, p2, p3)
         t_new = np.where(np.isnan(t_new) | (t_new < 0),
                          np.float32(0.0), t_new)
-        q[ks, ls, bs] = t_new.astype(np.uint32).astype(np.uint8)
-    sc_q = np.transpose(q, (2, 1, 0))
+        q[bs, ls, ks] = t_new.astype(np.uint32).astype(np.uint8)
+    sc_q = q
 
     # tempFactors: per-protein rounding quantizer (foldcomp.cpp:543-550)
     tf_q, tf_min, tf_cont = _host_quant_round(tf_ca.T, res_mask.T,
@@ -985,6 +993,11 @@ def encode_tensor_batch(frag_tensors, frag_meta, anchor_threshold: int = 25,
     out = finish_encode_host(dict(sc_q=np.asarray(sc_q),
                                   sc_flag=np.asarray(sc_flag)),
                              atom14, res_code, tf_ca, res_mask)
+    # side-chain stream compaction for the whole batch in one masked
+    # fancy-index: sc_q is [B, L, 11] row-major, so selecting slot j of
+    # residue r where j < n_sc_torsion(residue r) preserves the per-entry
+    # (residue, slot) stream order the serializer needs
+    slot_idx = np.arange(out["sc_q"].shape[2])
     for k, (i, (a14, rc, tf)) in enumerate(live):
         meta = frag_meta[i]
         nres = a14.shape[0]
@@ -993,9 +1006,8 @@ def encode_tensor_batch(frag_tensors, frag_meta, anchor_threshold: int = 25,
             # nAnchor is a uint8 header field; see encoder.encode
             continue
         counts = np.where(rc < NUM_AA, N_SC_TORSION[rc], 0)
-        sc_stream = np.concatenate(
-            [out["sc_q"][k, r, :counts[r]] for r in range(nres)]) \
-            if counts.sum() else np.zeros(0, np.uint8)
+        sc_stream = out["sc_q"][k, :nres][slot_idx[None, :] <
+                                          counts[:, None]]
         results[i] = FczData(
             n_residue=nres, n_atom=meta["n_atom"],
             idx_residue=meta["idx_residue"], idx_atom=meta["idx_atom"],
@@ -1045,11 +1057,11 @@ def encode_fragment_batch(fragments, anchor_threshold: int = 25,
     for i, (a14, rc, tf, meta) in enumerate(tensors):
         n = a14.shape[0]
         anchors = _anchor_indices(n, anchor_threshold)
-        # side-chain stream compaction (table order per residue)
+        # side-chain stream compaction (table order per residue), one
+        # masked fancy-index per entry
         counts = np.where(rc < NUM_AA, N_SC_TORSION[rc], 0)
-        sc_stream = np.concatenate(
-            [out["sc_q"][i, r, :counts[r]] for r in range(n)]) \
-            if counts.sum() else np.zeros(0, np.uint8)
+        sc_stream = out["sc_q"][i, :n][
+            np.arange(out["sc_q"].shape[2])[None, :] < counts[:, None]]
         fczs.append(FczData(
             n_residue=n, n_atom=meta["n_atom"],
             idx_residue=meta["idx_residue"], idx_atom=meta["idx_atom"],

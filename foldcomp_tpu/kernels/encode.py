@@ -51,7 +51,7 @@ def _masked_min_max(v, mask):
 def encode_sc_q_core(atom14, res_code):
     """Device side-chain quantization + near-boundary rescue flags.
 
-    Returns (sc_q, sc_flag), each u8 [11, L, B]. sc_q is the fixed
+    Returns (sc_q, sc_flag), each u8 [B, L, 11]. sc_q is the fixed
     255-bin truncating quantization computed in device f32; sc_flag marks
     values whose scaled angle lies within an ulp-derived tolerance of a
     truncation boundary (tolerance amplified by 1/sqrt(1-cos^2), the acos
@@ -99,7 +99,11 @@ def encode_sc_q_core(atom14, res_code):
         dist = jnp.abs(t - jnp.round(t))
         flags.append(((dist < tol) | nan_like).astype(jnp.uint8))
         qs.append(q)
-    return jnp.stack(qs), jnp.stack(flags)            # [11, L, B] each
+    # transpose to [B, L, 11] on device: that is the layout the host
+    # serializer consumes, and converting an [11, L, B]-major jax array
+    # to numpy costs a 45 ms host-side relayout per batch otherwise
+    return (jnp.transpose(jnp.stack(qs), (2, 1, 0)),
+            jnp.transpose(jnp.stack(flags), (2, 1, 0)))
 
 
 @jax.jit
