@@ -82,3 +82,28 @@ def test_exact_flag_forces_native(monkeypatch, tmp_path, fcz_dir):
     want = format_pdb(decode(f), f.title)
     got = (out / "p0.pdb").read_text()
     assert got == want
+
+
+def test_slow_link_keeps_native(monkeypatch, tmp_path, fcz_dir, capsys):
+    """A TPU behind a slow host<->device link must NOT auto-engage the
+    coordinate-streaming fast path (the D2H ship would bound e2e below
+    the native codec)."""
+    monkeypatch.setattr(cli, "FAST_DEFAULT_MIN", 4)
+    monkeypatch.setattr(cli, "_accelerator_present", lambda: True)
+    monkeypatch.setattr(cli, "_device_link_ok", lambda: False)
+    out = tmp_path / "out"
+    _decompress(["decompress", "-y", str(fcz_dir), str(out)])
+    assert "link is too slow" in capsys.readouterr().err
+    # output is the byte-exact native decode
+    from foldcomp_tpu.codec import fcz as fcz_mod
+    from foldcomp_tpu.codec.decoder import decode
+    from foldcomp_tpu.io.pdb import format_pdb
+    f = fcz_mod.parse(require_fixture("test_af.fcz").read_bytes())
+    assert (out / "p0.pdb").read_text() == format_pdb(decode(f), f.title)
+
+
+def test_device_link_probe_runs():
+    """The probe itself: returns a bool and tolerates any backend (on the
+    CPU test backend the 'link' is memcpy and always passes)."""
+    assert cli._device_link_ok() is True
+    assert cli._device_link_ok(min_mbs=float("inf")) is False
