@@ -241,11 +241,11 @@ def _decode_core_vec3(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
 
 
 @partial(jax.jit, static_argnames=("refine_iters", "nerf_impl",
-                                   "gather_free", "compact"))
+                                   "gather_free", "compact", "sc_impl"))
 def decode_seg_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
                     anchor_xyz, seg_m, refine_iters: int = 2,
                     nerf_impl: str = "xla", gather_free: bool = True,
-                    compact: bool = False):
+                    compact: bool = False, sc_impl: str | None = None):
     """Segment-space decode: ZERO device gathers.
 
     The round-2 TPU profile showed the device time of the residue-space
@@ -295,8 +295,19 @@ def decode_seg_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
     rz = jnp.transpose(bz.reshape(seg, 3, n), (1, 0, 2))
 
     sc_torsions = sc_codes_seg.astype(F32) * _SC_CONT_F + _SC_MIN
-    sx, sy, sz = place_sidechains_c(rx, ry, rz, res_code, sc_torsions,
-                                    gather_free=gather_free)
+    if sc_impl is None:
+        sc_impl = "select" if gather_free else "gather"
+    if sc_impl == "onehot":
+        # TPU: one-hot MXU table lookups + distinct-value select chains —
+        # bit-identical to the select form and 2.4x faster (the gathered
+        # per-lane tables + stride-42 slices were ~5 of the 6.5 ms decode;
+        # PROFILE.md, tools/exp_sc3.py)
+        from .sidechain import place_sidechains_onehot_c
+        sx, sy, sz = place_sidechains_onehot_c(rx, ry, rz, res_code,
+                                               sc_torsions)
+    else:
+        sx, sy, sz = place_sidechains_c(rx, ry, rz, res_code, sc_torsions,
+                                        gather_free=sc_impl == "select")
 
     atom14 = jnp.stack([sx, sy, sz], axis=-1)        # [14, SEG, N, 3]
     atom14 = jnp.transpose(atom14, (2, 1, 0, 3))     # [N, SEG, 14, 3]
@@ -336,7 +347,7 @@ def decode_seg_batch_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
     return decode_seg_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
                            anchor_xyz, seg_m, refine_iters=refine_iters,
                            nerf_impl=nerf_impl, gather_free=True,
-                           compact=compact)
+                           compact=compact, sc_impl="onehot")
 
 
 def decode_batch_core(records, mins, cont_fs, sc_codes, tf_codes, tf_min,

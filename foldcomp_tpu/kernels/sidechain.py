@@ -119,6 +119,76 @@ def place_sidechains_c(bbx, bby, bbz, res_code, sc_torsions,
             jnp.stack(rows_z, axis=0))
 
 
+def place_sidechains_onehot_c(bbx, bby, bbz, res_code, sc_torsions):
+    """TPU-native side-chain reconstruction: one-hot MXU table lookups +
+    distinct-value select chains.
+
+    The gather_free form of place_sidechains_c materializes per-lane
+    gathered tables ([*batch, 14, 3] preds + [*batch, 14] lens/angles)
+    and slices them 55 times along a stride-42 minor axis — measured at
+    ~5-6.5 ms of the ~7 ms B=512 decode on a v5e (PROFILE.md). Here:
+
+    - ALL per-slot constants (3 predecessor slots + bond length + bond
+      angle per slot) come from ONE [24, 55] table contracted against the
+      residue one-hot [24, *batch] on the MXU (Precision.HIGHEST: the
+      bf16x3 passes reconstruct exact f32 for one-hot operands, and the
+      parity tests pin it).
+    - Predecessor row selection iterates only the DISTINCT slot values in
+      each table column (numpy constants at trace time): the chemistry
+      tables are sparse — 150 where-ops total instead of 693.
+
+    Same contract as place_sidechains_c: bb components [3, *batch],
+    res_code [*batch], sc_torsions [11, *batch] -> 3x [14, *batch].
+    """
+    import jax
+
+    from .geometry import place_atom_c
+
+    code = jnp.clip(res_code, 0, 23)
+    onehot = (code[None] == jnp.arange(24, dtype=code.dtype)
+              .reshape((24,) + (1,) * code.ndim)).astype(F32)
+
+    cols = []
+    for k in range(3, MAX_ATOM):
+        cols += [_PRED_IDX[:, k, 0], _PRED_IDX[:, k, 1],
+                 _PRED_IDX[:, k, 2], _BOND_LEN[:, k], _BOND_ANG[:, k]]
+    tab = jnp.asarray(np.stack(cols, axis=1).astype(np.float32))
+    vals = jnp.einsum("cm,c...->m...", tab, onehot,
+                      precision=jax.lax.Precision.HIGHEST)
+
+    rows_x = [bbx[0], bbx[1], bbx[2]]
+    rows_y = [bby[0], bby[1], bby[2]]
+    rows_z = [bbz[0], bbz[1], bbz[2]]
+
+    def sel(rows, idxf, col):
+        dv = np.unique(col)
+        acc = rows[int(dv[0])]
+        for v in dv[1:]:
+            acc = jnp.where(idxf == F32(v), rows[int(v)], acc)
+        return acc
+
+    for k in range(3, MAX_ATOM):
+        m = 5 * (k - 3)
+        p0f, p1f, p2f = vals[m], vals[m + 1], vals[m + 2]
+        bl, ba = vals[m + 3], vals[m + 4]
+        c0 = _PRED_IDX[:, k, 0]
+        c1 = _PRED_IDX[:, k, 1]
+        c2 = _PRED_IDX[:, k, 2]
+        ox, oy, oz = place_atom_c(
+            sel(rows_x, p0f, c0), sel(rows_y, p0f, c0),
+            sel(rows_z, p0f, c0),
+            sel(rows_x, p1f, c1), sel(rows_y, p1f, c1),
+            sel(rows_z, p1f, c1),
+            sel(rows_x, p2f, c2), sel(rows_y, p2f, c2),
+            sel(rows_z, p2f, c2),
+            bl, ba, sc_torsions[k - 3])
+        rows_x.append(ox)
+        rows_y.append(oy)
+        rows_z.append(oz)
+    return (jnp.stack(rows_x, axis=0), jnp.stack(rows_y, axis=0),
+            jnp.stack(rows_z, axis=0))
+
+
 def extract_sidechain_torsions(atom14, res_code):
     """Per-residue side-chain dihedrals over the AA dependency graph.
 

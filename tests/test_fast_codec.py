@@ -128,3 +128,22 @@ def test_fast_encoded_bytes_decode_with_exact_decoder(test_pdb_fragment):
     n = min(len(dec), len(test_pdb_fragment))
     r = rmsd(test_pdb_fragment.coords[:n], dec.coords[:n])
     assert abs(r - 0.0826751) < 1e-3, r
+
+
+def test_sidechain_onehot_bit_parity():
+    """place_sidechains_onehot_c (one-hot MXU lookups + distinct-value
+    selects) is bit-identical to the select-chain form on random lanes."""
+    from foldcomp_tpu.kernels.sidechain import (place_sidechains_c,
+                                                place_sidechains_onehot_c)
+
+    rng = np.random.default_rng(7)
+    s, n = 24, 192
+    bbx = rng.normal(0, 5, (3, s, n)).astype(np.float32)
+    bby = rng.normal(0, 5, (3, s, n)).astype(np.float32)
+    bbz = rng.normal(0, 5, (3, s, n)).astype(np.float32)
+    code = rng.integers(0, 24, (s, n)).astype(np.int32)
+    sc_t = rng.uniform(-180, 180, (11, s, n)).astype(np.float32)
+    a = place_sidechains_c(bbx, bby, bbz, code, sc_t, gather_free=True)
+    b = place_sidechains_onehot_c(bbx, bby, bbz, code, sc_t)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

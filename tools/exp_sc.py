@@ -1,0 +1,116 @@
+"""Experiment 2: split side-chain vs layout/compact cost in seg decode.
+
+Variants (all pallas backbone, B=512):
+  bb            backbone only (baseline from exp_block)
+  bb_sc_raw     + side chains, output left in [14, SEG, N, 3] (no relayout)
+  bb_sc_t       + the [N, SEG, 14, 3] transpose (compact=False full path)
+  full_compact  + int16 offset packing (shipping form)
+  compact_dev   compact computed in device layout ([14,SEG,N] axes) without
+                the big transpose — host would relayout during stitch
+
+    python tools/exp_sc.py [--batch 512] [--iters 20]
+"""
+import argparse
+import json
+import pathlib
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/foldcomp_tpu_jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from foldcomp_tpu.backend import ensure_backend
+    print(json.dumps({"backend": ensure_backend()}), flush=True)
+
+    from bench import _load_fcz
+    from foldcomp_tpu.codec.batch import pack_decode_batch_seg
+    from foldcomp_tpu.kernels.bitpack import unpack_records
+    from foldcomp_tpu.kernels.decode import PRO_CODE, _SC_CONT_F, _SC_MIN
+    from foldcomp_tpu.kernels.nerf_pallas import \
+        decode_backbone_segments_fused
+    from foldcomp_tpu.kernels.sidechain import place_sidechains_c
+
+    F32 = jnp.float32
+    f = _load_fcz()
+    arrays, metas = pack_decode_batch_seg([f] * args.batch)
+    n_res = sum(m.n_residue for m in metas)
+    dev = {k: jax.device_put(v) for k, v in arrays.items()}
+    a = (dev["seg_records"], dev["mins_lane"], dev["cont_lane"],
+         dev["sc_codes_seg"], dev["anchor_xyz"], dev["seg_m"])
+
+    def timeit(name, fn):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*a))
+        compile_s = time.perf_counter() - t0
+        jax.block_until_ready(fn(*a))
+        t0 = time.perf_counter()
+        outs = [fn(*a) for _ in range(args.iters)]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / args.iters
+        print(json.dumps({"name": name, "ms": round(dt * 1e3, 2),
+                          "mres_s": round(n_res / dt / 1e6, 2),
+                          "compile_s": round(compile_s, 1)}), flush=True)
+
+    def core(mode, seg_records, mins_lane, cont_lane, sc_codes_seg,
+             anchor_xyz, seg_m):
+        seg, n, _ = seg_records.shape
+        res_code, phi_q, psi_q, omega_q, ncac_q, cacn_q, cnca_q = \
+            unpack_records(seg_records)
+
+        def cont(q, idx):
+            return q.astype(F32) * cont_lane[None, :, idx] \
+                + mins_lane[None, :, idx]
+
+        seg_ang = jnp.stack(
+            [cont(psi_q, 1), cont(omega_q, 2), cont(phi_q, 0),
+             cont(ncac_q, 3), cont(cacn_q, 4), cont(cnca_q, 5)], axis=1)
+        bx, by, bz = decode_backbone_segments_fused(
+            seg_ang, res_code == PRO_CODE, anchor_xyz, seg_m)
+        if mode == "bb":
+            return bx, by, bz
+        rx = jnp.transpose(bx.reshape(seg, 3, n), (1, 0, 2))
+        ry = jnp.transpose(by.reshape(seg, 3, n), (1, 0, 2))
+        rz = jnp.transpose(bz.reshape(seg, 3, n), (1, 0, 2))
+        sc_t = sc_codes_seg.astype(F32) * _SC_CONT_F + _SC_MIN
+        sx, sy, sz = place_sidechains_c(rx, ry, rz, res_code, sc_t,
+                                        gather_free=True)
+        if mode == "sc_raw":
+            return sx, sy, sz                       # [14, SEG, N] each
+        if mode == "compact_dev":
+            # offsets from CA in the device-native layout, no big relayout
+            offx = sx - sx[1][None]
+            offy = sy - sy[1][None]
+            offz = sz - sz[1][None]
+
+            def q16(o):
+                return jnp.clip(jnp.round(o * F32(1000.0)),
+                                -32767.0, 32767.0).astype(jnp.int16)
+            ca = jnp.stack([sx[1], sy[1], sz[1]], axis=-1)  # [SEG, N, 3]
+            return q16(offx), q16(offy), q16(offz), ca
+        atom14 = jnp.stack([sx, sy, sz], axis=-1)
+        atom14 = jnp.transpose(atom14, (2, 1, 0, 3))       # [N,SEG,14,3]
+        if mode == "sc_t":
+            return atom14
+        ca = atom14[:, :, 1]
+        off = (atom14 - ca[:, :, None, :]) * F32(1000.0)
+        off = jnp.clip(jnp.round(off), -32767.0, 32767.0).astype(jnp.int16)
+        return off, ca
+
+    for mode in ("bb", "sc_raw", "compact_dev", "sc_t", "full"):
+        timeit(mode, jax.jit(partial(core, mode)))
+
+
+if __name__ == "__main__":
+    main()
