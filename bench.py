@@ -10,6 +10,11 @@ tunnel overhead overlaps device compute). Extras report the sync
 real CLI: db -> db decompress (FCZ parse -> pack -> device -> PDB format ->
 db write) and db -> db compress, plus the device-encode rate.
 
+The e2e_* keys are the PRODUCT DEFAULT path: hybrid CPU+device work
+stealing (4 native worker processes + the in-process device stream,
+parallel/hybrid.py). e2e_fast_* forces the device-only pipeline and
+e2e_native_* forces the byte-exact native codec (--exact -t 4).
+
 Baseline: the reference C++ foldcomp's end-to-end `decompress -t 4` wall
 throughput on this container's 4 CPU cores (BENCH_BASELINE.json:
 168300 residues/s; compress baseline 232700 res/s).
@@ -113,8 +118,14 @@ def _build_dbs(workdir, n_entries):
     return fcz_db, pdb_db, f.n_residue * n_entries
 
 
-def bench_e2e(workdir, fcz_db, pdb_db, n_res_total):
-    """Full CLI wall: db -> db decompress and compress with --fast.
+def bench_e2e(workdir, fcz_db, pdb_db, n_res_total, flags=("--fast",),
+              threads=4):
+    """Full CLI wall: db -> db decompress and compress.
+
+    flags=("--fast",) forces the device-only pipeline; flags=() is the
+    PRODUCT DEFAULT — on an accelerator host that is the hybrid
+    CPU+device work-stealing scheduler (parallel/hybrid.py): `threads`
+    native worker processes plus the in-process device stream.
 
     Each direction runs twice in-process; the SECOND run is the steady
     state (the first pays jit compiles — the persistent compile cache
@@ -122,23 +133,24 @@ def bench_e2e(workdir, fcz_db, pdb_db, n_res_total):
     Returns (decomp_res_s, comp_res_s, decomp_cold_s, comp_cold_s)."""
     from foldcomp_tpu import cli
 
+    fl = list(flags) + ["-t", str(threads)] if not flags else list(flags)
     out1 = os.path.join(workdir, "out_pdb_db")
     t0 = time.perf_counter()
-    rc = cli.main(["decompress", "--fast", "-y", "-d", fcz_db, out1])
+    rc = cli.main(["decompress", *fl, "-y", "-d", fcz_db, out1])
     cold_d = time.perf_counter() - t0
     assert rc == 0
     t0 = time.perf_counter()
-    rc = cli.main(["decompress", "--fast", "-y", "-d", fcz_db, out1])
+    rc = cli.main(["decompress", *fl, "-y", "-d", fcz_db, out1])
     dt_d = time.perf_counter() - t0
     assert rc == 0
 
     out2 = os.path.join(workdir, "out_fcz_db")
     t0 = time.perf_counter()
-    rc = cli.main(["compress", "--fast", "-y", "-d", pdb_db, out2])
+    rc = cli.main(["compress", *fl, "-y", "-d", pdb_db, out2])
     cold_c = time.perf_counter() - t0
     assert rc == 0
     t0 = time.perf_counter()
-    rc = cli.main(["compress", "--fast", "-y", "-d", pdb_db, out2])
+    rc = cli.main(["compress", *fl, "-y", "-d", pdb_db, out2])
     dt_c = time.perf_counter() - t0
     assert rc == 0
     return (n_res_total / dt_d, n_res_total / dt_c, cold_d, cold_c)
@@ -196,8 +208,11 @@ def main():
         # (128): no remainder-batch shapes to compile; big enough that
         # worker startup and VM noise don't dominate subsecond walls
         fcz_db, pdb_db, n_res_total = _build_dbs(workdir, 5120)
-        e2e_dec, e2e_comp, cold_d, cold_c = bench_e2e(
-            workdir, fcz_db, pdb_db, n_res_total)
+        fast_dec, fast_comp, cold_d, cold_c = bench_e2e(
+            workdir, fcz_db, pdb_db, n_res_total, flags=("--fast",))
+        # the PRODUCT DEFAULT: hybrid CPU+device work stealing
+        e2e_dec, e2e_comp, _, _ = bench_e2e(
+            workdir, fcz_db, pdb_db, n_res_total, flags=())
         nat_dec, nat_comp = bench_e2e_native(workdir, fcz_db, pdb_db,
                                              n_res_total)
 
@@ -218,6 +233,8 @@ def main():
         "e2e_decompress_vs_baseline": round(e2e_dec / base_tmpfs, 3),
         "e2e_compress_db_res_s": round(e2e_comp, 1),
         "e2e_compress_vs_baseline": round(e2e_comp / base_c_tmpfs, 3),
+        "e2e_fast_decompress_db_res_s": round(fast_dec, 1),
+        "e2e_fast_compress_db_res_s": round(fast_comp, 1),
         "e2e_cold_first_run_s": [round(cold_d, 1), round(cold_c, 1)],
         "e2e_native_decompress_res_s": round(nat_dec, 1),
         "e2e_native_decompress_vs_baseline": round(nat_dec / base_tmpfs, 3),

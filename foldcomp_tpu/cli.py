@@ -929,6 +929,20 @@ def run_sharded_db(mode: str, inp: str, output: str, opts: Options) -> int:
     return 0
 
 
+def _hybrid_applicable(db_path: str) -> bool:
+    """Hybrid CPU+device scheduling pays off when the job is big enough
+    to amortize the jax import + first compile and an accelerator
+    actually initializes."""
+    try:
+        from .io.db import DatabaseReader
+        r = DatabaseReader(db_path)
+        n = len(r)
+        r.close()
+    except Exception:
+        return False
+    return n > FAST_DEFAULT_MIN and _accelerator_present()
+
+
 def run_rmsd(path1: str, path2: str):
     def load(p):
         with open(p, "rb") as fh:
@@ -1074,19 +1088,37 @@ def main(argv=None) -> int:
             else:
                 print(f"Output directory: {output}")
 
-    # Process-sharded batch path: db -> db with -t N runs N worker
-    # PROCESSES over contiguous entry ranges (parallel/dist.py) and merges
-    # the shard databases. The in-process thread pool scales NEGATIVELY
-    # past 2 threads on the native codec (GIL convoy on the per-entry
-    # Python bookkeeping); separate processes shard cleanly, exactly like
-    # the multi-host layout.
-    if (mode in ("compress", "decompress") and opts.threads > 1
+    # Batch db -> db paths.
+    #
+    # Default on an accelerator host: HYBRID work stealing — opts.threads
+    # native CPU worker processes pull entry chunks from the front of the
+    # list while the in-process device stream pulls from the back
+    # (parallel/hybrid.py), so the CPU/TPU split adapts to the hardware
+    # instead of being an either/or switch. --exact disables the device
+    # stream; --fast forces the device-only pipeline below.
+    #
+    # Without an accelerator (or for small jobs, where the jax import and
+    # first compile dominate): process-sharded native workers over
+    # contiguous entry ranges (parallel/dist.py). The in-process thread
+    # pool scales NEGATIVELY past 2 threads on the native codec (GIL
+    # convoy on the per-entry Python bookkeeping); separate processes
+    # shard cleanly, exactly like the multi-host layout.
+    if (mode in ("compress", "decompress")
             and not single and not opts.fast and not single_files
             and len(inputs) == 1 and is_database(inputs[0])
             and opts.db_output and opts.id_file is None
             and not opts.alt and not opts.check_before
             and not opts.measure_time):
-        return run_sharded_db(mode, inputs[0], output, opts)
+        if not opts.exact and _hybrid_applicable(inputs[0]):
+            from .parallel.hybrid import run_hybrid_db
+            print("[Info] hybrid CPU+accelerator scheduling "
+                  f"({opts.threads} native workers + device stream)",
+                  file=sys.stderr)
+            return run_hybrid_db(mode, inputs[0], output, opts.threads,
+                                 anchor_threshold=opts.anchor_threshold,
+                                 batch_size=FAST_BATCH)
+        if opts.threads > 1:
+            return run_sharded_db(mode, inputs[0], output, opts)
 
     rc = 0
     entry_sources = []

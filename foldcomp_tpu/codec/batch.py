@@ -416,6 +416,15 @@ def decode_fcz_stream(payload_iter, batch_size: int = 128,
             sel = list(order)[i0:i0 + batch_size]
             batch = [window[j] for j in sel]
             idxs = [base + j for j in sel]
+            if len(batch) < batch_size:
+                # pad the partial tail batch to the full batch size by
+                # replicating the last payload (results dropped): the
+                # batch dim is not jit-static, so a ragged tail would
+                # compile a FRESH program per distinct remainder — minutes
+                # on a remote-compile TPU service for one stray batch
+                pad = batch_size - len(batch)
+                batch = batch + [batch[-1]] * pad
+                idxs = idxs + [None] * pad
             q_packed.put((idxs, batch, pack_decode_batch_seg(batch)))
 
     def producer():
@@ -445,7 +454,9 @@ def decode_fcz_stream(payload_iter, batch_size: int = 128,
     def drain(pend):
         nonlocal next_out
         idxs, fczs, metas, fut = pend
-        for gi, (f, text) in zip(idxs, _format_batch(fczs, metas,
+        n_real = sum(1 for gi in idxs if gi is not None)
+        for gi, (f, text) in zip(idxs, _format_batch(fczs[:n_real],
+                                                     metas[:n_real],
                                                      fut.result(),
                                                      use_alt_order,
                                                      pool=pool)):

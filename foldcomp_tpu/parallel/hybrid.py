@@ -1,0 +1,436 @@
+"""Heterogeneous (CPU + accelerator) work-stealing over a database.
+
+The reference's only parallelism is a homogeneous OpenMP fan-out over
+threads (input_processor.h:200-300). On a TPU host the right shape is
+heterogeneous: the accelerator decodes large batches through the
+segment-space kernels while the CPU cores run the byte-exact native
+codec, both pulling from ONE shared work list. Chunks of database
+entries are claimed through a tiny flock'd two-pointer file — CPU
+workers take from the front, the device stream takes from the back — so
+the CPU/TPU split adapts to whatever the hardware actually delivers:
+
+- on a real TPU host (PCIe, tens of GB/s) the device eats nearly the
+  whole list and the CPUs mop up the tail;
+- on a bandwidth-starved link (tunneled development setups, ~10-30 MB/s)
+  the CPUs carry the bulk and the device contributes its transfer-bound
+  share instead of *replacing* the faster native path.
+
+No entry is processed twice, nothing is guessed statically, and the
+merge step is the same shard-db merge the multi-host layout uses
+(parallel/dist.py merge_shard_dbs). If the device stream dies mid-run,
+its claimed-but-unfinished chunks are reprocessed with the native codec
+so the output is always complete.
+"""
+from __future__ import annotations
+
+import fcntl
+import os
+import struct
+import subprocess
+import sys
+
+from ..io.db import DatabaseReader, DatabaseWriter
+from .dist import merge_shard_dbs, shard_db_path
+
+
+class ChunkController:
+    """Two-pointer chunk allocator shared between processes via flock.
+
+    The control file holds two little-endian int64s (lo, hi): the front
+    pointer (next chunk for CPU workers, ascending) and the back pointer
+    (one past the next chunk for the device stream, descending). A claim
+    is an atomic read-modify-write under an exclusive flock; the file is
+    16 bytes and claims happen once per chunk (~hundreds per job), so
+    lock traffic is negligible."""
+
+    _FMT = "<qq"
+
+    def __init__(self, path: str):
+        self.path = path
+
+    @classmethod
+    def create(cls, path: str, n_chunks: int) -> "ChunkController":
+        with open(path, "wb") as fh:
+            fh.write(struct.pack(cls._FMT, 0, n_chunks))
+        return cls(path)
+
+    def _claim(self, front: bool):
+        with open(self.path, "r+b") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                lo, hi = struct.unpack(self._FMT, fh.read(16))
+                if lo >= hi:
+                    return None
+                if front:
+                    got, lo = lo, lo + 1
+                else:
+                    hi = hi - 1
+                    got = hi
+                fh.seek(0)
+                fh.write(struct.pack(self._FMT, lo, hi))
+                return got
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
+
+    def take_front(self):
+        """Claim the next front chunk (CPU side), or None when drained."""
+        return self._claim(True)
+
+    def take_back(self):
+        """Claim the next back chunk (device side), or None when drained."""
+        return self._claim(False)
+
+    def peek(self):
+        """(lo, hi) without claiming — lock-free read (int64 pair writes
+        are atomic enough for rate estimation; claims still lock)."""
+        with open(self.path, "rb") as fh:
+            return struct.unpack(self._FMT, fh.read(16))
+
+
+class EndgameGuard:
+    """Decides whether the device stream should claim another chunk.
+
+    The failure mode on a degraded host<->device link: the CPU workers
+    drain the whole list in T seconds, then everyone waits for the device
+    to grind through its final claimed chunk — the job's wall becomes
+    native_wall + device_tail. The guard watches the front pointer to
+    estimate the CPU workers' combined chunk rate and its own chunk
+    walls; once the CPUs could finish everything remaining before the
+    device finishes one more chunk, the device stops claiming."""
+
+    def __init__(self, ctrl: ChunkController):
+        import time
+        self.ctrl = ctrl
+        self._time = time.perf_counter
+        self.t0 = self._time()
+        self.lo0 = ctrl.peek()[0]
+        self.last_claim_t = None
+        self.chunk_s = None          # EWMA of device seconds per chunk
+
+    def note_claim(self):
+        now = self._time()
+        if self.last_claim_t is not None:
+            dt = now - self.last_claim_t
+            self.chunk_s = dt if self.chunk_s is None else \
+                0.5 * self.chunk_s + 0.5 * dt
+        self.last_claim_t = now
+
+    def should_claim(self) -> bool:
+        if self.chunk_s is None:      # always take the first two chunks
+            return True
+        lo, hi = self.ctrl.peek()
+        remaining = hi - lo
+        if remaining <= 0:
+            return False
+        dt = self._time() - self.t0
+        native_rate = (lo - self.lo0) / dt if dt > 0 else 0.0
+        if native_rate <= 0:          # no CPU workers are making progress
+            return True
+        return remaining / native_rate > self.chunk_s
+
+
+def _chunk_positions(chunk: int, chunk_entries: int, n: int):
+    return range(chunk * chunk_entries, min((chunk + 1) * chunk_entries, n))
+
+
+def _entry(reader, pos):
+    key = reader.get_key(pos)
+    data = reader.get_data(pos)
+    if data.endswith(b"\x00"):
+        data = data[:-1]
+    return key, reader.name_of_key(key) or str(key), bytes(data)
+
+
+def native_decompress_worker(db_path: str, out_path: str, worker_id: int,
+                             ctrl_path: str, chunk_entries: int) -> int:
+    """CPU worker: byte-exact native decode of front chunks into a shard db."""
+    from ..codec import fcz
+    from ..codec.decoder import decode
+    from ..io.pdb import format_pdb
+    try:
+        from ..native import decode_fcz_pdb_native, get_lib
+        have_native = get_lib() is not None
+    except Exception:
+        have_native = False
+
+    reader = DatabaseReader(db_path, use_lookup=True)
+    writer = DatabaseWriter(shard_db_path(out_path, worker_id))
+    ctrl = ChunkController(ctrl_path)
+    n_written = 0
+    try:
+        n = len(reader)
+        while (c := ctrl.take_front()) is not None:
+            for pos in _chunk_positions(c, chunk_entries, n):
+                key, name, data = _entry(reader, pos)
+                if have_native:
+                    try:
+                        payload = decode_fcz_pdb_native(data, as_bytes=True)
+                    except ValueError:
+                        continue
+                else:
+                    try:
+                        f = fcz.parse(data)
+                        payload = format_pdb(decode(f), f.title).encode()
+                    except Exception:
+                        continue
+                writer.append(payload + b"\x00", key, name)
+                n_written += 1
+    finally:
+        writer.close()
+        reader.close()
+    return n_written
+
+
+def native_compress_worker(db_path: str, out_path: str, worker_id: int,
+                           ctrl_path: str, chunk_entries: int,
+                           anchor_threshold: int = 25) -> int:
+    """CPU worker: byte-exact native encode of front chunks into a shard db."""
+    from ..native import encode_pdb_native
+
+    reader = DatabaseReader(db_path, use_lookup=True)
+    writer = DatabaseWriter(shard_db_path(out_path, worker_id))
+    ctrl = ChunkController(ctrl_path)
+    n_written = 0
+    try:
+        n = len(reader)
+        while (c := ctrl.take_front()) is not None:
+            for pos in _chunk_positions(c, chunk_entries, n):
+                key, name, data = _entry(reader, pos)
+                try:
+                    frags = encode_pdb_native(data, anchor_threshold, None,
+                                              split=True, fallback_title=name)
+                except Exception:
+                    continue
+                for f in frags or []:
+                    if not f["error"]:
+                        writer.append(f["blob"], key, name)
+                        n_written += 1
+    finally:
+        writer.close()
+        reader.close()
+    return n_written
+
+
+def _device_decompress(reader, writer, ctrl, chunk_entries, batch_size,
+                       use_alt_order, claimed, done):
+    """Device stream: pull back chunks, decode via the batched segment-space
+    pipeline, append in completion order (the merge re-sorts by key)."""
+    from ..codec import fcz
+    from ..codec.batch import decode_fcz_stream
+
+    n = len(reader)
+    guard = EndgameGuard(ctrl)
+
+    def payloads():
+        while guard.should_claim() and (c := ctrl.take_back()) is not None:
+            guard.note_claim()
+            claimed.append(c)
+            for pos in _chunk_positions(c, chunk_entries, n):
+                key, name, data = _entry(reader, pos)
+                try:
+                    f = fcz.parse(data)
+                except fcz.FczFormatError:
+                    done.add(pos)
+                    continue
+                f.entry_key = key
+                f.entry_name = name
+                f.entry_pos = pos
+                yield f
+
+    # bucket_window=1 / prefetch=1: bound the claimed-but-unprocessed
+    # backlog (the guard can only stop FUTURE claims; a deep prefetch
+    # window would still leave a long tail on a degraded link)
+    for f, text in decode_fcz_stream(payloads(), batch_size=batch_size,
+                                     use_alt_order=use_alt_order,
+                                     prefetch=1, bucket_window=1):
+        writer.append(text.encode() + b"\x00", f.entry_key, f.entry_name)
+        done.add(f.entry_pos)
+
+
+def _device_compress(reader, writer, ctrl, chunk_entries, batch_size,
+                     anchor_threshold, claimed, done):
+    """Device stream: batched device encode (bit-parity records) of back
+    chunks; one flush per `batch_size` fragments."""
+    from ..codec import fcz as fcz_mod
+    from ..codec.batch import encode_pdb_device, encode_tensor_batch
+
+    n = len(reader)
+    guard = EndgameGuard(ctrl)
+    pend_t, pend_m, pend_e = [], [], []
+
+    def flush_full():
+        """Device-encode in EXACT batch_size groups: the batch dim is not
+        jit-static, so ragged flushes would compile a fresh program per
+        distinct size (minutes each on a remote-compile TPU service).
+        Slices cut at ENTRY boundaries (all fragments of a database entry
+        stay in one flush, so `done` is all-or-nothing per entry) and are
+        padded back to batch_size with a replicated tensor whose output
+        is dropped."""
+        while len(pend_t) >= batch_size:
+            cut = batch_size
+            while cut > 0 and pend_e[cut - 1][2] == \
+                    (pend_e[cut][2] if cut < len(pend_e) else None):
+                cut -= 1
+            if cut == 0:            # one entry wider than a batch (never
+                cut = len(pend_t)   # in practice: fragments/entry is tiny)
+                if cut > batch_size:
+                    break
+            pad = batch_size - cut
+            ts = pend_t[:cut] + [pend_t[cut - 1]] * pad
+            ms = pend_m[:cut] + [pend_m[cut - 1]] * pad
+            for f, (key, name, pos) in zip(
+                    encode_tensor_batch(ts, ms, anchor_threshold),
+                    pend_e[:cut]):
+                if f is not None:
+                    writer.append(fcz_mod.serialize(f), key, name)
+                done.add(pos)
+            del pend_t[:cut]
+            del pend_m[:cut]
+            del pend_e[:cut]
+
+    while guard.should_claim() and (c := ctrl.take_back()) is not None:
+        guard.note_claim()
+        claimed.append(c)
+        for pos in _chunk_positions(c, chunk_entries, n):
+            key, name, data = _entry(reader, pos)
+            prepped = encode_pdb_device(data, anchor_threshold,
+                                        fallback_title=name)
+            if prepped is None:
+                raise RuntimeError("native parser unavailable")
+            got = False
+            for t, m in zip(*prepped):
+                if t is None or m.get("error"):
+                    continue
+                pend_t.append(t)
+                pend_m.append(m)
+                pend_e.append((key, name, pos))
+                got = True
+            if not got:
+                done.add(pos)
+        flush_full()
+    # the ragged tail (< batch_size fragments) is NOT device-encoded:
+    # flushes are entry-atomic, so tail entries are simply absent from
+    # `done` and fall through to the native mop-up (which re-encodes
+    # them byte-exactly at CPU speed — cheaper than compiling or waiting
+    # out one more device batch on a degraded link).
+
+
+def run_hybrid_db(mode: str, db_path: str, out_path: str, n_native: int,
+                  chunk_entries: int = 64, batch_size: int = 128,
+                  anchor_threshold: int = 25, use_alt_order: bool = False,
+                  use_device: bool = True) -> int:
+    """db -> db (de)compress across `n_native` CPU worker processes plus
+    the in-process accelerator stream, merged into one database.
+
+    Returns 0 on success. The native workers are separate processes (the
+    in-process thread pool convoys on per-entry Python bookkeeping; see
+    cli.run_sharded_db) launched without the accelerator plugin env so
+    they never pay the jax import."""
+    probe = DatabaseReader(db_path)
+    n = len(probe)
+    probe.close()
+    n_chunks = -(-n // chunk_entries)
+    ctrl_path = out_path + ".hybrid_ctrl"
+    ctrl = ChunkController.create(ctrl_path, n_chunks)
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    worker_fn = ("native_decompress_worker" if mode == "decompress"
+                 else "native_compress_worker")
+    extra = "" if mode == "decompress" else f", {anchor_threshold}"
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # CPU-only workers: skip jax
+    procs = []
+    for wid in range(n_native):
+        code = (f"import sys; sys.path.insert(0, {repo!r})\n"
+                f"from foldcomp_tpu.parallel.hybrid import {worker_fn}\n"
+                f"{worker_fn}({db_path!r}, {out_path!r}, {wid}, "
+                f"{ctrl_path!r}, {chunk_entries}{extra})\n")
+        procs.append(subprocess.Popen([sys.executable, "-c", code], env=env))
+
+    # Device stream in THIS process (shard id n_native). Any failure —
+    # backend gone, compile error, kernel regression — downgrades to the
+    # native codec for the chunks it had claimed, so output completeness
+    # never depends on the accelerator.
+    claimed: list[int] = []
+    done: set[int] = set()
+    reader = DatabaseReader(db_path, use_lookup=True)
+    writer = DatabaseWriter(shard_db_path(out_path, n_native))
+    try:
+        if use_device:
+            try:
+                if mode == "decompress":
+                    _device_decompress(reader, writer, ctrl, chunk_entries,
+                                       batch_size, use_alt_order, claimed,
+                                       done)
+                else:
+                    _device_compress(reader, writer, ctrl, chunk_entries,
+                                     batch_size, anchor_threshold, claimed,
+                                     done)
+            except Exception as e:  # noqa: BLE001 — deliberate catch-all
+                print(f"[Warning] device stream failed ({e}); finishing "
+                      "its chunks on CPU", file=sys.stderr)
+        # native mop-up in-parent: chunks the device claimed but did not
+        # finish, plus (use_device=False / post-failure) the whole back half
+        _native_mop_up(mode, reader, writer, ctrl, chunk_entries, claimed,
+                       done, anchor_threshold)
+    finally:
+        writer.close()
+        reader.close()
+    rc = 0
+    for p in procs:
+        rc |= p.wait()
+    try:
+        os.remove(ctrl_path)
+    except OSError:
+        pass
+    if rc:
+        print("[Error] hybrid native worker failed", file=sys.stderr)
+        return 1
+    merge_shard_dbs(out_path, n_native + 1)
+    return 0
+
+
+def _native_mop_up(mode, reader, writer, ctrl, chunk_entries, claimed, done,
+                   anchor_threshold):
+    n = len(reader)
+    remaining = [p for c in claimed for p in _chunk_positions(
+        c, chunk_entries, n) if p not in done]
+    while (c := ctrl.take_back()) is not None:
+        remaining.extend(_chunk_positions(c, chunk_entries, n))
+    if not remaining:
+        return
+    if mode == "decompress":
+        from ..native import decode_fcz_pdb_native, get_lib
+        if get_lib() is None:
+            from ..codec import fcz
+            from ..codec.decoder import decode
+            from ..io.pdb import format_pdb
+            for pos in remaining:
+                key, name, data = _entry(reader, pos)
+                try:
+                    f = fcz.parse(data)
+                    text = format_pdb(decode(f), f.title)
+                except Exception:
+                    continue
+                writer.append(text.encode() + b"\x00", key, name)
+            return
+        for pos in remaining:
+            key, name, data = _entry(reader, pos)
+            try:
+                payload = decode_fcz_pdb_native(data, as_bytes=True)
+            except ValueError:
+                continue
+            writer.append(payload + b"\x00", key, name)
+    else:
+        from ..native import encode_pdb_native
+        for pos in remaining:
+            key, name, data = _entry(reader, pos)
+            try:
+                frags = encode_pdb_native(data, anchor_threshold, None,
+                                          split=True, fallback_title=name)
+            except Exception:
+                continue
+            for f in frags or []:
+                if not f["error"]:
+                    writer.append(f["blob"], key, name)

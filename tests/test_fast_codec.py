@@ -147,3 +147,24 @@ def test_sidechain_onehot_bit_parity():
     b = place_sidechains_onehot_c(bbx, bby, bbz, code, sc_t)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_stream_ragged_tail_padding(test_pdb_fragment):
+    """decode_fcz_stream pads partial tail batches to the jit batch size
+    (a ragged batch dim would compile a fresh device program per distinct
+    remainder); outputs stay complete, in input order, no padding leaks."""
+    from foldcomp_tpu.codec.batch import decode_fcz_stream
+
+    f = encode_exact(test_pdb_fragment)
+    n = 11                                   # not a multiple of batch_size=4
+    payloads = []
+    for i in range(n):
+        p = fcz.parse(fcz.serialize(f))
+        p.tag = i
+        payloads.append(p)
+    got = list(decode_fcz_stream(iter(payloads), batch_size=4,
+                                 bucket_window=2))
+    assert [p.tag for p, _ in got] == list(range(n))
+    assert len({t for _, t in got}) == 1     # identical inputs, one text
+    exact_text = got[0][1]
+    assert exact_text.count("ATOM") >= test_pdb_fragment.coords.shape[0] // 14

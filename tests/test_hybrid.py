@@ -1,0 +1,153 @@
+"""Hybrid CPU+device work-stealing scheduler (parallel/hybrid.py).
+
+Runs on the CPU jax backend: the "device stream" is the same batched
+segment-space pipeline the TPU runs, and the CPU workers are real
+subprocesses, so the whole claim/steal/merge machinery is exercised
+end to end.
+"""
+import struct
+
+import pytest
+
+from conftest import require_fixture
+
+from foldcomp_tpu.io.db import DatabaseReader
+from foldcomp_tpu.parallel.hybrid import ChunkController, run_hybrid_db
+
+
+def test_chunk_controller_two_pointer(tmp_path):
+    p = str(tmp_path / "ctrl")
+    ctrl = ChunkController.create(p, 5)
+    assert ctrl.take_front() == 0
+    assert ctrl.take_back() == 4
+    assert ctrl.take_back() == 3
+    assert ctrl.take_front() == 1
+    assert ctrl.take_front() == 2
+    assert ctrl.take_front() is None
+    assert ctrl.take_back() is None
+    # file reflects the drained state
+    with open(p, "rb") as fh:
+        lo, hi = struct.unpack("<qq", fh.read(16))
+    assert lo >= hi
+
+
+def test_chunk_controller_many_processes(tmp_path):
+    """Concurrent claims from worker processes never duplicate or drop."""
+    import subprocess
+    import sys
+
+    p = str(tmp_path / "ctrl")
+    ChunkController.create(p, 200)
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from foldcomp_tpu.parallel.hybrid import ChunkController\n"
+        "ctrl = ChunkController(%r)\n"
+        "import random\n"
+        "got = []\n"
+        "while True:\n"
+        "    c = ctrl.take_front() if random.random() < 0.5 else "
+        "ctrl.take_back()\n"
+        "    if c is None: break\n"
+        "    got.append(c)\n"
+        "print(' '.join(map(str, got)))\n"
+    )
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [subprocess.run(
+        [sys.executable, "-c", code % (repo, p)],
+        capture_output=True, text=True, check=True) for _ in range(1)]
+    # plus claims from this process interleaved via threads
+    from concurrent.futures import ThreadPoolExecutor
+    ctrl = ChunkController(p)
+    with ThreadPoolExecutor(4) as ex:
+        local = [c for c in ex.map(
+            lambda i: ctrl.take_front() if i % 2 else ctrl.take_back(),
+            range(400)) if c is not None]
+    claimed = local + [int(x) for pr in procs for x in pr.stdout.split()]
+    assert sorted(claimed) == list(range(200))
+
+
+@pytest.mark.parametrize("use_device", [True, False])
+def test_hybrid_decompress_matches_direct(tmp_path, ref_test_dir,
+                                          use_device):
+    """Hybrid output (2 native workers + device stream) contains every
+    entry; native-worker entries are byte-exact, device entries hold the
+    coordinate gate vs the exact decode."""
+    require_fixture("example_db.dbtype")
+    db = str(ref_test_dir / "example_db")
+    out = str(tmp_path / "merged")
+    rc = run_hybrid_db("decompress", db, out, n_native=2, chunk_entries=3,
+                       batch_size=8, use_device=use_device)
+    assert rc == 0
+
+    import numpy as np
+
+    from foldcomp_tpu.codec import fcz
+    from foldcomp_tpu.codec.decoder import decode
+    from foldcomp_tpu.io.pdb import format_pdb, parse_pdb
+
+    ref = DatabaseReader(db, use_lookup=True)
+    got = DatabaseReader(out, use_lookup=True)
+    assert len(got) == len(ref) == 24
+    for pos in range(len(ref)):
+        key = ref.get_key(pos)
+        f = fcz.parse(bytes(ref.get_data(pos)).rstrip(b"\x00"))
+        want = format_pdb(decode(f), f.title).encode()
+        text = bytes(got.get_data(got.pos_of_key(key))).rstrip(b"\x00") \
+            if hasattr(got, "pos_of_key") else None
+        if text is None:
+            # fall back: scan for the key
+            text = next(bytes(got.get_data(p)).rstrip(b"\x00")
+                        for p in range(len(got))
+                        if got.get_key(p) == key)
+        if text == want:
+            continue  # native worker entry: byte-exact
+        a = parse_pdb(want)
+        b = parse_pdb(text)
+        assert len(a) == len(b)
+        # device entries: batched decode is quantization-identical, not
+        # bit-identical, to the sequential exact decode; same gate as
+        # test_db_quality_gate (RMSD < 2e-3 A) plus a per-atom bound
+        d = a.coords - b.coords
+        r = float(np.sqrt((d * d).sum(axis=1).mean()))
+        assert r < 2e-3, r
+        assert np.abs(d).max() < 5e-3
+    ref.close()
+    got.close()
+
+
+def test_hybrid_compress_matches_native(tmp_path, ref_test_dir):
+    """Hybrid compress output is byte-identical per key to the native
+    sharded path (the device encode is bit-parity by construction)."""
+    require_fixture("test.pdb")
+    from foldcomp_tpu.io.db import DatabaseWriter
+    from foldcomp_tpu.parallel.dist import compress_db_shard, merge_shard_dbs
+
+    pdb_db = str(tmp_path / "pdbdb")
+    w = DatabaseWriter(pdb_db)
+    for i, name in enumerate(("test.pdb", "test_af.pdb")):
+        data = (ref_test_dir / name).read_bytes()
+        for rep in range(6):
+            w.append(data + b"\x00", i * 6 + rep, f"{name}_{rep}")
+    w.close()
+
+    out_h = str(tmp_path / "hyb")
+    rc = run_hybrid_db("compress", pdb_db, out_h, n_native=1,
+                       chunk_entries=2, batch_size=4)
+    assert rc == 0
+
+    out_n = str(tmp_path / "nat")
+    compress_db_shard(pdb_db, out_n, 0, 1, fast=False)
+    merge_shard_dbs(out_n, 1)
+
+    h = DatabaseReader(out_h, use_lookup=True)
+    n = DatabaseReader(out_n, use_lookup=True)
+    assert len(h) == len(n)
+    nat = {}
+    for p in range(len(n)):
+        nat.setdefault(n.get_key(p), []).append(bytes(n.get_data(p)))
+    for p in range(len(h)):
+        blob = bytes(h.get_data(p))
+        assert blob in nat[h.get_key(p)]
+    h.close()
+    n.close()
