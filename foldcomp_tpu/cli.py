@@ -1111,12 +1111,20 @@ def main(argv=None) -> int:
             and not opts.measure_time):
         if not opts.exact and _hybrid_applicable(inputs[0]):
             from .parallel.hybrid import run_hybrid_db
+            # On a slow host<->device link the device stream's host-side
+            # cost (parse/pack/format threads) displaces more native
+            # throughput than its transfer-bound share adds — the parent
+            # then joins as one more native worker instead.
+            use_device = _device_link_ok()
             print("[Info] hybrid CPU+accelerator scheduling "
-                  f"({opts.threads} native workers + device stream)",
+                  f"({opts.threads} native workers + "
+                  f"{'device stream' if use_device else 'CPU-only parent: '
+                     'host<->device link too slow'})",
                   file=sys.stderr)
             return run_hybrid_db(mode, inputs[0], output, opts.threads,
                                  anchor_threshold=opts.anchor_threshold,
-                                 batch_size=FAST_BATCH)
+                                 batch_size=FAST_BATCH,
+                                 use_device=use_device)
         if opts.threads > 1:
             return run_sharded_db(mode, inputs[0], output, opts)
 
