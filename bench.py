@@ -139,20 +139,24 @@ def bench_e2e(workdir, fcz_db, pdb_db, n_res_total, flags=("--fast",),
     rc = cli.main(["decompress", *fl, "-y", "-d", fcz_db, out1])
     cold_d = time.perf_counter() - t0
     assert rc == 0
-    t0 = time.perf_counter()
-    rc = cli.main(["decompress", *fl, "-y", "-d", fcz_db, out1])
-    dt_d = time.perf_counter() - t0
-    assert rc == 0
+    dt_d = float("inf")
+    for _ in range(2):   # best-of-2 warm: shared-VM steal noise swings
+        t0 = time.perf_counter()   # subsecond walls 2-3x run to run
+        rc = cli.main(["decompress", *fl, "-y", "-d", fcz_db, out1])
+        dt_d = min(dt_d, time.perf_counter() - t0)
+        assert rc == 0
 
     out2 = os.path.join(workdir, "out_fcz_db")
     t0 = time.perf_counter()
     rc = cli.main(["compress", *fl, "-y", "-d", pdb_db, out2])
     cold_c = time.perf_counter() - t0
     assert rc == 0
-    t0 = time.perf_counter()
-    rc = cli.main(["compress", *fl, "-y", "-d", pdb_db, out2])
-    dt_c = time.perf_counter() - t0
-    assert rc == 0
+    dt_c = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rc = cli.main(["compress", *fl, "-y", "-d", pdb_db, out2])
+        dt_c = min(dt_c, time.perf_counter() - t0)
+        assert rc == 0
     return (n_res_total / dt_d, n_res_total / dt_c, cold_d, cold_c)
 
 

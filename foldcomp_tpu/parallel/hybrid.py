@@ -88,45 +88,85 @@ class ChunkController:
 
 
 class EndgameGuard:
-    """Decides whether the device stream should claim another chunk.
+    """Paces the device stream's chunk claims.
 
-    The failure mode on a degraded host<->device link: the CPU workers
-    drain the whole list in T seconds, then everyone waits for the device
-    to grind through its final claimed chunk — the job's wall becomes
-    native_wall + device_tail. The guard watches the front pointer to
-    estimate the CPU workers' combined chunk rate and its own chunk
-    walls; once the CPUs could finish everything remaining before the
-    device finishes one more chunk, the device stops claiming."""
+    Two failure modes on a degraded host<->device link, both observed:
+    (a) the CPU workers drain the list in T seconds, then everyone waits
+    for the device to grind through its claimed backlog — wall becomes
+    native_wall + device_tail; (b) the device claims chunks while its
+    first program is still COMPILING (cold runs pay minutes on a
+    remote-compile service) and ends up owning work it cannot deliver.
 
-    def __init__(self, ctrl: ChunkController):
+    The guard therefore paces claims by what the device has actually
+    COMPLETED (entries written), not by claim cadence:
+
+    - backlog cap: claimed-but-unfinished entries never exceed one batch
+      until the first completion, then two batches (wait, then retry);
+    - endgame: once the CPU workers' observed rate would finish every
+      remaining chunk before the device finishes one more, stop.
+    """
+
+    CLAIM, WAIT, STOP = "claim", "wait", "stop"
+
+    def __init__(self, ctrl: ChunkController, chunk_entries: int,
+                 batch_size: int, completed_fn):
         import time
         self.ctrl = ctrl
+        self.chunk_entries = chunk_entries
+        self.batch_size = batch_size
+        self.completed_fn = completed_fn
         self._time = time.perf_counter
         self.t0 = self._time()
         self.lo0 = ctrl.peek()[0]
-        self.last_claim_t = None
-        self.chunk_s = None          # EWMA of device seconds per chunk
+        self.claimed_entries = 0
 
-    def note_claim(self):
-        now = self._time()
-        if self.last_claim_t is not None:
-            dt = now - self.last_claim_t
-            self.chunk_s = dt if self.chunk_s is None else \
-                0.5 * self.chunk_s + 0.5 * dt
-        self.last_claim_t = now
+    def note_claim(self, n_entries: int):
+        self.claimed_entries += n_entries
 
-    def should_claim(self) -> bool:
-        if self.chunk_s is None:      # always take the first two chunks
-            return True
+    def next_action(self) -> str:
         lo, hi = self.ctrl.peek()
-        remaining = hi - lo
-        if remaining <= 0:
-            return False
+        if hi - lo <= 0:
+            return self.STOP
+        completed = self.completed_fn()
+        # Backlog caps sized above the stream's maximum in-flight depth
+        # (one batch queued + one dispatched + one awaiting drain), so a
+        # WAIT can always be released by the consumer making progress —
+        # never a producer<->consumer deadlock. Cold (nothing completed,
+        # first program may be compiling): claim at most ~2 batches ahead.
+        cap = (2 if not completed else 4) * self.batch_size \
+            + self.chunk_entries
+        if self.claimed_entries - completed >= cap:
+            return self.WAIT
         dt = self._time() - self.t0
-        native_rate = (lo - self.lo0) / dt if dt > 0 else 0.0
-        if native_rate <= 0:          # no CPU workers are making progress
-            return True
-        return remaining / native_rate > self.chunk_s
+        if dt <= 0:
+            return self.CLAIM
+        native_rate = (lo - self.lo0) / dt          # chunks/s, all CPUs
+        if native_rate <= 0:
+            return self.CLAIM                       # CPUs idle or absent
+        device_rate = completed / dt                # entries/s
+        if device_rate <= 0:
+            # nothing delivered yet (still compiling): claim only while
+            # the CPUs would not finish everything within a beat anyway
+            return self.CLAIM if (hi - lo) / native_rate > 1.0 \
+                else self.STOP
+        chunk_s = self.chunk_entries / device_rate
+        return self.CLAIM if (hi - lo) / native_rate > chunk_s \
+            else self.STOP
+
+    def take_back(self):
+        """Guarded claim: returns a chunk index or None (stop)."""
+        import time
+        while True:
+            act = self.next_action()
+            if act == self.WAIT:
+                time.sleep(0.02)
+                continue
+            if act == self.STOP:
+                return None
+            c = self.ctrl.take_back()
+            if c is not None:
+                self.note_claim(self.chunk_entries)
+            return c
 
 
 def _chunk_positions(chunk: int, chunk_entries: int, n: int):
@@ -219,11 +259,11 @@ def _device_decompress(reader, writer, ctrl, chunk_entries, batch_size,
     from ..codec.batch import decode_fcz_stream
 
     n = len(reader)
-    guard = EndgameGuard(ctrl)
+    guard = EndgameGuard(ctrl, chunk_entries, batch_size,
+                         completed_fn=lambda: len(done))
 
     def payloads():
-        while guard.should_claim() and (c := ctrl.take_back()) is not None:
-            guard.note_claim()
+        while (c := guard.take_back()) is not None:
             claimed.append(c)
             for pos in _chunk_positions(c, chunk_entries, n):
                 key, name, data = _entry(reader, pos)
@@ -255,7 +295,8 @@ def _device_compress(reader, writer, ctrl, chunk_entries, batch_size,
     from ..codec.batch import encode_pdb_device, encode_tensor_batch
 
     n = len(reader)
-    guard = EndgameGuard(ctrl)
+    guard = EndgameGuard(ctrl, chunk_entries, batch_size,
+                         completed_fn=lambda: len(done))
     pend_t, pend_m, pend_e = [], [], []
 
     def flush_full():
@@ -288,8 +329,7 @@ def _device_compress(reader, writer, ctrl, chunk_entries, batch_size,
             del pend_m[:cut]
             del pend_e[:cut]
 
-    while guard.should_claim() and (c := ctrl.take_back()) is not None:
-        guard.note_claim()
+    while (c := guard.take_back()) is not None:
         claimed.append(c)
         for pos in _chunk_positions(c, chunk_entries, n):
             key, name, data = _entry(reader, pos)

@@ -151,3 +151,42 @@ def test_hybrid_compress_matches_native(tmp_path, ref_test_dir):
         assert blob in nat[h.get_key(p)]
     h.close()
     n.close()
+
+
+def test_hybrid_skips_corrupt_entries(tmp_path, ref_test_dir):
+    """Corrupt/truncated FCZ entries are skipped per-entry (reference
+    input_processor semantics), never aborting the batch; valid entries
+    still come through on both the native and device sides."""
+    require_fixture("example_db.dbtype")
+    import numpy as np
+
+    from foldcomp_tpu.io.db import DatabaseWriter
+
+    src = DatabaseReader(str(ref_test_dir / "example_db"), use_lookup=True)
+    db = str(tmp_path / "mixed_db")
+    w = DatabaseWriter(db)
+    n_good = 0
+    for pos in range(len(src)):
+        data = bytes(src.get_data(pos))
+        key = src.get_key(pos)
+        name = src.name_of_key(key) or str(key)
+        if pos % 5 == 2:
+            w.append(b"NOTFCZ" + data[:40], key, name)      # corrupt magic
+        elif pos % 5 == 4:
+            w.append(data[: len(data) // 3], key, name)     # truncated
+        else:
+            w.append(data, key, name)
+            n_good += 1
+    w.close()
+    src.close()
+
+    out = str(tmp_path / "outdb")
+    rc = run_hybrid_db("decompress", db, out, n_native=1, chunk_entries=3,
+                       batch_size=4)
+    assert rc == 0
+    got = DatabaseReader(out)
+    assert len(got) == n_good
+    for p in range(len(got)):
+        text = bytes(got.get_data(p))
+        assert text.startswith(b"ATOM") or b"\nATOM" in text[:2000]
+    got.close()
