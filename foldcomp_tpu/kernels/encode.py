@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .bitpack import pack_records
 from .geometry import (bond_angle_c, bond_angle_parts_c, dihedral_c,
@@ -64,24 +65,40 @@ def encode_sc_q_core(atom14, res_code):
     a14 = jnp.transpose(atom14, (2, 3, 1, 0))        # [14, 3, L, B]
     sxa, sya, sza = a14[:, 0], a14[:, 1], a14[:, 2]  # [14, L, B]
     codes_lb = jnp.clip(res_code.T, 0, 23)           # [L, B]
-    preds = jnp.asarray(_PRED_IDX)[codes_lb]         # [L, B, 14, 3]
 
-    def sel(arr, idx, upto):
-        acc = arr[0]
-        for kk in range(1, upto):
-            acc = jnp.where(idx == kk, arr[kk], acc)
+    # Per-lane predecessor slots via ONE one-hot MXU contraction against
+    # the [24, 33] index table + distinct-value select chains — same
+    # pattern as decode's place_sidechains_onehot_c (bit-identical:
+    # Precision.HIGHEST bf16x3 reconstructs exact f32 for one-hot
+    # operands). Replaces the [L, B, 14, 3] gathered table + 33 strided
+    # slices, the op shape measured pathological on TPU (PROFILE.md).
+    onehot = (codes_lb[None] == jnp.arange(24, dtype=codes_lb.dtype)
+              .reshape(24, 1, 1)).astype(F32)        # [24, L, B]
+    cols = [np.asarray(_PRED_IDX)[:, k, j]
+            for k in range(3, MAX_ATOM) for j in range(3)]
+    tab = jnp.asarray(np.stack(cols, axis=1).astype(np.float32))
+    vals = jnp.einsum("cm,clb->mlb", tab, onehot,
+                      precision=jax.lax.Precision.HIGHEST)
+
+    def sel(arr, idxf, col):
+        dv = np.unique(col)
+        acc = arr[int(dv[0])]
+        for v in dv[1:]:
+            acc = jnp.where(idxf == F32(v), arr[int(v)], acc)
         return acc
 
     qs, flags = [], []
     deg = F32(57.29577951308232)
     for k in range(3, MAX_ATOM):
-        p0 = preds[..., k, 0]
-        p1 = preds[..., k, 1]
-        p2 = preds[..., k, 2]
+        m = 3 * (k - 3)
+        p0, p1, p2 = vals[m], vals[m + 1], vals[m + 2]
+        c0 = np.asarray(_PRED_IDX)[:, k, 0]
+        c1 = np.asarray(_PRED_IDX)[:, k, 1]
+        c2 = np.asarray(_PRED_IDX)[:, k, 2]
         inner, denom2, det = dihedral_parts_c(
-            sel(sxa, p0, k), sel(sya, p0, k), sel(sza, p0, k),
-            sel(sxa, p1, k), sel(sya, p1, k), sel(sza, p1, k),
-            sel(sxa, p2, k), sel(sya, p2, k), sel(sza, p2, k),
+            sel(sxa, p0, c0), sel(sya, p0, c0), sel(sza, p0, c0),
+            sel(sxa, p1, c1), sel(sya, p1, c1), sel(sza, p1, c1),
+            sel(sxa, p2, c2), sel(sya, p2, c2), sel(sza, p2, c2),
             sxa[k], sya[k], sza[k])
         bad = denom2 <= 0.0
         cos_t = inner / jnp.sqrt(jnp.where(bad, F32(1.0), denom2))
@@ -181,24 +198,35 @@ def encode_batch_core(bb, atom14, res_code, tf_ca, res_mask):
     a14 = jnp.transpose(atom14, (2, 3, 1, 0))        # [14, 3, L, B]
     sxa, sya, sza = a14[:, 0], a14[:, 1], a14[:, 2]  # [14, L, B]
     codes_lb = jnp.clip(res_code.T, 0, 23)           # [L, B]
-    preds = jnp.asarray(_PRED_IDX)[codes_lb]         # [L, B, 14, 3]
 
-    # predecessor slots are < k: where-select chains instead of gathers
-    def sel(arr, idx, upto):
-        acc = arr[0]
-        for kk in range(1, upto):
-            acc = jnp.where(idx == kk, arr[kk], acc)
+    # one-hot MXU predecessor lookup + distinct-value select chains (see
+    # encode_sc_q_core; bit-identical to the gathered-table form)
+    onehot = (codes_lb[None] == jnp.arange(24, dtype=codes_lb.dtype)
+              .reshape(24, 1, 1)).astype(F32)        # [24, L, B]
+    cols = [np.asarray(_PRED_IDX)[:, k, j]
+            for k in range(3, MAX_ATOM) for j in range(3)]
+    tab = jnp.asarray(np.stack(cols, axis=1).astype(np.float32))
+    vals = jnp.einsum("cm,clb->mlb", tab, onehot,
+                      precision=jax.lax.Precision.HIGHEST)
+
+    def sel(arr, idxf, col):
+        dv = np.unique(col)
+        acc = arr[int(dv[0])]
+        for v in dv[1:]:
+            acc = jnp.where(idxf == F32(v), arr[int(v)], acc)
         return acc
 
     sc_rows = []
     for k in range(3, MAX_ATOM):
-        p0 = preds[..., k, 0]
-        p1 = preds[..., k, 1]
-        p2 = preds[..., k, 2]
+        m = 3 * (k - 3)
+        p0, p1, p2 = vals[m], vals[m + 1], vals[m + 2]
+        c0 = np.asarray(_PRED_IDX)[:, k, 0]
+        c1 = np.asarray(_PRED_IDX)[:, k, 1]
+        c2 = np.asarray(_PRED_IDX)[:, k, 2]
         ang = dihedral_c(
-            sel(sxa, p0, k), sel(sya, p0, k), sel(sza, p0, k),
-            sel(sxa, p1, k), sel(sya, p1, k), sel(sza, p1, k),
-            sel(sxa, p2, k), sel(sya, p2, k), sel(sza, p2, k),
+            sel(sxa, p0, c0), sel(sya, p0, c0), sel(sza, p0, c0),
+            sel(sxa, p1, c1), sel(sya, p1, c1), sel(sza, p1, c1),
+            sel(sxa, p2, c2), sel(sya, p2, c2), sel(sza, p2, c2),
             sxa[k], sya[k], sza[k])
         sc_rows.append(ang)
     sc_ang = jnp.stack(sc_rows, axis=0)              # [11, L, B]
