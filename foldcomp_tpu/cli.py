@@ -943,6 +943,46 @@ def _hybrid_applicable(db_path: str) -> bool:
     return n > FAST_DEFAULT_MIN and _accelerator_present()
 
 
+def run_sharded_extract(inp: str, output: str, opts: Options,
+                        merged: bool) -> int:
+    """db extract across opts.threads worker processes (the reference
+    fans extract out with OpenMP, main.cpp:778-859; the in-process thread
+    pool scales NEGATIVELY here — GIL convoy on per-entry Python).
+
+    db output: shard databases merged by key. Merged text output: shard
+    files concatenated in shard order, which IS global entry order for
+    contiguous ranges — byte-identical to the single-thread output."""
+    import subprocess
+
+    from .parallel.dist import merge_shard_dbs, merge_shard_files
+
+    n = opts.threads
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    procs = []
+    for pid in range(n):
+        code = (f"import sys; sys.path.insert(0, {repo!r})\n"
+                f"from foldcomp_tpu.parallel.dist import extract_db_shard\n"
+                f"extract_db_shard({inp!r}, {output!r}, {pid}, {n}, "
+                f"ext_mode={opts.ext_mode}, "
+                f"digits={opts.ext_plddt_digits}, "
+                f"use_title={opts.ext_use_title}, merged={merged})\n")
+        procs.append(subprocess.Popen([sys.executable, "-c", code],
+                                      env=env))
+    rc = 0
+    for p in procs:
+        rc |= p.wait()
+    if rc:
+        print("[Error] sharded worker failed", file=sys.stderr)
+        return 1
+    if merged:
+        merge_shard_files(output, n)
+    else:
+        merge_shard_dbs(output, n)
+    return 0
+
+
 def run_rmsd(path1: str, path2: str):
     def load(p):
         with open(p, "rb") as fh:
@@ -1127,6 +1167,16 @@ def main(argv=None) -> int:
                                  use_device=use_device)
         if opts.threads > 1:
             return run_sharded_db(mode, inputs[0], output, opts)
+
+    # Process-sharded db extract (same rationale; extract is pure host
+    # work, so there is no device stream to schedule)
+    if (mode == "extract" and opts.threads > 1 and not single
+            and not single_files and len(inputs) == 1
+            and is_database(inputs[0]) and opts.id_file is None
+            and not opts.measure_time and not opts.save_as_tar
+            and (opts.db_output or opts.ext_merge)):
+        return run_sharded_extract(inputs[0], output, opts,
+                                   merged=not opts.db_output)
 
     rc = 0
     entry_sources = []

@@ -126,6 +126,77 @@ def decompress_db_shard(db_path: str, out_path: str, shard: int,
     return n_written
 
 
+def extract_db_shard(db_path: str, out_path: str, shard: int, n_shards: int,
+                     ext_mode: int = 0, digits: int = 1,
+                     use_title: bool = False, merged: bool = False) -> int:
+    """Extract pLDDT/sequence from this shard's entry range.
+
+    merged=False writes a shard-local database (keys preserved);
+    merged=True writes the FASTA-like/TSV text to `out_path.<shard>` —
+    shards are contiguous entry ranges, so concatenating the shard files
+    in order reproduces the single-thread output byte-for-byte (the
+    reference's omp merged extract is arrival-order nondeterministic;
+    main.cpp:778-859).
+    """
+    from ..codec import fcz
+    from ..codec.extract import (extract_plddt, extract_sequence,
+                                 write_fasta_like, write_tsv)
+
+    reader = DatabaseReader(db_path, use_lookup=True)
+    writer = None
+    out_fh = None
+    if merged:
+        out_fh = open(f"{out_path}.{shard}", "w")
+    else:
+        writer = DatabaseWriter(shard_db_path(out_path, shard))
+    n_written = 0
+    try:
+        start, end = shard_range(len(reader), shard, n_shards)
+        for pos in range(start, end):
+            key = reader.get_key(pos)
+            data = reader.get_data(pos)
+            if data.endswith(b"\x00"):
+                data = data[:-1]
+            name = reader.name_of_key(key) or str(key)
+            try:
+                f = fcz.parse(bytes(data))
+            except fcz.FczFormatError:
+                continue
+            title = f.title if use_title else name
+            if ext_mode == 0:
+                payload = extract_plddt(f, digits)
+            else:
+                payload = extract_sequence(f)
+            if ext_mode == 0 and digits > 1:
+                text = write_tsv(title, f.n_residue, payload)
+            else:
+                text = write_fasta_like(title, payload)
+            if merged:
+                out_fh.write(text)
+            else:
+                writer.append(text.encode() + b"\x00", key, name)
+            n_written += 1
+    finally:
+        if writer is not None:
+            writer.close()
+        if out_fh is not None:
+            out_fh.close()
+        reader.close()
+    return n_written
+
+
+def merge_shard_files(out_path: str, n_shards: int, cleanup: bool = True):
+    """Concatenate `out_path.<shard>` text files into out_path in shard
+    order (= global entry order for contiguous shard ranges)."""
+    with open(out_path, "wb") as out:
+        for s in range(n_shards):
+            spath = f"{out_path}.{s}"
+            with open(spath, "rb") as fh:
+                shutil.copyfileobj(fh, out)
+            if cleanup:
+                os.remove(spath)
+
+
 def merge_shard_dbs(out_path: str, n_shards: int, cleanup: bool = True):
     """Concatenate shard databases into one, rebasing index offsets.
 

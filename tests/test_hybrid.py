@@ -190,3 +190,32 @@ def test_hybrid_skips_corrupt_entries(tmp_path, ref_test_dir):
         text = bytes(got.get_data(p))
         assert text.startswith(b"ATOM") or b"\nATOM" in text[:2000]
     got.close()
+
+
+@pytest.mark.parametrize("db_out", [False, True])
+def test_sharded_extract_matches_single(tmp_path, ref_test_dir, db_out):
+    """extract -t N on a db fans out over worker processes; merged text
+    output is byte-identical to single-thread (contiguous shard ranges
+    concatenated in order = entry order); db output equal per name."""
+    require_fixture("example_db.dbtype")
+    from foldcomp_tpu import cli
+
+    db = str(ref_test_dir / "example_db")
+    o1 = str(tmp_path / "one")
+    o3 = str(tmp_path / "three")
+    flags = ["-d"] if db_out else []
+    assert cli.main(["extract", "--plddt", *flags, "-y", db, o1]) == 0
+    assert cli.main(["extract", "--plddt", "-t", "3", *flags, "-y",
+                     db, o3]) == 0
+    if not db_out:
+        assert open(o1, "rb").read() == open(o3, "rb").read()
+        return
+    a = DatabaseReader(o1, use_lookup=True)
+    b = DatabaseReader(o3, use_lookup=True)
+    assert len(a) == len(b) == 24
+    bn = {b.name_of_key(b.get_key(p)): bytes(b.get_data(p))
+          for p in range(len(b))}
+    for p in range(len(a)):
+        assert bytes(a.get_data(p)) == bn[a.name_of_key(a.get_key(p))]
+    a.close()
+    b.close()
