@@ -433,44 +433,53 @@ def run_hybrid_db(mode: str, db_path: str, out_path: str, n_native: int,
 
 def _native_mop_up(mode, reader, writer, ctrl, chunk_entries, claimed, done,
                    anchor_threshold):
+    """Finish leftovers natively in the parent, then keep stealing chunks
+    ONE AT A TIME, processing each before claiming the next — bulk
+    draining the controller here would starve the worker processes and
+    serialize the remaining work onto this single process."""
     n = len(reader)
-    remaining = [p for c in claimed for p in _chunk_positions(
-        c, chunk_entries, n) if p not in done]
-    while (c := ctrl.take_back()) is not None:
-        remaining.extend(_chunk_positions(c, chunk_entries, n))
-    if not remaining:
-        return
+
     if mode == "decompress":
         from ..native import decode_fcz_pdb_native, get_lib
-        if get_lib() is None:
+        if get_lib() is not None:
+            def proc(pos):
+                key, name, data = _entry(reader, pos)
+                try:
+                    payload = decode_fcz_pdb_native(data, as_bytes=True)
+                except ValueError:
+                    return
+                writer.append(payload + b"\x00", key, name)
+        else:
             from ..codec import fcz
             from ..codec.decoder import decode
             from ..io.pdb import format_pdb
-            for pos in remaining:
+
+            def proc(pos):
                 key, name, data = _entry(reader, pos)
                 try:
                     f = fcz.parse(data)
                     text = format_pdb(decode(f), f.title)
                 except Exception:
-                    continue
+                    return
                 writer.append(text.encode() + b"\x00", key, name)
-            return
-        for pos in remaining:
-            key, name, data = _entry(reader, pos)
-            try:
-                payload = decode_fcz_pdb_native(data, as_bytes=True)
-            except ValueError:
-                continue
-            writer.append(payload + b"\x00", key, name)
     else:
         from ..native import encode_pdb_native
-        for pos in remaining:
+
+        def proc(pos):
             key, name, data = _entry(reader, pos)
             try:
                 frags = encode_pdb_native(data, anchor_threshold, None,
                                           split=True, fallback_title=name)
             except Exception:
-                continue
+                return
             for f in frags or []:
                 if not f["error"]:
                     writer.append(f["blob"], key, name)
+
+    for c in claimed:
+        for pos in _chunk_positions(c, chunk_entries, n):
+            if pos not in done:
+                proc(pos)
+    while (c := ctrl.take_back()) is not None:
+        for pos in _chunk_positions(c, chunk_entries, n):
+            proc(pos)
