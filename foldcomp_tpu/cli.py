@@ -1166,7 +1166,15 @@ def main(argv=None) -> int:
                                  batch_size=FAST_BATCH,
                                  use_device=use_device)
         if opts.threads > 1:
-            return run_sharded_db(mode, inputs[0], output, opts)
+            # No (usable) accelerator: same work-stealing scheduler with
+            # native workers only — dynamic chunk claims absorb per-entry
+            # skew that static contiguous ranges cannot (measured +33%
+            # over run_sharded_db on a replicated-entry db), and the
+            # parent steals chunks too instead of idling.
+            from .parallel.hybrid import run_hybrid_db
+            return run_hybrid_db(mode, inputs[0], output, opts.threads,
+                                 anchor_threshold=opts.anchor_threshold,
+                                 batch_size=FAST_BATCH, use_device=False)
 
     # Process-sharded db extract (same rationale; extract is pure host
     # work, so there is no device stream to schedule)
