@@ -79,8 +79,12 @@ def bench_device_decode(jax, f, batch_size=512, iters=10):
 
 
 def bench_device_encode(jax, frag, batch_size=512, iters=5):
-    """Bit-parity batched encode rate (device sc parts + host finishing)."""
-    from foldcomp_tpu.codec.batch import (encode_tensor_batch,
+    """Bit-parity batched encode rate (device sc parts + host finishing).
+
+    Pipelined submit/finish, the shape the CLI fast-compress path runs:
+    batch k+1's compact-int transfer and kernel overlap batch k's host
+    finishing (codec/batch.py encode_submit/encode_finish)."""
+    from foldcomp_tpu.codec.batch import (encode_finish, encode_submit,
                                           fragment_to_tensors)
 
     a14, rc, tf, meta = fragment_to_tensors(frag)
@@ -88,10 +92,17 @@ def bench_device_encode(jax, frag, batch_size=512, iters=5):
     tensors = [(a14, rc, tf)] * batch_size
     metas = [meta] * batch_size
     n_res_total = len(rc) * batch_size
-    encode_tensor_batch(tensors, metas)  # compile + warm
+    encode_finish(encode_submit(tensors, metas))  # compile + warm
+    from concurrent.futures import ThreadPoolExecutor
     t0 = time.perf_counter()
-    for _ in range(iters):
-        encode_tensor_batch(tensors, metas)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        prev = None
+        for _ in range(iters):
+            handle = encode_submit(tensors, metas)
+            if prev is not None:
+                prev.result()
+            prev = pool.submit(encode_finish, handle)
+        prev.result()
     return n_res_total * iters / (time.perf_counter() - t0)
 
 

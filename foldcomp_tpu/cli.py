@@ -8,6 +8,7 @@ identical output naming rules.
 """
 from __future__ import annotations
 
+import collections
 import gzip
 import io
 import os
@@ -467,24 +468,37 @@ def _run_compress_fast(opts: Options, entries, sink, sink_kind, output: str):
     raw arrays (codec/batch.py encode_pdb_device), FAST_BATCH fragments per
     device call; CIF/fallback entries go through the Python fragment path."""
     from .backend import ensure_backend
-    from .codec.batch import (encode_fragment_batch, encode_pdb_device,
-                              encode_tensor_batch)
+    from .codec.batch import (encode_finish, encode_fragment_batch,
+                              encode_pdb_device, encode_submit)
     ensure_backend()
 
     pending_t = []   # (fname, parts, tensors)
+    inflight = collections.deque()   # (entries, finish future)
+    # one finisher thread: batch k's device wait + host finishing
+    # (numpy-heavy, GIL-releasing) overlaps batch k+1's parse/pack in
+    # the main thread; single worker keeps output order FIFO
+    fin_pool = ThreadPoolExecutor(max_workers=1)
 
-    def flush_tensors():
-        if not pending_t:
-            return
-        fczs = encode_tensor_batch(
-            [t for _, _, t, _ in pending_t],
-            [m for _, _, _, m in pending_t],
-            anchor_threshold=opts.anchor_threshold)
-        for (fname, parts, _, _), f in zip(pending_t, fczs):
+    def _finish_oldest():
+        entries, fut = inflight.popleft()
+        for (fname, parts, _, _), f in zip(entries, fut.result()):
             if f is not None:
                 _compress_write(sink, sink_kind, output, fname,
                                 fcz.serialize(f), parts)
-        pending_t.clear()
+
+    def flush_tensors(drain: bool = False):
+        if pending_t:
+            handle = encode_submit(
+                [t for _, _, t, _ in pending_t],
+                [m for _, _, _, m in pending_t],
+                anchor_threshold=opts.anchor_threshold)
+            inflight.append((list(pending_t),
+                             fin_pool.submit(encode_finish, handle)))
+            pending_t.clear()
+        while len(inflight) > (0 if drain else 1):
+            _finish_oldest()
+        if drain:
+            fin_pool.shutdown()
 
     def try_device_path(name, buf):
         """True if handled via the vectorized raw-array pipeline."""
@@ -585,7 +599,7 @@ def _run_compress_fast(opts: Options, entries, sink, sink_kind, output: str):
                 pending.append((fname, parts, frag))
                 if len(pending) >= FAST_BATCH:
                     flush()
-    flush_tensors()
+    flush_tensors(drain=True)
     flush()
     sink.close()
     return 0

@@ -698,7 +698,8 @@ def finish_encode_host(sc_parts, atom14, res_code, tf_ca, res_mask):
     # differ from the exact path; flagged ones (~1e-3 of values) are
     # recomputed here with the exact f32 parts + f64 acos — bit parity.
     q = np.asarray(sc_parts["sc_q"], np.uint8).copy()   # [B, L, 11]
-    flagged = np.asarray(sc_parts["sc_flag"]) > 0
+    fb = np.asarray(sc_parts["sc_flag_bits"])           # u16 [B, L]
+    flagged = ((fb[:, :, None] >> np.arange(11)) & 1) > 0
     # only slots the serializer will emit need bit-parity rescue: slot k
     # of residue r matters iff k < n_sc_torsion(residue r) and the
     # residue is real — unused slots see degenerate zero geometry, hit
@@ -973,24 +974,97 @@ def encode_pdb_device(data: bytes, anchor_threshold: int = 25,
     return frag_tensors, frag_meta
 
 
-def encode_tensor_batch(frag_tensors, frag_meta, anchor_threshold: int = 25,
-                        l_bucket: int = 32):
-    """Device-encode prepared fragment tensors -> List[FczData | None].
+class _ScratchPool:
+    """Recycled numpy buffers for the encode pack path.
 
-    Device quantizes the side chains and flags near-boundary values
-    (encode_sc_q_core); the host computes the backbone streams, rescues
-    flagged side-chain codes, and finishes with the reference's
-    f64-promoted acos + quantization (finish_encode_host) so the records
-    are bit-parity with the exact encoder."""
-    from ..kernels.encode import encode_sc_q_core
+    First-touch page faults on this VM cost ~40 ms per fresh 35 MB
+    buffer; recycling keeps the pack at warm-memory speed. Buffers
+    handed to jax.device_put stay owned by the submit handle and return
+    to the pool in encode_finish, after the kernel outputs exist (which
+    guarantees the H2D transfer has consumed them)."""
+
+    def __init__(self):
+        self._free = {}
+
+    def take(self, shape, dtype):
+        lst = self._free.get((shape, np.dtype(dtype).str))
+        return lst.pop() if lst else np.empty(shape, dtype)
+
+    def give(self, *arrays):
+        for a in arrays:
+            if a is not None:
+                self._free.setdefault((a.shape, a.dtype.str), []).append(a)
+
+
+_POOL = _ScratchPool()
+
+
+def _compact_coord_batch(atom14):
+    """f32 [B, L, 14, 3] -> (base i32, delta i16, present u16) or None.
+
+    Millicoordinate form for the wire (see encode_sc_q_core_compact):
+    valid only when every coordinate is the f32 of an integer number of
+    milli-angstroms below 2^24 (3-decimal PDB/CIF coords always are) and
+    every atom sits within int16 range of its residue's first present
+    atom. The rounding runs in f32 (exact recovery holds to ~8000 A,
+    the PDB format's own coordinate range) and is then VERIFIED by exact
+    reconstruction against the correctly rounded division the device
+    replays; returns None when any element fails, and the caller falls
+    back to the f32 transfer. All large intermediates run in-place on
+    pooled scratch; the returned delta buffer belongs to the submit
+    handle and is recycled by encode_finish."""
+    shape = atom14.shape
+    s = _POOL.take(shape, np.float32)
+    np.multiply(atom14, np.float32(1000.0), out=s)
+    np.rint(s, out=s)
+    smax, smin = s.max(), s.min()
+    if not (smax < 2 ** 24 and smin > -(2 ** 24)):   # False on NaN too
+        _POOL.give(s)
+        return None
+    xi = _POOL.take(shape, np.int32)
+    np.copyto(xi, s, casting="unsafe")
+    np.copyto(s, xi, casting="unsafe")               # s = f32(xi), exact
+    np.divide(s, np.float32(1000.0), out=s)
+    if not np.array_equal(s, atom14):
+        _POOL.give(s, xi)
+        return None
+    present = xi.any(axis=3)                         # [B, L, 14]
+    first = np.argmax(present, axis=2)               # 0 if none present
+    base = np.ascontiguousarray(np.take_along_axis(
+        xi, first[:, :, None, None].repeat(3, 3), axis=2)[:, :, 0])
+    np.subtract(xi, base[:, :, None, :], out=xi)
+    np.multiply(xi, present[..., None], out=xi)      # absent slots -> 0
+    if not (-(2 ** 15) < xi.min() and xi.max() < 2 ** 15):
+        _POOL.give(s, xi)
+        return None
+    delta = _POOL.take(shape, np.int16)
+    np.copyto(delta, xi, casting="unsafe")
+    bits = (present << np.arange(14)[None, None, :]).sum(
+        axis=2).astype(np.uint16)
+    _POOL.give(s, xi)
+    return base, delta, bits
+
+
+def encode_submit(frag_tensors, frag_meta, anchor_threshold: int = 25,
+                  l_bucket: int = 32):
+    """Stage 1 of the batched device encode: pad, ship, dispatch.
+
+    Pads the live fragments into one batch, transfers the coordinates
+    (compact integer millicoordinate form when exact — see
+    _compact_coord_batch — else f32) and dispatches the side-chain
+    quantization kernel WITHOUT blocking. Returns an opaque handle for
+    encode_finish; callers may submit the next batch before finishing
+    the previous one so host finishing overlaps device transfers."""
+    from ..kernels.encode import (encode_sc_q_core,
+                                  encode_sc_q_core_compact)
 
     live = [(i, t) for i, t in enumerate(frag_tensors) if t is not None]
-    results = [None] * len(frag_tensors)
     if not live:
-        return results
+        return dict(n=len(frag_tensors), live=[])
     b = len(live)
     l_pad = _round_up(max(t[0].shape[0] for _, t in live), l_bucket)
-    atom14 = np.zeros((b, l_pad, 14, 3), F32)
+    atom14 = _POOL.take((b, l_pad, 14, 3), F32)
+    atom14.fill(0)
     res_code = np.zeros((b, l_pad), I32)
     tf_ca = np.zeros((b, l_pad), F32)
     res_mask = np.zeros((b, l_pad), bool)
@@ -1000,10 +1074,36 @@ def encode_tensor_batch(frag_tensors, frag_meta, anchor_threshold: int = 25,
         res_code[k, :m] = rc
         tf_ca[k, :m] = tf
         res_mask[k, :m] = True
-    sc_q, sc_flag = encode_sc_q_core(atom14, res_code)
-    out = finish_encode_host(dict(sc_q=np.asarray(sc_q),
-                                  sc_flag=np.asarray(sc_flag)),
-                             atom14, res_code, tf_ca, res_mask)
+    compact = _compact_coord_batch(atom14)
+    if compact is not None:
+        sc_q, flag_bits = encode_sc_q_core_compact(*compact, res_code)
+        delta_buf = compact[1]
+    else:
+        sc_q, flag_bits = encode_sc_q_core(atom14, res_code)
+        delta_buf = None
+    return dict(n=len(frag_tensors), live=live, frag_meta=frag_meta,
+                anchor_threshold=anchor_threshold, atom14=atom14,
+                res_code=res_code, tf_ca=tf_ca, res_mask=res_mask,
+                sc_q=sc_q, flag_bits=flag_bits, delta_buf=delta_buf)
+
+
+def encode_finish(handle):
+    """Stage 2 of the batched device encode: block, finish, assemble."""
+    results = [None] * handle["n"]
+    live = handle["live"]
+    if not live:
+        return results
+    frag_meta = handle["frag_meta"]
+    anchor_threshold = handle["anchor_threshold"]
+    atom14, res_code = handle["atom14"], handle["res_code"]
+    out = finish_encode_host(
+        dict(sc_q=np.asarray(handle["sc_q"]),
+             sc_flag_bits=np.asarray(handle["flag_bits"])),
+        atom14, res_code, handle["tf_ca"], handle["res_mask"])
+    # the device outputs are materialized, so the H2D transfer consumed
+    # the pooled input buffers: recycle them for the next submit (pop so
+    # a double-finish cannot hand the same buffer out twice)
+    _POOL.give(handle.pop("atom14"), handle.pop("delta_buf", None))
     # side-chain stream compaction for the whole batch in one masked
     # fancy-index: sc_q is [B, L, 11] row-major, so selecting slot j of
     # residue r where j < n_sc_torsion(residue r) preserves the per-entry
@@ -1038,55 +1138,28 @@ def encode_tensor_batch(frag_tensors, frag_meta, anchor_threshold: int = 25,
     return results
 
 
+def encode_tensor_batch(frag_tensors, frag_meta, anchor_threshold: int = 25,
+                        l_bucket: int = 32):
+    """Device-encode prepared fragment tensors -> List[FczData | None].
+
+    Device quantizes the side chains and flags near-boundary values
+    (encode_sc_q_core); the host computes the backbone streams, rescues
+    flagged side-chain codes, and finishes with the reference's
+    f64-promoted acos + quantization (finish_encode_host) so the records
+    are bit-parity with the exact encoder. Synchronous form of
+    encode_submit + encode_finish."""
+    return encode_finish(encode_submit(frag_tensors, frag_meta,
+                                       anchor_threshold, l_bucket))
+
+
 def encode_fragment_batch(fragments, anchor_threshold: int = 25,
                           l_bucket: int = 32):
     """Batched (device) encode of AtomArray fragments -> List[FczData].
 
-    Same device/host split as encode_tensor_batch: bit-parity records."""
-    from ..kernels.encode import encode_sc_q_core
-
+    Same device/host split as encode_tensor_batch: bit-parity records.
+    Entries whose anchor count exceeds the uint8 header field come back
+    as None (the exact encoder raises on those too)."""
     tensors = [fragment_to_tensors(a) for a in fragments]
-    b = len(tensors)
-    l_pad = _round_up(max(t[0].shape[0] for t in tensors), l_bucket)
-    atom14 = np.zeros((b, l_pad, 14, 3), F32)
-    res_code = np.zeros((b, l_pad), I32)
-    tf_ca = np.zeros((b, l_pad), F32)
-    res_mask = np.zeros((b, l_pad), bool)
-    for i, (a14, rc, tf, _) in enumerate(tensors):
-        n = a14.shape[0]
-        atom14[i, :n] = a14
-        res_code[i, :n] = rc
-        tf_ca[i, :n] = tf
-        res_mask[i, :n] = True
-
-    sc_q, sc_flag = encode_sc_q_core(atom14, res_code)
-    out = finish_encode_host(dict(sc_q=np.asarray(sc_q),
-                                  sc_flag=np.asarray(sc_flag)),
-                             atom14, res_code, tf_ca, res_mask)
-
-    fczs = []
-    for i, (a14, rc, tf, meta) in enumerate(tensors):
-        n = a14.shape[0]
-        anchors = _anchor_indices(n, anchor_threshold)
-        # side-chain stream compaction (table order per residue), one
-        # masked fancy-index per entry
-        counts = np.where(rc < NUM_AA, N_SC_TORSION[rc], 0)
-        sc_stream = out["sc_q"][i, :n][
-            np.arange(out["sc_q"].shape[2])[None, :] < counts[:, None]]
-        fczs.append(FczData(
-            n_residue=n, n_atom=meta["n_atom"],
-            idx_residue=meta["idx_residue"], idx_atom=meta["idx_atom"],
-            n_anchor=len(anchors), chain=meta["chain"],
-            n_sc_torsion=len(sc_stream),
-            first_residue=meta["first_residue"],
-            last_residue=meta["last_residue"], title=meta["title"],
-            mins=out["mins"][i], cont_fs=out["cont_fs"][i],
-            anchor_indices=anchors,
-            anchor_coords=a14[anchors, :3].astype(F32),
-            has_oxt=meta["has_oxt"], oxt_coords=meta["oxt_coords"],
-            records=out["records"][i, :n],
-            sc_codes=sc_stream.astype(np.uint8),
-            tf_min=np.float32(out["tf_min"][i]),
-            tf_cont=np.float32(out["tf_cont"][i]),
-            tf_codes=out["tf_q"][i, :n].astype(np.uint8)))
-    return fczs
+    return encode_tensor_batch([(a14, rc, tf) for a14, rc, tf, _ in tensors],
+                               [m for _, _, _, m in tensors],
+                               anchor_threshold, l_bucket)

@@ -48,19 +48,44 @@ def _masked_min_max(v, mask):
     return vmin, vmax
 
 
-@jax.jit
-def encode_sc_q_core(atom14, res_code):
-    """Device side-chain quantization + near-boundary rescue flags.
+def _div1000_cr(xi):
+    """Correctly-rounded f32 division by 1000 for integer |xi| < 2^24.
 
-    Returns (sc_q, sc_flag), each u8 [B, L, 11]. sc_q is the fixed
-    255-bin truncating quantization computed in device f32; sc_flag marks
-    values whose scaled angle lies within an ulp-derived tolerance of a
-    truncation boundary (tolerance amplified by 1/sqrt(1-cos^2), the acos
-    input sensitivity), plus every NaN-guard output. The host keeps
+    TPU f32 divide is reciprocal-multiply (NOT correctly rounded: 59% of
+    the int24 millicoordinate domain differs from IEEE in the last ulp),
+    so this builds the quotient from exact primitives only: f32 mul/add
+    are IEEE-correct on TPU, int->f32 is exact below 2^24, and a Dekker
+    12+12 split makes the residual r = xf - q*1000 exact (both partial
+    products fit 24 bits). Two refinement passes reach the correctly
+    rounded quotient; verified EXHAUSTIVELY over the full +/- int24
+    domain against numpy on both the TPU and CPU backends
+    (tests/test_fast_codec.py::test_div1000_cr_exhaustive_sample)."""
+    xf = xi.astype(F32)
+    c = F32(0.001)
+
+    def refine(q):
+        s = q * F32(4097.0)          # Dekker split at 12 bits
+        hi = s - (s - q)
+        lo = q - hi
+        r = (xf - hi * F32(1000.0)) - lo * F32(1000.0)
+        return q + r * c
+
+    return refine(refine(xf * c))
+
+
+def _sc_q_flags(atom14, res_code):
+    """Shared body: side-chain quantization + packed rescue flags.
+
+    Returns (sc_q u8 [B, L, 11], flag_bits u16 [B, L]) — bit k of
+    flag_bits marks slot k of that residue as near-boundary. sc_q is the
+    fixed 255-bin truncating quantization computed in device f32; a flag
+    marks values whose scaled angle lies within an ulp-derived tolerance
+    of a truncation boundary (tolerance amplified by 1/sqrt(1-cos^2), the
+    acos input sensitivity), plus every NaN-guard output. The host keeps
     unflagged codes as-is (device f32 cannot flip those bins vs the exact
     path) and recomputes flagged ones exactly from atom14
-    (codec/batch.py finish_encode_host) — bit-parity at 2 bytes/slot of
-    D2H transfer instead of 12 for the raw parts (the parts form was
+    (codec/batch.py finish_encode_host) — bit-parity at ~1.1 bytes/slot
+    of D2H transfer instead of 12 for the raw parts (the parts form was
     transfer-bound on the axon tunnel)."""
     a14 = jnp.transpose(atom14, (2, 3, 1, 0))        # [14, 3, L, B]
     sxa, sya, sza = a14[:, 0], a14[:, 1], a14[:, 2]  # [14, L, B]
@@ -116,11 +141,47 @@ def encode_sc_q_core(atom14, res_code):
         dist = jnp.abs(t - jnp.round(t))
         flags.append(((dist < tol) | nan_like).astype(jnp.uint8))
         qs.append(q)
-    # transpose to [B, L, 11] on device: that is the layout the host
+    # pack the 11 flag planes into one u16 bitfield per residue (the
+    # flags are ~1e-3 sparse: 11 bytes -> 2 bytes of D2H per residue);
+    # transpose to [B, L, ...] on device: that is the layout the host
     # serializer consumes, and converting an [11, L, B]-major jax array
     # to numpy costs a 45 ms host-side relayout per batch otherwise
+    flag_bits = flags[0].astype(jnp.uint16)
+    for k, fl in enumerate(flags[1:], start=1):
+        flag_bits = flag_bits | (fl.astype(jnp.uint16) << k)
     return (jnp.transpose(jnp.stack(qs), (2, 1, 0)),
-            jnp.transpose(jnp.stack(flags), (2, 1, 0)))
+            flag_bits.T)
+
+
+@jax.jit
+def encode_sc_q_core(atom14, res_code):
+    """Device sc quantization from f32 coords (see _sc_q_flags)."""
+    return _sc_q_flags(atom14, res_code)
+
+
+@jax.jit
+def encode_sc_q_core_compact(base, delta, present, res_code):
+    """Device sc quantization from compact integer millicoordinates.
+
+    base:    i32 [B, L, 3]     first present atom's coords, milli-angstrom
+    delta:   i16 [B, L, 14, 3] per-slot offsets from base (0 if absent)
+    present: u16 [B, L]        bit k set iff atom slot k exists
+    res_code: i32 [B, L]
+
+    Reconstructs the EXACT f32 coordinates the f32 path sees:
+    xi = base + delta in int32 (|xi| < 2^24, host-checked), absent slots
+    forced to the 0 fill of fragment_to_tensors, then the correctly
+    rounded /1000 (_div1000_cr) — bit-identical to the host's
+    np.float32 division, so the quantized codes and rescue flags are
+    bit-identical to encode_sc_q_core on the f32 input. The integer form
+    exists purely for the wire: millicoordinate deltas are low-entropy
+    and compress ~2x better through the axon tunnel than f32 bit
+    patterns (the H2D transfer bounds device encode there)."""
+    xi = base[:, :, None, :].astype(I32) + delta.astype(I32)
+    bit = (present[:, :, None].astype(I32) >>
+           jnp.arange(14, dtype=I32)[None, None, :]) & 1
+    xi = jnp.where(bit[..., None] == 1, xi, 0)
+    return _sc_q_flags(_div1000_cr(xi), res_code)
 
 
 @jax.jit

@@ -168,3 +168,87 @@ def test_stream_ragged_tail_padding(test_pdb_fragment):
     assert len({t for _, t in got}) == 1     # identical inputs, one text
     exact_text = got[0][1]
     assert exact_text.count("ATOM") >= test_pdb_fragment.coords.shape[0] // 14
+
+
+def test_div1000_cr_exhaustive_sample():
+    """The correctly-rounded /1000 matches numpy across a dense sample.
+
+    The full +/- int24 domain was verified exhaustively on both the TPU
+    and CPU backends during development; this keeps a dense randomized
+    slice of that proof in the suite (every backend the tests run on)."""
+    import jax.numpy as jnp
+
+    from foldcomp_tpu.kernels.encode import _div1000_cr
+
+    rng = np.random.default_rng(7)
+    xi = rng.integers(-(2 ** 24) + 1, 2 ** 24, 1 << 20).astype(np.int32)
+    # include the boundary/tie-prone structure: exact thousands +/- 1,
+    # tiny values, and the domain edges
+    edges = np.concatenate([
+        np.arange(-2000, 2001, dtype=np.int32),
+        np.array([2 ** 24 - 1, -(2 ** 24) + 1], np.int32),
+        (np.arange(1, 16000, dtype=np.int32) * 1000),
+        (np.arange(1, 16000, dtype=np.int32) * 1000 + 1),
+        (np.arange(1, 16000, dtype=np.int32) * 1000 - 1)])
+    xi = np.concatenate([xi, edges])
+    dev = np.asarray(_div1000_cr(jnp.asarray(xi)))
+    host = xi.astype(np.float32) / np.float32(1000.0)
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_compact_coord_batch_engages_on_pdb(test_pdb_fragment):
+    """Parsed 3-decimal PDB coords take the compact int wire form and the
+    compact kernel's output is bit-identical to the f32 kernel's."""
+    from foldcomp_tpu.codec.batch import (_compact_coord_batch,
+                                          fragment_to_tensors)
+    from foldcomp_tpu.kernels.encode import (encode_sc_q_core,
+                                             encode_sc_q_core_compact)
+
+    a14, rc, _tf, _meta = fragment_to_tensors(test_pdb_fragment)
+    atom14 = a14[None]
+    res_code = rc[None].astype(np.int32)
+    compact = _compact_coord_batch(atom14)
+    assert compact is not None, "PDB coords must take the compact path"
+    base, delta, present = compact
+    assert delta.dtype == np.int16 and present.dtype == np.uint16
+    q_c, f_c = encode_sc_q_core_compact(base, delta, present, res_code)
+    q_f, f_f = encode_sc_q_core(atom14, res_code)
+    np.testing.assert_array_equal(np.asarray(q_c), np.asarray(q_f))
+    np.testing.assert_array_equal(np.asarray(f_c), np.asarray(f_f))
+
+
+def test_compact_coord_batch_falls_back():
+    """Coordinates that are not exact milli-angstrom integers (or that
+    overflow the delta range) reject the compact form."""
+    from foldcomp_tpu.codec.batch import _compact_coord_batch
+
+    atom14 = np.full((1, 4, 14, 3), 1.2345678, np.float32)
+    assert _compact_coord_batch(atom14) is None
+    # exact millicoords but a >32.7 A intra-residue span
+    atom14 = np.zeros((1, 4, 14, 3), np.float32)
+    atom14[0, :, 0] = 1.0
+    atom14[0, :, 13] = 40.0
+    assert _compact_coord_batch(atom14) is None
+    # NaN padding rejects too
+    atom14 = np.zeros((1, 4, 14, 3), np.float32)
+    atom14[0, 1, 5] = np.nan
+    assert _compact_coord_batch(atom14) is None
+
+
+def test_encode_submit_finish_pipelined(test_pdb_fragment):
+    """Two in-flight submit handles finish to the same bytes as the
+    synchronous encode_tensor_batch."""
+    from foldcomp_tpu.codec.batch import (encode_finish, encode_submit,
+                                          encode_tensor_batch,
+                                          fragment_to_tensors)
+
+    a14, rc, tf, meta = fragment_to_tensors(test_pdb_fragment)
+    meta = dict(meta, error=None)
+    tensors = [(a14, rc, tf)] * 6
+    metas = [meta] * 6
+    sync = encode_tensor_batch(tensors[:3], metas[:3])
+    h1 = encode_submit(tensors[:3], metas[:3])
+    h2 = encode_submit(tensors[3:], metas[3:])
+    out1, out2 = encode_finish(h1), encode_finish(h2)
+    for f in (*out1, *out2):
+        assert fcz.serialize(f) == fcz.serialize(sync[0])
