@@ -1081,7 +1081,9 @@ def encode_submit(frag_tensors, frag_meta, anchor_threshold: int = 25,
     else:
         sc_q, flag_bits = encode_sc_q_core(atom14, res_code)
         delta_buf = None
-    return dict(n=len(frag_tensors), live=live, frag_meta=frag_meta,
+    # copy frag_meta: callers may clear/reuse their list while the
+    # handle is in flight (the live tensors are captured pairwise above)
+    return dict(n=len(frag_tensors), live=live, frag_meta=list(frag_meta),
                 anchor_threshold=anchor_threshold, atom14=atom14,
                 res_code=res_code, tf_ca=tf_ca, res_mask=res_mask,
                 sc_q=sc_q, flag_bits=flag_bits, delta_buf=delta_buf)

@@ -271,7 +271,8 @@ def compress_db_shard(db_path: str, out_path: str, shard: int,
     device_ready = False
     if fast:
         try:
-            from ..codec.batch import encode_pdb_device, encode_tensor_batch
+            from ..codec.batch import (encode_finish, encode_pdb_device,
+                                       encode_submit)
             from ..codec import fcz as fcz_mod
             from ..native import get_lib
             device_ready = get_lib() is not None
@@ -281,22 +282,29 @@ def compress_db_shard(db_path: str, out_path: str, shard: int,
     try:
         start, end = shard_range(len(reader), shard, n_shards)
         if device_ready:
+            import collections
             pend_tensors, pend_meta, pend_entry = [], [], []
+            inflight = collections.deque()   # (entries, submit handle)
 
-            def flush():
+            def _finish_oldest():
                 nonlocal n_written
-                if not pend_tensors:
-                    return
-                for f, (key, name) in zip(
-                        encode_tensor_batch(pend_tensors, pend_meta,
-                                            anchor_threshold),
-                        pend_entry):
+                entries, handle = inflight.popleft()
+                for f, (key, name) in zip(encode_finish(handle), entries):
                     if f is not None:
                         writer.append(fcz_mod.serialize(f), key, name)
                         n_written += 1
-                pend_tensors.clear()
-                pend_meta.clear()
-                pend_entry.clear()
+
+            def flush(drain: bool = False):
+                # one batch in flight: the next batch's parse/pack
+                # overlaps this one's device round trip + host finish
+                if pend_tensors:
+                    inflight.append((list(pend_entry), encode_submit(
+                        pend_tensors, pend_meta, anchor_threshold)))
+                    pend_tensors.clear()
+                    pend_meta.clear()
+                    pend_entry.clear()
+                while len(inflight) > (0 if drain else 1):
+                    _finish_oldest()
 
             for pos in range(start, end):
                 key = reader.get_key(pos)
@@ -317,7 +325,7 @@ def compress_db_shard(db_path: str, out_path: str, shard: int,
                     pend_entry.append((key, name))
                 if len(pend_entry) >= batch_entries:
                     flush()
-            flush()
+            flush(drain=True)
         else:
             from ..native import encode_pdb_native
             for pos in range(start, end):

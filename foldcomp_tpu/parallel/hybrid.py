@@ -291,22 +291,36 @@ def _device_compress(reader, writer, ctrl, chunk_entries, batch_size,
                      anchor_threshold, claimed, done):
     """Device stream: batched device encode (bit-parity records) of back
     chunks; one flush per `batch_size` fragments."""
+    import collections
+
     from ..codec import fcz as fcz_mod
-    from ..codec.batch import encode_pdb_device, encode_tensor_batch
+    from ..codec.batch import (encode_finish, encode_pdb_device,
+                               encode_submit)
 
     n = len(reader)
     guard = EndgameGuard(ctrl, chunk_entries, batch_size,
                          completed_fn=lambda: len(done))
     pend_t, pend_m, pend_e = [], [], []
+    inflight = collections.deque()   # (entries, submit handle)
 
-    def flush_full():
+    def _finish_oldest():
+        entries, handle = inflight.popleft()
+        for f, (key, name, pos) in zip(encode_finish(handle), entries):
+            if f is not None:
+                writer.append(fcz_mod.serialize(f), key, name)
+            done.add(pos)
+
+    def flush_full(drain: bool = False):
         """Device-encode in EXACT batch_size groups: the batch dim is not
         jit-static, so ragged flushes would compile a fresh program per
         distinct size (minutes each on a remote-compile TPU service).
         Slices cut at ENTRY boundaries (all fragments of a database entry
         stay in one flush, so `done` is all-or-nothing per entry) and are
         padded back to batch_size with a replicated tensor whose output
-        is dropped."""
+        is dropped. One batch stays in flight (encode_submit handle) so
+        the next group's parse/pack overlaps the device round trip; the
+        one-batch lag in `done` only makes the endgame guard slightly
+        more conservative."""
         while len(pend_t) >= batch_size:
             cut = batch_size
             while cut > 0 and pend_e[cut - 1][2] == \
@@ -319,15 +333,15 @@ def _device_compress(reader, writer, ctrl, chunk_entries, batch_size,
             pad = batch_size - cut
             ts = pend_t[:cut] + [pend_t[cut - 1]] * pad
             ms = pend_m[:cut] + [pend_m[cut - 1]] * pad
-            for f, (key, name, pos) in zip(
-                    encode_tensor_batch(ts, ms, anchor_threshold),
-                    pend_e[:cut]):
-                if f is not None:
-                    writer.append(fcz_mod.serialize(f), key, name)
-                done.add(pos)
+            inflight.append((list(pend_e[:cut]),
+                             encode_submit(ts, ms, anchor_threshold)))
             del pend_t[:cut]
             del pend_m[:cut]
             del pend_e[:cut]
+            while len(inflight) > 1:
+                _finish_oldest()
+        while inflight and (drain or len(inflight) > 1):
+            _finish_oldest()
 
     while (c := guard.take_back()) is not None:
         claimed.append(c)
@@ -348,6 +362,7 @@ def _device_compress(reader, writer, ctrl, chunk_entries, batch_size,
             if not got:
                 done.add(pos)
         flush_full()
+    flush_full(drain=True)
     # the ragged tail (< batch_size fragments) is NOT device-encoded:
     # flushes are entry-atomic, so tail entries are simply absent from
     # `done` and fall through to the native mop-up (which re-encodes
