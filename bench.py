@@ -63,7 +63,7 @@ def bench_device_decode(jax, f, batch_size=512, iters=10):
         return decode_seg_batch_core(
             dev["seg_records"], dev["mins_lane"], dev["cont_lane"],
             dev["sc_codes_seg"], dev["anchor_xyz"], dev["seg_m"],
-            refine_iters=2)
+            refine_iters=2, res_index=dev.get("res_index"))
 
     jax.block_until_ready(run())
     jax.block_until_ready(run())

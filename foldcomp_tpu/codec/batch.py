@@ -149,6 +149,7 @@ class SegDecodeMeta:
     temp: np.ndarray       # f32 [n]
     lane_of: np.ndarray    # i64 [n]
     rec_of: np.ndarray     # i64 [n]
+    res_base: int = 0      # row offset in the residue-space output [R]
 
 
 def pack_decode_batch_seg(fczs, s_bucket: int = 4, seg_bucket: int = 8):
@@ -216,11 +217,27 @@ def pack_decode_batch_seg(fczs, s_bucket: int = 4, seg_bucket: int = 8):
             res_code=res_code_all, temp=temp,
             lane_of=lane_of, rec_of=rec_of))
 
+    # residue-space stitch index for the on-device stitch: residue r of
+    # protein i lives at flat row lane_of[r] * seg_pad + rec_of[r] of the
+    # [N, SEG, ...] segment-space output. Padded rows (r_bucket) point at
+    # row 0 and are never read back.
+    # coarse bucket (4096) so R is not a fresh jit shape per batch — the
+    # padded rows cost <4% of D2H while one extra compile costs ~9 s on
+    # a remote-compile service
+    r_total = sum(m.n_residue for m in metas)
+    res_index = np.zeros(_round_up(r_total, 4096), I32)
+    off = 0
+    for m in metas:
+        m.res_base = off
+        res_index[off:off + m.n_residue] = \
+            (m.lane_of * seg_pad + m.rec_of).astype(I32)
+        off += m.n_residue
+
     arrays = dict(
         seg_records=np.ascontiguousarray(seg_records.transpose(1, 0, 2)),
         mins_lane=mins_lane, cont_lane=cont_lane,
         sc_codes_seg=np.ascontiguousarray(sc_seg.transpose(2, 1, 0)),
-        anchor_xyz=anchor_xyz, seg_m=seg_m)
+        anchor_xyz=anchor_xyz, seg_m=seg_m, res_index=res_index)
     return arrays, metas
 
 
@@ -229,7 +246,7 @@ def _seg_decode_arrays(arrays, refine_iters=2):
     return decode_seg_batch_core(
         arrays["seg_records"], arrays["mins_lane"], arrays["cont_lane"],
         arrays["sc_codes_seg"], arrays["anchor_xyz"], arrays["seg_m"],
-        refine_iters=refine_iters)
+        refine_iters=refine_iters, res_index=arrays.get("res_index"))
 
 
 def _outs_to_host(outs):
@@ -241,13 +258,23 @@ def _outs_to_host(outs):
 
 
 def _gather_a14(outs_np, m):
-    """Per-protein [n, 14, 3] atoms from the (possibly compact) decode
-    output via the host residue index ("stitch")."""
+    """Per-protein [n, 14, 3] atoms from the decode output.
+
+    Residue-space outputs (device-stitched, [R, ...]) slice contiguously
+    at m.res_base; segment-space outputs ([N, SEG, ...]) stitch via the
+    host residue fancy-index."""
+    sl = slice(m.res_base, m.res_base + m.n_residue)
     if isinstance(outs_np, tuple):
         off, ca = outs_np
+        if off.ndim == 3:            # residue space: [R, 14, 3], [R, 3]
+            return np.ascontiguousarray(
+                ca[sl][:, None, :] + off[sl].astype(F32)
+                * np.float32(0.001))
         o = off[m.lane_of, m.rec_of].astype(F32)
         c = ca[m.lane_of, m.rec_of]
         return np.ascontiguousarray(c[:, None, :] + o * np.float32(0.001))
+    if outs_np.ndim == 3:            # residue space, full f32
+        return np.ascontiguousarray(outs_np[sl])
     return np.ascontiguousarray(outs_np[m.lane_of, m.rec_of])
 
 

@@ -245,7 +245,8 @@ def _decode_core_vec3(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
 def decode_seg_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
                     anchor_xyz, seg_m, refine_iters: int = 2,
                     nerf_impl: str = "xla", gather_free: bool = True,
-                    compact: bool = False, sc_impl: str | None = None):
+                    compact: bool = False, sc_impl: str | None = None,
+                    res_index=None):
     """Segment-space decode: ZERO device gathers.
 
     The round-2 TPU profile showed the device time of the residue-space
@@ -311,6 +312,21 @@ def decode_seg_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
 
     atom14 = jnp.stack([sx, sy, sz], axis=-1)        # [14, SEG, N, 3]
     atom14 = jnp.transpose(atom14, (2, 1, 0, 3))     # [N, SEG, 14, 3]
+    if res_index is not None:
+        # Residue-space stitch ON DEVICE: one row gather on the major
+        # axis (friendly on TPU — 0.05 ms at B=512; only per-lane minor-
+        # axis gathers are pathological, PROFILE.md). D2H then ships ONLY
+        # real residues: on mixed-length corpora the padded segment space
+        # is 2-8x larger than the residue space, and the transfer is the
+        # e2e bound on starved links. The host 'stitch' fancy-index
+        # becomes a contiguous slice per protein.
+        sel = jnp.take(atom14.reshape(-1, 14, 3), res_index, axis=0)
+        if not compact:
+            return sel                               # [R, 14, 3]
+        ca = sel[:, 1]
+        off = (sel - ca[:, None, :]) * F32(1000.0)
+        off = jnp.clip(jnp.round(off), -32767.0, 32767.0).astype(jnp.int16)
+        return off, ca                               # [R,14,3], [R,3]
     if not compact:
         return atom14
     # Compact D2H form: CA in f32 + per-atom int16 millangstrom offsets
@@ -326,12 +342,15 @@ def decode_seg_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
 
 
 def decode_seg_batch_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
-                          anchor_xyz, seg_m, refine_iters: int = 2):
+                          anchor_xyz, seg_m, refine_iters: int = 2,
+                          res_index=None):
     """Backend-dispatched segment-space decode (see decode_seg_core).
 
     Returns atom14_seg f32 [N, SEG, 14, 3], or on accelerator backends
-    the compact (off_i16, ca_f32) pair (codec/batch.py reconstructs after
-    the host residue index; FOLDCOMP_TPU_COMPACT=0 disables)."""
+    the compact (off_i16, ca_f32) pair (codec/batch.py reconstructs the
+    coordinates on host; FOLDCOMP_TPU_COMPACT=0 disables). When
+    `res_index` is given the accelerator output is residue-space
+    ([R, ...] — stitched on device, only real residues transferred)."""
     import os
 
     import jax
@@ -347,7 +366,8 @@ def decode_seg_batch_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
     return decode_seg_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
                            anchor_xyz, seg_m, refine_iters=refine_iters,
                            nerf_impl=nerf_impl, gather_free=True,
-                           compact=compact, sc_impl="onehot")
+                           compact=compact, sc_impl="onehot",
+                           res_index=res_index)
 
 
 def decode_batch_core(records, mins, cont_fs, sc_codes, tf_codes, tf_min,

@@ -252,3 +252,40 @@ def test_encode_submit_finish_pipelined(test_pdb_fragment):
     out1, out2 = encode_finish(h1), encode_finish(h2)
     for f in (*out1, *out2):
         assert fcz.serialize(f) == fcz.serialize(sync[0])
+
+
+def test_device_stitch_res_mode_matches_host_stitch(test_pdb_fragment,
+                                                    test_af_fcz):
+    """decode_seg_core with res_index (device-side stitch, residue-space
+    output) reproduces the host fancy-index stitch bit-for-bit, full and
+    compact forms, on a mixed-length batch."""
+    from foldcomp_tpu.codec.batch import pack_decode_batch_seg
+    from foldcomp_tpu.kernels.decode import decode_seg_core
+
+    f_long = encode_exact(test_pdb_fragment)
+    batch = [test_af_fcz, f_long, test_af_fcz, f_long]
+    arrays, metas = pack_decode_batch_seg(batch)
+    kw = dict(refine_iters=2, nerf_impl="xla", gather_free=True,
+              sc_impl="onehot")
+    seg = np.asarray(decode_seg_core(
+        arrays["seg_records"], arrays["mins_lane"], arrays["cont_lane"],
+        arrays["sc_codes_seg"], arrays["anchor_xyz"], arrays["seg_m"],
+        **kw))
+    res = np.asarray(decode_seg_core(
+        arrays["seg_records"], arrays["mins_lane"], arrays["cont_lane"],
+        arrays["sc_codes_seg"], arrays["anchor_xyz"], arrays["seg_m"],
+        res_index=arrays["res_index"], **kw))
+    off_c, ca_c = decode_seg_core(
+        arrays["seg_records"], arrays["mins_lane"], arrays["cont_lane"],
+        arrays["sc_codes_seg"], arrays["anchor_xyz"], arrays["seg_m"],
+        res_index=arrays["res_index"], compact=True, **kw)
+    off_c, ca_c = np.asarray(off_c), np.asarray(ca_c)
+    seg_pad = seg.shape[1]
+    for m in metas:
+        host = seg.reshape(-1, 14, 3)[m.lane_of * seg_pad + m.rec_of]
+        dev = res[m.res_base:m.res_base + m.n_residue]
+        np.testing.assert_array_equal(host, dev)
+        ca = ca_c[m.res_base:m.res_base + m.n_residue]
+        o = off_c[m.res_base:m.res_base + m.n_residue].astype(np.float32)
+        recon = ca[:, None, :] + o * np.float32(0.001)
+        assert np.nanmax(np.abs(recon - host)) < 6e-4  # 0.5 mm + rounding
