@@ -33,13 +33,30 @@
 /* number formatting                                                   */
 /* ------------------------------------------------------------------ */
 
+static const char DIGIT_PAIRS[200] =
+    "00010203040506070809101112131415161718192021222324"
+    "25262728293031323334353637383940414243444546474849"
+    "50515253545556575859606162636465666768697071727374"
+    "75767778798081828384858687888990919293949596979899";
+
 static inline char* put_int(char* p, int64_t v) {
     char tmp[24];
     int n = 0;
     uint64_t u;
     if (v < 0) { *p++ = '-'; u = (uint64_t)(-(v + 1)) + 1; }
     else u = (uint64_t)v;
-    do { tmp[n++] = (char)('0' + (u % 10)); u /= 10; } while (u);
+    while (u >= 100) {                 /* two digits per divide */
+        unsigned d = (unsigned)(u % 100);
+        u /= 100;
+        tmp[n++] = DIGIT_PAIRS[d * 2 + 1];
+        tmp[n++] = DIGIT_PAIRS[d * 2];
+    }
+    if (u >= 10) {
+        tmp[n++] = DIGIT_PAIRS[u * 2 + 1];
+        tmp[n++] = DIGIT_PAIRS[u * 2];
+    } else {
+        tmp[n++] = (char)('0' + u);
+    }
     while (n) *p++ = tmp[--n];
     return p;
 }
@@ -150,6 +167,65 @@ static inline char* put_atom_line(char* p, int64_t serial, const char* name4,
     return p;
 }
 
+/* --- templated ATOM-line fast path ---------------------------------
+ * An ATOM line is 81 bytes with fixed columns; per residue only
+ * res3/chain/resid/temp change, per atom only serial/name/xyz/element.
+ * _tmpl_residue fills the per-residue constants into an 81-byte line
+ * buffer; _tmpl_atom patches the per-atom fields and memcpys the line
+ * out. Both return 0 (caller falls back to put_atom_line, byte-
+ * identical by construction) when a field would overflow its fixed
+ * width (|coord| >= 10000 or <= -1000, serial > 99999, ...). */
+static inline int _tmpl_residue(char* line, const char* res3, char chain,
+                                int64_t resid, float temp) {
+    if (resid < -999 || resid > 9999) return 0;
+    if (!(temp > -99.0f && temp < 1000.0f)) return 0;
+    memcpy(line, "ATOM  ", 6);
+    line[11] = ' ';
+    line[16] = ' ';
+    {
+        int len = 0;
+        while (len < 3 && res3[len]) len++;
+        for (int i = 0; i < 3 - len; i++) line[17 + i] = ' ';
+        memcpy(line + 17 + (3 - len), res3, (size_t)len);
+    }
+    line[20] = ' ';
+    line[21] = chain;
+    {
+        char* q = line + 22;
+        char* e = put_int_rj(q, resid, 4);
+        if (e != line + 26) return 0;
+    }
+    memset(line + 26, ' ', 4);
+    memcpy(line + 54, "  1.00", 6);
+    {
+        char* e = put_ftoa_rj(line + 60, temp, 100, 2, 6);
+        if (e != line + 66) return 0;
+    }
+    memset(line + 66, ' ', 11);
+    line[78] = ' ';
+    line[79] = ' ';
+    line[80] = '\n';
+    return 1;
+}
+
+static inline char* _tmpl_atom(char* p, char* line, int64_t serial,
+                               const char* name4, float x, float y,
+                               float z) {
+    if (serial < 0 || serial > 99999) return NULL;
+    if (!(x > -1000.0f && x < 10000.0f && y > -1000.0f && y < 10000.0f &&
+          z > -1000.0f && z < 10000.0f))
+        return NULL;
+    char* e = put_int_rj(line + 6, serial, 5);
+    if (e != line + 11) return NULL;
+    memcpy(line + 12, name4, 4);
+    if (put_ftoa_rj(line + 30, x, 1000, 3, 8) != line + 38) return NULL;
+    if (put_ftoa_rj(line + 38, y, 1000, 3, 8) != line + 46) return NULL;
+    if (put_ftoa_rj(line + 46, z, 1000, 3, 8) != line + 54) return NULL;
+    line[77] = name4[0] == ' ' ? name4[1] : name4[0];
+    memcpy(p, line, 81);
+    return p + 81;
+}
+
 static inline char* put_ter(char* p, int64_t serial, const char* res3,
                             char chain, int64_t resid) {
     memcpy(p, "TER   ", 6); p += 6;
@@ -178,11 +254,31 @@ int64_t fcio_format_pdb(int32_t n, const int32_t* atom_index,
     char* p = out;
     p = put_title(p, title, title_len);
     char r3[4] = {0, 0, 0, 0};
+    char line[81];
+    int tmpl = 0;
+    int32_t tmpl_resid = -1000000;
+    char tmpl_chain = 0;
+    float tmpl_temp = 0.0f;
     for (int32_t i = 0; i < n; i++) {
         memcpy(r3, res3 + 3 * i, 3);
-        p = put_atom_line(p, atom_index[i], name4 + 4 * i, r3, chain[i],
-                          residue_index[i], coords[3 * i], coords[3 * i + 1],
-                          coords[3 * i + 2], temp[i]);
+        /* per-residue constants repeat across an entry's ~8 atom lines:
+         * rebuild the line template only when they change */
+        if (i == 0 || residue_index[i] != tmpl_resid ||
+            chain[i] != tmpl_chain || temp[i] != tmpl_temp) {
+            tmpl_resid = residue_index[i];
+            tmpl_chain = chain[i];
+            tmpl_temp = temp[i];
+            tmpl = _tmpl_residue(line, r3, tmpl_chain, tmpl_resid,
+                                 tmpl_temp);
+        }
+        char* q = tmpl ? _tmpl_atom(p, line, atom_index[i], name4 + 4 * i,
+                                    coords[3 * i], coords[3 * i + 1],
+                                    coords[3 * i + 2])
+                       : NULL;
+        p = q ? q : put_atom_line(p, atom_index[i], name4 + 4 * i, r3,
+                                  chain[i], residue_index[i], coords[3 * i],
+                                  coords[3 * i + 1], coords[3 * i + 2],
+                                  temp[i]);
     }
     if (n > 0) {
         memcpy(r3, res3 + 3 * (n - 1), 3);
@@ -215,6 +311,7 @@ int64_t fcio_format_atom14(const float* atom14, const float* temp,
     int64_t serial = idx_atom;
     const char* last_r3 = FC_THREE[23];
     int64_t last_resid = idx_residue;
+    char line[81];
     for (int32_t r = 0; r < n_res; r++) {
         int code = codes[r];
         if (code < 0 || code >= FC_NUM_CODES) code = 23;
@@ -223,11 +320,17 @@ int64_t fcio_format_atom14(const float* atom14, const float* temp,
                                   : FC_THREE[code];
         int64_t resid = (int64_t)idx_residue + r;
         const float* base = atom14 + (size_t)r * FC_MAX_ATOM * 3;
+        int tmpl = _tmpl_residue(line, r3, chain, resid, temp[r]);
         for (int k = 0; k < cnt; k++) {
             int slot = use_alt ? FC_ALT_PERM[code][k] : k;
             const float* xyz = base + slot * 3;
-            p = put_atom_line(p, serial++, FC_NAME4[code][slot], r3, chain,
-                              resid, xyz[0], xyz[1], xyz[2], temp[r]);
+            char* q = tmpl ? _tmpl_atom(p, line, serial, FC_NAME4[code][slot],
+                                        xyz[0], xyz[1], xyz[2])
+                           : NULL;
+            p = q ? q : put_atom_line(p, serial, FC_NAME4[code][slot], r3,
+                                      chain, resid, xyz[0], xyz[1], xyz[2],
+                                      temp[r]);
+            serial++;
         }
         last_r3 = r3;
         last_resid = resid;
