@@ -106,6 +106,54 @@ def bench_device_encode(jax, frag, batch_size=512, iters=5):
     return n_res_total * iters / (time.perf_counter() - t0)
 
 
+def bench_device_decode_mixed(jax, n_entries=512, batch_size=128, iters=5):
+    """Sustained device decode of an AFDB-like MIXED-length corpus
+    (8 lengths, 120..1080 residues): sorted length windows, the shapes
+    the streaming pipeline would dispatch, residue-space device stitch.
+    Measures ragged-shape efficiency — the uniform headline number hides
+    segment padding entirely. (The full stream WALL on this corpus is
+    host<->device-wire-bound through the axon tunnel and swings with it;
+    PROFILE.md records that split.)"""
+    import random
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent / "tests"))
+    from test_property_roundtrip import synthesize
+
+    from foldcomp_tpu.codec.batch import pack_decode_batch_seg
+    from foldcomp_tpu.kernels.decode import decode_seg_batch_core
+
+    lengths = [120, 200, 280, 360, 480, 640, 840, 1080]
+    uniq = {L: encode_mixed(synthesize(L, seed=L), f"s{L}")
+            for L in lengths}
+    rng = random.Random(0)
+    fczs = sorted((uniq[rng.choice(lengths)] for _ in range(n_entries)),
+                  key=lambda f: f.n_residue)
+    n_res = sum(f.n_residue for f in fczs)
+    batches = []
+    for b0 in range(0, n_entries, batch_size):
+        arrays, _ = pack_decode_batch_seg(fczs[b0:b0 + batch_size])
+        batches.append({k: jax.device_put(v) for k, v in arrays.items()})
+
+    def run(dev):
+        return decode_seg_batch_core(
+            dev["seg_records"], dev["mins_lane"], dev["cont_lane"],
+            dev["sc_codes_seg"], dev["anchor_xyz"], dev["seg_m"],
+            refine_iters=2, res_index=dev.get("res_index"))
+
+    for dev in batches:                      # compile + warm all shapes
+        jax.block_until_ready(run(dev))
+    t0 = time.perf_counter()
+    outs = [run(dev) for _ in range(iters) for dev in batches]
+    jax.block_until_ready(outs)
+    return n_res * iters / (time.perf_counter() - t0)
+
+
+def encode_mixed(atoms, title):
+    from foldcomp_tpu.codec.encoder import encode
+    return encode(atoms, title=title)
+
+
 def _build_dbs(workdir, n_entries):
     """Synthetic FCZ db + PDB db of replicated fixture entries."""
     from foldcomp_tpu.codec.fcz import serialize
@@ -151,7 +199,7 @@ def bench_e2e(workdir, fcz_db, pdb_db, n_res_total, flags=("--fast",),
     cold_d = time.perf_counter() - t0
     assert rc == 0
     dt_d = float("inf")
-    for _ in range(2):   # best-of-2 warm: shared-VM steal noise swings
+    for _ in range(3):   # best-of-3 warm: shared-VM steal noise swings
         t0 = time.perf_counter()   # subsecond walls 2-3x run to run
         rc = cli.main(["decompress", *fl, "-y", "-d", fcz_db, out1])
         dt_d = min(dt_d, time.perf_counter() - t0)
@@ -163,7 +211,7 @@ def bench_e2e(workdir, fcz_db, pdb_db, n_res_total, flags=("--fast",),
     cold_c = time.perf_counter() - t0
     assert rc == 0
     dt_c = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         rc = cli.main(["compress", *fl, "-y", "-d", pdb_db, out2])
         dt_c = min(dt_c, time.perf_counter() - t0)
@@ -172,7 +220,7 @@ def bench_e2e(workdir, fcz_db, pdb_db, n_res_total, flags=("--fast",),
 
 
 def bench_e2e_native(workdir, fcz_db, pdb_db, n_res_total, threads=4,
-                     trials=2):
+                     trials=3):
     """Default CLI path (byte-exact native codec, process-sharded -t) —
     the product default for small/medium jobs, and not bound by the axon
     tunnel's ~33 MB/s host<->device link. Best-of-N (shared-VM steal
@@ -213,6 +261,7 @@ def main():
     frag, _ = _load_fragment()
     sync, sustained = bench_device_decode(jax, f)
     enc_rate = bench_device_encode(jax, frag)
+    mixed_rate = bench_device_decode_mixed(jax)
 
     # e2e on tmpfs: the VM disk writes at 131 MB/s and would floor the
     # 229 MB decompressed corpus at ~1.8 s regardless of the pipeline;
@@ -244,6 +293,7 @@ def main():
         "vs_baseline": round(sustained / base, 3),
         "decode_sync_res_s": round(sync, 1),
         "encode_device_res_s": round(enc_rate, 1),
+        "decode_mixed_device_res_s": round(mixed_rate, 1),
         "e2e_decompress_db_res_s": round(e2e_dec, 1),
         "e2e_decompress_vs_baseline": round(e2e_dec / base_tmpfs, 3),
         "e2e_compress_db_res_s": round(e2e_comp, 1),
