@@ -216,18 +216,44 @@ class DatabaseReader:
 
 
 class DatabaseWriter:
-    """Append-only writer (database_writer.cpp:36-98)."""
+    """Append-only writer (database_writer.cpp:36-98).
+
+    Backed by the native C writer (native/fcio.c fcdb_writer_*) when the
+    library is available — identical on-disk output (index/lookup/dbtype
+    formats and the stable key sort on close), with `_h` exposed so the
+    GIL-free db->db chunk loops (fcz_db_decode_range) can append without
+    crossing back into Python. Falls back to pure Python."""
 
     def __init__(self, data_name: str, index_name: str | None = None):
         self.data_name = data_name
         self.index_name = index_name or data_name + ".index"
+        self._data = None
+        self._h = None
+        self._lib = None
+        with open(data_name + ".dbtype", "wb") as fh:
+            fh.write(GENERIC_DB_TYPE.to_bytes(4, "little"))
+        if index_name is None:
+            try:
+                from ..native import get_lib
+                lib = get_lib()
+            except Exception:
+                lib = None
+            if lib is not None:
+                h = lib.fcdb_writer_open(data_name.encode())
+                if h:
+                    self._h = h
+                    self._lib = lib
+                    return
         self._data = open(data_name, "wb")
         self._entries = []  # (id, offset, length, name)
         self._sorted = True
-        with open(data_name + ".dbtype", "wb") as fh:
-            fh.write(GENERIC_DB_TYPE.to_bytes(4, "little"))
 
     def append(self, data: bytes, key: int, name: str):
+        if self._h is not None:
+            if self._lib.fcdb_writer_append(self._h, data, len(data), key,
+                                            name.encode()) != 0:
+                raise OSError(f"append to {self.data_name} failed")
+            return
         offset = self._data.tell()
         self._data.write(data)
         if self._entries and self._entries[-1][0] >= key:
@@ -235,6 +261,11 @@ class DatabaseWriter:
         self._entries.append((key, offset, len(data), name))
 
     def close(self):
+        if self._h is not None:
+            h, self._h = self._h, None
+            if self._lib.fcdb_writer_close(h) != 0:
+                raise OSError(f"closing {self.data_name} failed")
+            return
         if self._data is None:
             return
         entries = self._entries

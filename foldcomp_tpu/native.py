@@ -95,6 +95,12 @@ def _bind(lib):
                                    c.c_char_p]
     lib.fcz_decode_pdb_cap.restype = c.c_int64
     lib.fcz_decode_pdb_cap.argtypes = [c.c_char_p, c.c_int64]
+    lib.fcz_db_decode_range.restype = c.c_int64
+    lib.fcz_db_decode_range.argtypes = [c.c_void_p, c.c_void_p, c.c_int64,
+                                        c.c_int64, c.c_char_p, c.c_int]
+    lib.fcz_db_encode_range.restype = c.c_int64
+    lib.fcz_db_encode_range.argtypes = [c.c_void_p, c.c_void_p, c.c_int64,
+                                        c.c_int64, c.c_char_p, c.c_int]
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.fcz_encode_atoms.restype = c.c_int64
     lib.fcz_encode_atoms.argtypes = [

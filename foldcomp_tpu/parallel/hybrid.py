@@ -181,28 +181,77 @@ def _entry(reader, pos):
     return key, reader.name_of_key(key) or str(key), bytes(data)
 
 
+def _range_names(reader, start, stop):
+    return b"\x00".join(
+        (reader.name_of_key(reader.get_key(p))
+         or str(reader.get_key(p))).encode()
+        for p in range(start, stop)) + b"\x00"
+
+
+def _decode_range_native(lib, reader, writer, start, stop):
+    """One GIL-free C call decoding db entries [start, stop) into the
+    writer (fcz_db_decode_range); Python only resolves .lookup names."""
+    r = lib.fcz_db_decode_range(reader._h, writer._h, start, stop,
+                                _range_names(reader, start, stop), 0)
+    if r < 0:
+        raise MemoryError("fcz_db_decode_range failed")
+    return r
+
+
+def _encode_range_native(lib, reader, writer, start, stop, threshold):
+    """One GIL-free C call compressing db entries [start, stop) into the
+    writer (fcz_db_encode_range: parse + split-encode + append)."""
+    r = lib.fcz_db_encode_range(reader._h, writer._h, start, stop,
+                                _range_names(reader, start, stop),
+                                threshold)
+    if r < 0:
+        raise MemoryError("fcz_db_encode_range failed")
+    return r
+
+
 def native_decompress_worker(db_path: str, out_path: str, worker_id: int,
                              ctrl_path: str, chunk_entries: int) -> int:
-    """CPU worker: byte-exact native decode of front chunks into a shard db."""
+    """CPU worker: byte-exact native decode of front chunks into a shard db.
+
+    Fast path: the WHOLE chunk loop (reader mmap -> decode -> format ->
+    shard writer) runs in one GIL-free C call per chunk
+    (native/fccodec.c fcz_db_decode_range); Python only resolves the
+    .lookup names. Falls back to the per-entry loop without the native
+    library."""
     from ..codec import fcz
     from ..codec.decoder import decode
     from ..io.pdb import format_pdb
     try:
         from ..native import decode_fcz_pdb_native, get_lib
-        have_native = get_lib() is not None
+        lib = get_lib()
     except Exception:
-        have_native = False
+        lib = None
 
     reader = DatabaseReader(db_path, use_lookup=True)
-    writer = DatabaseWriter(shard_db_path(out_path, worker_id))
     ctrl = ChunkController(ctrl_path)
+    n = len(reader)
+
+    writer = DatabaseWriter(shard_db_path(out_path, worker_id))
+    if lib is not None and getattr(reader, "_h", None) and \
+            getattr(writer, "_h", None):
+        n_written = 0
+        try:
+            while (c := ctrl.take_front()) is not None:
+                pr = _chunk_positions(c, chunk_entries, n)
+                r = _decode_range_native(lib, reader, writer, pr.start,
+                                         pr.stop)
+                n_written += r
+        finally:
+            writer.close()
+            reader.close()
+        return n_written
+
     n_written = 0
     try:
-        n = len(reader)
         while (c := ctrl.take_front()) is not None:
             for pos in _chunk_positions(c, chunk_entries, n):
                 key, name, data = _entry(reader, pos)
-                if have_native:
+                if lib is not None:
                     try:
                         payload = decode_fcz_pdb_native(data, as_bytes=True)
                     except ValueError:
@@ -224,8 +273,12 @@ def native_decompress_worker(db_path: str, out_path: str, worker_id: int,
 def native_compress_worker(db_path: str, out_path: str, worker_id: int,
                            ctrl_path: str, chunk_entries: int,
                            anchor_threshold: int = 25) -> int:
-    """CPU worker: byte-exact native encode of front chunks into a shard db."""
-    from ..native import encode_pdb_native
+    """CPU worker: byte-exact native encode of front chunks into a shard db.
+
+    Fast path: whole chunks run in one GIL-free C call
+    (fcz_db_encode_range: parse + split-encode + shard append)."""
+    from ..native import encode_pdb_native, get_lib
+    lib = get_lib()
 
     reader = DatabaseReader(db_path, use_lookup=True)
     writer = DatabaseWriter(shard_db_path(out_path, worker_id))
@@ -233,6 +286,14 @@ def native_compress_worker(db_path: str, out_path: str, worker_id: int,
     n_written = 0
     try:
         n = len(reader)
+        if lib is not None and getattr(reader, "_h", None) and \
+                getattr(writer, "_h", None):
+            while (c := ctrl.take_front()) is not None:
+                pr = _chunk_positions(c, chunk_entries, n)
+                n_written += _encode_range_native(
+                    lib, reader, writer, pr.start, pr.stop,
+                    anchor_threshold)
+            return n_written
         while (c := ctrl.take_front()) is not None:
             for pos in _chunk_positions(c, chunk_entries, n):
                 key, name, data = _entry(reader, pos)
@@ -453,10 +514,21 @@ def _native_mop_up(mode, reader, writer, ctrl, chunk_entries, claimed, done,
     draining the controller here would starve the worker processes and
     serialize the remaining work onto this single process."""
     n = len(reader)
+    proc_range = None
 
     if mode == "decompress":
         from ..native import decode_fcz_pdb_native, get_lib
-        if get_lib() is not None:
+        lib = get_lib()
+        if lib is not None and getattr(reader, "_h", None) and \
+                getattr(writer, "_h", None):
+            # whole mop-up chunks run GIL-free in C; stragglers from the
+            # device's claimed chunks go one by one through the same call
+            def proc(pos):
+                _decode_range_native(lib, reader, writer, pos, pos + 1)
+
+            def proc_range(start, stop):
+                _decode_range_native(lib, reader, writer, start, stop)
+        elif lib is not None:
             def proc(pos):
                 key, name, data = _entry(reader, pos)
                 try:
@@ -478,23 +550,38 @@ def _native_mop_up(mode, reader, writer, ctrl, chunk_entries, claimed, done,
                     return
                 writer.append(text.encode() + b"\x00", key, name)
     else:
-        from ..native import encode_pdb_native
+        from ..native import encode_pdb_native, get_lib
+        lib = get_lib()
+        if lib is not None and getattr(reader, "_h", None) and \
+                getattr(writer, "_h", None):
+            def proc(pos):
+                _encode_range_native(lib, reader, writer, pos, pos + 1,
+                                     anchor_threshold)
 
-        def proc(pos):
-            key, name, data = _entry(reader, pos)
-            try:
-                frags = encode_pdb_native(data, anchor_threshold, None,
-                                          split=True, fallback_title=name)
-            except Exception:
-                return
-            for f in frags or []:
-                if not f["error"]:
-                    writer.append(f["blob"], key, name)
+            def proc_range(start, stop):
+                _encode_range_native(lib, reader, writer, start, stop,
+                                     anchor_threshold)
+        else:
+            def proc(pos):
+                key, name, data = _entry(reader, pos)
+                try:
+                    frags = encode_pdb_native(data, anchor_threshold, None,
+                                              split=True,
+                                              fallback_title=name)
+                except Exception:
+                    return
+                for f in frags or []:
+                    if not f["error"]:
+                        writer.append(f["blob"], key, name)
 
     for c in claimed:
         for pos in _chunk_positions(c, chunk_entries, n):
             if pos not in done:
                 proc(pos)
     while (c := ctrl.take_back()) is not None:
-        for pos in _chunk_positions(c, chunk_entries, n):
-            proc(pos)
+        pr = _chunk_positions(c, chunk_entries, n)
+        if proc_range is not None:
+            proc_range(pr.start, pr.stop)
+        else:
+            for pos in pr:
+                proc(pos)

@@ -17,6 +17,7 @@
 #define _GNU_SOURCE /* sincosf */
 #include <math.h>
 #include <stdint.h>
+#include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
 
@@ -29,6 +30,13 @@ extern int64_t fcio_format_pdb(int32_t n, const int32_t* atom_index,
                                const char* chain, const float* coords,
                                const float* temp, const char* title,
                                int32_t title_len, char* out);
+
+/* database engine from fcio.c (for the db->db chunk loops) */
+extern int64_t fcdb_reader_get(void* h, int64_t pos, const char** ptr,
+                               int64_t* length);
+extern uint32_t fcdb_reader_key(void* h, int64_t pos);
+extern int64_t fcdb_writer_append(void* h, const char* buf, int64_t len,
+                                  uint32_t key, const char* name);
 
 typedef struct { float x, y, z; } v3;
 
@@ -899,4 +907,148 @@ int64_t fcz_encode_atoms(
     free(ce);
     free(keep);
     return nfrag;
+}
+
+/* ================================================================== */
+/* db->db decompress chunk loop (runs whole work chunks without the    */
+/* GIL: the Python worker loop paid ~6 ctypes crossings + 3 bytes      */
+/* copies per entry — reference: processOneDbEntry, main.cpp:612-689)  */
+/* ================================================================== */
+
+/* Decode entries [start, end) of an open fcdb reader straight into an
+ * open fcdb writer. `names` holds (end-start) NUL-terminated entry
+ * names back to back (the .lookup names the Python caller resolved);
+ * NULL falls back to the decimal key. Entries that fail to parse or
+ * decode are skipped, matching the CLI's per-entry error tolerance.
+ * Payloads are appended with the reference's trailing NUL. Returns the
+ * number written, or -1 on allocation/write failure. */
+int64_t fcz_db_decode_range(void* reader, void* writer, int64_t start,
+                            int64_t end, const char* names, int use_alt) {
+    char* out = NULL;
+    int64_t out_cap = 0;
+    char keybuf[16];
+    const char* nm = names;
+    int64_t written = 0;
+    for (int64_t pos = start; pos < end; pos++) {
+        const char* name = NULL;
+        if (names) { name = nm; nm += strlen(nm) + 1; }
+        const char* data;
+        int64_t len;
+        if (fcdb_reader_get(reader, pos, &data, &len)) continue;
+        if (len > 0 && data[len - 1] == '\0') len--;  /* stored with NUL */
+        int64_t cap = fcz_decode_pdb_cap((const uint8_t*)data, len);
+        if (cap < 0) continue;
+        if (cap + 1 > out_cap) {
+            free(out);
+            out_cap = cap + 1;
+            out = (char*)malloc((size_t)out_cap);
+            if (!out) return -1;
+        }
+        int64_t n = fcz_decode_pdb((const uint8_t*)data, len, use_alt, out);
+        if (n < 0) continue;
+        out[n] = '\0';
+        uint32_t key = fcdb_reader_key(reader, pos);
+        if (!name) {
+            snprintf(keybuf, sizeof keybuf, "%u", key);
+            name = keybuf;
+        }
+        if (fcdb_writer_append(writer, out, n + 1, key, name)) {
+            free(out);
+            return -1;
+        }
+        written++;
+    }
+    free(out);
+    return written;
+}
+
+extern int64_t fcio_count_atoms(const char* text, int64_t len);
+extern int64_t fcio_parse_pdb(const char* text, int64_t len,
+                              int32_t* atom_index, int32_t* residue_index,
+                              char* name4, char* res3, char* chain,
+                              float* coords, float* occ, float* temp,
+                              char* title, int32_t* title_len,
+                              int32_t title_cap);
+
+/* db->db compress chunk loop: parse + split-encode + append entirely in
+ * C. Title rule matches encode_pdb_native(title=None): the parsed
+ * structure title, else the entry name (main.cpp:464-465). Fragments
+ * with encode errors (too short / unknown residue) are skipped, like
+ * the Python worker loop. Returns fragments written, -1 on allocation
+ * failure. */
+int64_t fcz_db_encode_range(void* reader, void* writer, int64_t start,
+                            int64_t end, const char* names, int threshold) {
+    enum { MAX_FRAGS = 4096, TITLE_CAP = 8192 };
+    int64_t a_cap = 0, o_cap = 0;
+    int32_t *aidx = NULL, *ridx = NULL;
+    char *name4 = NULL, *res3 = NULL, *chn = NULL;
+    float *coords = NULL, *occ = NULL, *temp = NULL;
+    uint8_t* out = NULL;
+    int64_t frag_off[MAX_FRAGS], frag_len[MAX_FRAGS];
+    char frag_chain[MAX_FRAGS];
+    int32_t frag_meta[4 * MAX_FRAGS];
+    char title[TITLE_CAP];
+    const char* nm = names;
+    int64_t written = 0;
+
+    for (int64_t pos = start; pos < end; pos++) {
+        const char* name = "";
+        if (names) { name = nm; nm += strlen(nm) + 1; }
+        const char* data;
+        int64_t len;
+        if (fcdb_reader_get(reader, pos, &data, &len)) continue;
+        if (len > 0 && data[len - 1] == '\0') len--;
+        int64_t n = fcio_count_atoms(data, len);
+        if (n <= 0) continue;
+        if (n > a_cap) {
+            a_cap = n + 64;
+            free(aidx); free(ridx); free(name4); free(res3); free(chn);
+            free(coords); free(occ); free(temp);
+            aidx = (int32_t*)malloc((size_t)a_cap * 4);
+            ridx = (int32_t*)malloc((size_t)a_cap * 4);
+            name4 = (char*)malloc((size_t)a_cap * 4 + 4);
+            res3 = (char*)malloc((size_t)a_cap * 3 + 4);
+            chn = (char*)malloc((size_t)a_cap + 4);
+            coords = (float*)malloc((size_t)a_cap * 12);
+            occ = (float*)malloc((size_t)a_cap * 4);
+            temp = (float*)malloc((size_t)a_cap * 4);
+            if (!aidx || !ridx || !name4 || !res3 || !chn || !coords ||
+                !occ || !temp)
+                goto oom;
+        }
+        int32_t tlen = 0;
+        n = fcio_parse_pdb(data, len, aidx, ridx, name4, res3, chn, coords,
+                           occ, temp, title, &tlen, TITLE_CAP);
+        if (n <= 0) continue;
+        const char* t = tlen ? title : name;
+        int32_t tl = tlen ? tlen : (int32_t)strlen(name);
+        /* same capacity rule as encode_pdb_native */
+        int64_t need = 16 * n + ((int64_t)tl + 4096) * 8 + (1 << 16);
+        if (need > o_cap) {
+            free(out);
+            o_cap = need;
+            out = (uint8_t*)malloc((size_t)o_cap);
+            if (!out) goto oom;
+        }
+        int64_t nf = fcz_encode_atoms(name4, res3, chn, aidx, ridx, coords,
+                                      temp, n, threshold, t, tl, 1, out,
+                                      o_cap, frag_off, frag_len, frag_chain,
+                                      frag_meta, MAX_FRAGS);
+        if (nf < 0) continue;
+        uint32_t key = fcdb_reader_key(reader, pos);
+        for (int64_t i = 0; i < nf; i++) {
+            if (frag_len[i] <= 0) continue;
+            if (fcdb_writer_append(writer, (const char*)out + frag_off[i],
+                                   frag_len[i], key, name))
+                goto oom;
+            written++;
+        }
+    }
+    free(aidx); free(ridx); free(name4); free(res3); free(chn);
+    free(coords); free(occ); free(temp); free(out);
+    return written;
+oom:
+    free(aidx); free(ridx); free(name4); free(res3); free(chn);
+    free(coords); free(occ); free(temp); free(out);
+    return -1;
 }
