@@ -55,7 +55,12 @@ class ChunkController:
         return cls(path)
 
     def _claim(self, front: bool):
-        with open(self.path, "r+b") as fh:
+        # buffering=0: the pointer update must REACH THE FILE before the
+        # flock drops. A buffered file flushes at close, AFTER the
+        # finally-unlock, so another claimer could read stale pointers
+        # and double-claim a chunk (observed with thread workers; the
+        # same window existed for processes).
+        with open(self.path, "r+b", buffering=0) as fh:
             fcntl.flock(fh, fcntl.LOCK_EX)
             try:
                 lo, hi = struct.unpack(self._FMT, fh.read(16))
@@ -438,31 +443,61 @@ def run_hybrid_db(mode: str, db_path: str, out_path: str, n_native: int,
     """db -> db (de)compress across `n_native` CPU worker processes plus
     the in-process accelerator stream, merged into one database.
 
-    Returns 0 on success. The native workers are separate processes (the
-    in-process thread pool convoys on per-entry Python bookkeeping; see
+    Returns 0 on success. When the GIL-free C chunk loops are available
+    (fcz_db_{decode,encode}_range — the reader/writer handles engage),
+    the native workers are plain THREADS: each chunk runs as one C call
+    that drops the GIL, so threads scale like processes without the
+    ~0.3 s/worker python spawn+import. Otherwise they are separate
+    processes (the per-entry Python loop convoys on the GIL; see
     cli.run_sharded_db) launched without the accelerator plugin env so
     they never pay the jax import."""
-    probe = DatabaseReader(db_path)
+    probe = DatabaseReader(db_path, use_lookup=True)
     n = len(probe)
+    try:
+        from ..native import get_lib
+        _lib = get_lib()
+    except Exception:
+        _lib = None
+    use_threads = _lib is not None and getattr(probe, "_h", None) is not None
     probe.close()
     n_chunks = -(-n // chunk_entries)
     ctrl_path = out_path + ".hybrid_ctrl"
     ctrl = ChunkController.create(ctrl_path, n_chunks)
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     worker_fn = ("native_decompress_worker" if mode == "decompress"
                  else "native_compress_worker")
-    extra = "" if mode == "decompress" else f", {anchor_threshold}"
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)   # CPU-only workers: skip jax
+    extra = () if mode == "decompress" else (anchor_threshold,)
     procs = []
-    for wid in range(n_native):
-        code = (f"import sys; sys.path.insert(0, {repo!r})\n"
-                f"from foldcomp_tpu.parallel.hybrid import {worker_fn}\n"
-                f"{worker_fn}({db_path!r}, {out_path!r}, {wid}, "
-                f"{ctrl_path!r}, {chunk_entries}{extra})\n")
-        procs.append(subprocess.Popen([sys.executable, "-c", code], env=env))
+    threads = []
+    thread_rc = []
+    if use_threads:
+        import threading
+
+        def tmain(wid):
+            try:
+                globals()[worker_fn](db_path, out_path, wid, ctrl_path,
+                                     chunk_entries, *extra)
+            except Exception as e:  # noqa: BLE001
+                print(f"[Error] hybrid worker {wid}: {e}", file=sys.stderr)
+                thread_rc.append(1)
+
+        threads = [threading.Thread(target=tmain, args=(wid,), daemon=True)
+                   for wid in range(n_native)]
+        for t in threads:
+            t.start()
+    else:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        extra_s = "" if mode == "decompress" else f", {anchor_threshold}"
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # CPU-only workers: skip jax
+        for wid in range(n_native):
+            code = (f"import sys; sys.path.insert(0, {repo!r})\n"
+                    f"from foldcomp_tpu.parallel.hybrid import {worker_fn}\n"
+                    f"{worker_fn}({db_path!r}, {out_path!r}, {wid}, "
+                    f"{ctrl_path!r}, {chunk_entries}{extra_s})\n")
+            procs.append(subprocess.Popen([sys.executable, "-c", code],
+                                          env=env))
 
     # Device stream in THIS process (shard id n_native). Any failure —
     # backend gone, compile error, kernel regression — downgrades to the
@@ -494,6 +529,9 @@ def run_hybrid_db(mode: str, db_path: str, out_path: str, n_native: int,
         writer.close()
         reader.close()
     rc = 0
+    for t in threads:
+        t.join()
+    rc |= 1 if thread_rc else 0
     for p in procs:
         rc |= p.wait()
     try:

@@ -219,3 +219,33 @@ def test_sharded_extract_matches_single(tmp_path, ref_test_dir, db_out):
         assert bytes(a.get_data(p)) == bn[a.name_of_key(a.get_key(p))]
     a.close()
     b.close()
+
+
+def test_chunk_controller_no_double_claims_under_threads(tmp_path):
+    """Concurrent claimers must partition the chunk space exactly.
+
+    Regression: _claim wrote the updated pointers into a BUFFERED file
+    and released the flock before the buffer flushed at close, so a
+    concurrent claimer could read stale pointers and double-claim a
+    chunk (hit in practice once thread workers landed)."""
+    import threading
+
+    from foldcomp_tpu.parallel.hybrid import ChunkController
+
+    n_chunks = 2000
+    ctrl = ChunkController.create(str(tmp_path / "ctrl"), n_chunks)
+    got = [[] for _ in range(8)]
+
+    def claimer(i):
+        take = ctrl.take_front if i % 2 == 0 else ctrl.take_back
+        while (c := take()) is not None:
+            got[i].append(c)
+
+    threads = [threading.Thread(target=claimer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    allc = [c for g in got for c in g]
+    assert len(allc) == n_chunks
+    assert len(set(allc)) == n_chunks
