@@ -64,10 +64,12 @@ def decompress_db_shard(db_path: str, out_path: str, shard: int,
     from ..codec import fcz
 
     have_native = False
+    lib = None
     if not fast:
         try:
             from ..native import decode_fcz_pdb_native, get_lib
-            have_native = get_lib() is not None
+            lib = get_lib()
+            have_native = lib is not None
         except Exception:
             have_native = False
 
@@ -76,6 +78,16 @@ def decompress_db_shard(db_path: str, out_path: str, shard: int,
     n_written = 0
     try:
         start, end = shard_range(len(reader), shard, n_shards)
+        if have_native and getattr(reader, "_h", None) and \
+                getattr(writer, "_h", None):
+            # whole shard range in GIL-free C chunk calls (hybrid.py
+            # _decode_range_native); chunked so name resolution stays
+            # amortized and progress is interruptible
+            from .hybrid import _decode_range_native
+            for c0 in range(start, end, 4096):
+                n_written += _decode_range_native(
+                    lib, reader, writer, c0, min(c0 + 4096, end))
+            return n_written
         pending = []
 
         def flush():
