@@ -101,6 +101,10 @@ def _bind(lib):
     lib.fcz_db_encode_range.restype = c.c_int64
     lib.fcz_db_encode_range.argtypes = [c.c_void_p, c.c_void_p, c.c_int64,
                                         c.c_int64, c.c_char_p, c.c_int]
+    lib.fcz_db_extract_range.restype = c.c_int64
+    lib.fcz_db_extract_range.argtypes = [c.c_void_p, c.c_void_p, c.c_int,
+                                         c.c_int64, c.c_int64, c.c_char_p,
+                                         c.c_int, c.c_int, c.c_int]
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.fcz_encode_atoms.restype = c.c_int64
     lib.fcz_encode_atoms.argtypes = [

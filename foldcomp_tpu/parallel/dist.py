@@ -153,6 +153,11 @@ def extract_db_shard(db_path: str, out_path: str, shard: int, n_shards: int,
     from ..codec import fcz
     from ..codec.extract import (extract_plddt, extract_sequence,
                                  write_fasta_like, write_tsv)
+    try:
+        from ..native import get_lib
+        lib = get_lib()
+    except Exception:
+        lib = None
 
     reader = DatabaseReader(db_path, use_lookup=True)
     writer = None
@@ -164,6 +169,24 @@ def extract_db_shard(db_path: str, out_path: str, shard: int, n_shards: int,
     n_written = 0
     try:
         start, end = shard_range(len(reader), shard, n_shards)
+        wh = getattr(writer, "_h", None) if writer is not None else None
+        if lib is not None and getattr(reader, "_h", None) and \
+                (merged or wh):
+            # whole shard range in GIL-free C chunk calls; Python only
+            # resolves the .lookup names
+            from .hybrid import _range_names
+            if merged:
+                out_fh.flush()
+            for c0 in range(start, end, 4096):
+                c1 = min(c0 + 4096, end)
+                r = lib.fcz_db_extract_range(
+                    reader._h, wh, out_fh.fileno() if merged else -1,
+                    c0, c1, _range_names(reader, c0, c1), ext_mode,
+                    digits, 1 if use_title else 0)
+                if r < 0:
+                    raise MemoryError("fcz_db_extract_range failed")
+                n_written += r
+            return n_written
         for pos in range(start, end):
             key = reader.get_key(pos)
             data = reader.get_data(pos)

@@ -19,6 +19,7 @@
 #include <stdint.h>
 #include <stdio.h>
 #include <stdlib.h>
+#include <unistd.h>
 #include <string.h>
 
 #include "aatable_gen.h"
@@ -1051,4 +1052,127 @@ oom:
     free(aidx); free(ridx); free(name4); free(res3); free(chn);
     free(coords); free(occ); free(temp); free(out);
     return -1;
+}
+
+static char* put_int_c(char* p, int64_t v) {
+    char tmp[24];
+    int k = 0;
+    uint64_t u = v < 0 ? (*p++ = '-', (uint64_t)(-v)) : (uint64_t)v;
+    do { tmp[k++] = (char)('0' + u % 10); u /= 10; } while (u);
+    while (k) *p++ = tmp[--k];
+    return p;
+}
+
+/* db extract chunk loop (pLDDT / sequence), reference digit semantics
+ * (foldcomp.cpp:1260-1338): per-residue truncating digit conversion in
+ * f32 with the 0-1 vs 0-100 scale auto-detect. Output goes to the fcdb
+ * writer (text entry + trailing NUL) when `writer` is non-NULL, else
+ * appended to file descriptor out_fd (merged text mode). ext_mode 0 =
+ * pLDDT (fasta for digits==1, TSV otherwise), 1 = sequence (fasta).
+ * Returns entries written, -1 on allocation/write failure. */
+int64_t fcz_db_extract_range(void* reader, void* writer, int out_fd,
+                             int64_t start, int64_t end, const char* names,
+                             int ext_mode, int digits, int use_title) {
+    char* buf = NULL;
+    int64_t cap = 0;
+    char keybuf[16];
+    const char* nm = names;
+    int64_t written = 0;
+    if (digits < 1) digits = 1;
+    if (digits > 4) digits = 4;
+    for (int64_t pos = start; pos < end; pos++) {
+        const char* name = "";
+        if (names) { name = nm; nm += strlen(nm) + 1; }
+        const char* data;
+        int64_t len;
+        if (fcdb_reader_get(reader, pos, &data, &len)) continue;
+        if (len > 0 && data[len - 1] == '\0') len--;
+        fcz_view v;
+        if (fcz_parse_view((const uint8_t*)data, len, &v)) continue;
+        uint32_t key = fcdb_reader_key(reader, pos);
+        const char* title = name;
+        int64_t title_len;
+        if (use_title) {   /* stored title verbatim, even when empty */
+            title = v.title;
+            title_len = v.len_title;
+        } else {
+            if (!names) {
+                snprintf(keybuf, sizeof keybuf, "%u", key);
+                title = keybuf;
+            }
+            title_len = (int64_t)strlen(title);
+        }
+        int n = v.n_residue;
+        int64_t need = title_len + 32 + (int64_t)n * 7;
+        if (need > cap) {
+            free(buf);
+            cap = need;
+            buf = (char*)malloc((size_t)cap);
+            if (!buf) { fcz_view_release(&v); return -1; }
+        }
+        char* p = buf;
+        int tsv = (ext_mode == 0 && digits > 1);
+        if (tsv) {
+            memcpy(p, title, (size_t)title_len); p += title_len;
+            *p++ = '\t';
+            p = put_int_c(p, n);
+            *p++ = '\t';
+        } else {
+            *p++ = '>';
+            memcpy(p, title, (size_t)title_len); p += title_len;
+            *p++ = '\n';
+        }
+        if (ext_mode == 1) {
+            for (int i = 0; i < n; i++) {
+                int code = v.records[8 * i] >> 3;
+                *p++ = (code >= 0 && code < FC_NUM_CODES) ? FC_ONE[code]
+                                                          : 'X';
+            }
+        } else {
+            double maxval = (double)v.tf_cont * 255.0 + (double)v.tf_min;
+            int zero_one = (maxval <= 1.0 && digits <= 2);
+            for (int i = 0; i < n; i++) {
+                float val = (float)v.tf_codes[i] * v.tf_cont + v.tf_min;
+                float c;
+                char d1, d2;
+                if (zero_one) {
+                    c = val < 0.0f ? 0.0f : (val > 1.0f ? 1.0f : val);
+                    d1 = (char)((int)(c * 10.0f) % 10) + '0';
+                    d2 = (char)((int)(c * 100.0f) % 10) + '0';
+                } else {
+                    c = val < 0.0f ? 0.0f : (val > 100.0f ? 100.0f : val);
+                    d1 = (char)(c / 10.0f) + '0';
+                    d2 = (char)((int)c % 10) + '0';
+                }
+                *p++ = d1;
+                if (digits > 1) *p++ = d2;
+                if (digits >= 3) {
+                    *p++ = '.';
+                    *p++ = (char)((int)(c * 10.0f) % 10) + '0';
+                }
+                if (digits == 4)
+                    *p++ = (char)((int)(c * 100.0f) % 10) + '0';
+                if (digits > 1 && i != n - 1) *p++ = ',';
+            }
+        }
+        *p++ = '\n';
+        fcz_view_release(&v);
+        if (writer) {
+            *p = '\0';
+            if (fcdb_writer_append(writer, buf, (p - buf) + 1, key, name)) {
+                free(buf);
+                return -1;
+            }
+        } else {
+            int64_t w = (int64_t)(p - buf), o = 0;
+            while (o < w) {
+                int64_t r = write(out_fd, buf + o, (size_t)(w - o));
+                if (r <= 0) { free(buf); return -1; }
+                o += r;
+            }
+        }
+        written++;
+    }
+    free(buf);
+    return written;
 }
