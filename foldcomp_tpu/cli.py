@@ -965,28 +965,71 @@ def run_sharded_extract(inp: str, output: str, opts: Options,
 
     db output: shard databases merged by key. Merged text output: shard
     files concatenated in shard order, which IS global entry order for
-    contiguous ranges — byte-identical to the single-thread output."""
+    contiguous ranges — byte-identical to the single-thread output.
+
+    Workers are threads when the GIL-free C extract loop
+    (fcz_db_extract_range) engages — one C call per shard chunk, no
+    spawn/import cost — else worker processes (the per-entry Python
+    fallback convoys on the GIL)."""
     import subprocess
 
-    from .parallel.dist import merge_shard_dbs, merge_shard_files
+    from .parallel.dist import (extract_db_shard, merge_shard_dbs,
+                                merge_shard_files)
 
     n = opts.threads
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    procs = []
-    for pid in range(n):
-        code = (f"import sys; sys.path.insert(0, {repo!r})\n"
-                f"from foldcomp_tpu.parallel.dist import extract_db_shard\n"
-                f"extract_db_shard({inp!r}, {output!r}, {pid}, {n}, "
-                f"ext_mode={opts.ext_mode}, "
-                f"digits={opts.ext_plddt_digits}, "
-                f"use_title={opts.ext_use_title}, merged={merged})\n")
-        procs.append(subprocess.Popen([sys.executable, "-c", code],
-                                      env=env))
+    use_threads = False
+    try:
+        from .native import get_lib
+        if get_lib() is not None:
+            from .io.db import DatabaseReader
+            probe = DatabaseReader(inp, use_lookup=True)
+            use_threads = getattr(probe, "_h", None) is not None
+            probe.close()
+    except Exception:
+        use_threads = False
+
     rc = 0
-    for p in procs:
-        rc |= p.wait()
+    if use_threads:
+        import threading
+        errs = []
+
+        def shard_main(pid):
+            try:
+                extract_db_shard(inp, output, pid, n,
+                                 ext_mode=opts.ext_mode,
+                                 digits=opts.ext_plddt_digits,
+                                 use_title=opts.ext_use_title,
+                                 merged=merged)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        if n == 1:
+            shard_main(0)
+        else:
+            ts = [threading.Thread(target=shard_main, args=(pid,))
+                  for pid in range(n)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+        rc = 1 if errs else 0
+    else:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        procs = []
+        for pid in range(n):
+            code = (f"import sys; sys.path.insert(0, {repo!r})\n"
+                    f"from foldcomp_tpu.parallel.dist import "
+                    f"extract_db_shard\n"
+                    f"extract_db_shard({inp!r}, {output!r}, {pid}, {n}, "
+                    f"ext_mode={opts.ext_mode}, "
+                    f"digits={opts.ext_plddt_digits}, "
+                    f"use_title={opts.ext_use_title}, merged={merged})\n")
+            procs.append(subprocess.Popen([sys.executable, "-c", code],
+                                          env=env))
+        for p in procs:
+            rc |= p.wait()
     if rc:
         print("[Error] sharded worker failed", file=sys.stderr)
         return 1
@@ -1190,9 +1233,10 @@ def main(argv=None) -> int:
                                  anchor_threshold=opts.anchor_threshold,
                                  batch_size=FAST_BATCH, use_device=False)
 
-    # Process-sharded db extract (same rationale; extract is pure host
-    # work, so there is no device stream to schedule)
-    if (mode == "extract" and opts.threads > 1 and not single
+    # Sharded db extract (same rationale; extract is pure host work, so
+    # there is no device stream to schedule). threads >= 1: even the
+    # single-thread db case routes through the GIL-free C chunk loop.
+    if (mode == "extract" and opts.threads >= 1 and not single
             and not single_files and len(inputs) == 1
             and is_database(inputs[0]) and opts.id_file is None
             and not opts.measure_time and not opts.save_as_tar
