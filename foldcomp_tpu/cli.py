@@ -1232,6 +1232,18 @@ def main(argv=None) -> int:
             return run_hybrid_db(mode, inputs[0], output, opts.threads,
                                  anchor_threshold=opts.anchor_threshold,
                                  batch_size=FAST_BATCH, use_device=False)
+        # -t 1: one in-process shard — still the GIL-free C chunk loops
+        # (fcz_db_{decode,encode}_range) when the native handles engage
+        from .parallel.dist import (compress_db_shard, decompress_db_shard,
+                                    merge_shard_dbs)
+        if mode == "decompress":
+            decompress_db_shard(inputs[0], output, 0, 1, fast=False)
+        else:
+            compress_db_shard(inputs[0], output, 0, 1,
+                              anchor_threshold=opts.anchor_threshold,
+                              fast=False)
+        merge_shard_dbs(output, 1)
+        return 0
 
     # Sharded db extract (same rationale; extract is pure host work, so
     # there is no device stream to schedule). threads >= 1: even the

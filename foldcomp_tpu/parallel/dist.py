@@ -361,6 +361,16 @@ def compress_db_shard(db_path: str, out_path: str, shard: int,
                 if len(pend_entry) >= batch_entries:
                     flush()
             flush(drain=True)
+        elif (_enc_lib := _get_lib_or_none()) is not None and \
+                getattr(reader, "_h", None) and \
+                getattr(writer, "_h", None):
+            # whole range in GIL-free C chunk calls (hybrid.py)
+            from .hybrid import _encode_range_native
+            for c0 in range(start, end, 4096):
+                n_written += _encode_range_native(
+                    _enc_lib, reader, writer, c0, min(c0 + 4096, end),
+                    anchor_threshold)
+            return n_written
         else:
             from ..native import encode_pdb_native
             for pos in range(start, end):
@@ -379,3 +389,11 @@ def compress_db_shard(db_path: str, out_path: str, shard: int,
         writer.close()
         reader.close()
     return n_written
+
+
+def _get_lib_or_none():
+    try:
+        from ..native import get_lib
+        return get_lib()
+    except Exception:
+        return None
