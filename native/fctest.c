@@ -21,6 +21,7 @@
 #include <stdlib.h>
 #include <string.h>
 #include <unistd.h>
+#include <fcntl.h>
 
 extern int64_t fcz_decode_pdb(const uint8_t* buf, int64_t len, int use_alt,
                               char* out);
@@ -183,6 +184,60 @@ static int cmd_db(const char* data, const char* index) {
     return 0;
 }
 
+extern void* fcdb_writer_open(const char* data_path);
+extern int64_t fcdb_writer_close(void* h);
+extern int64_t fcz_db_decode_range(void* reader, void* writer,
+                                   int64_t start, int64_t end,
+                                   const char* names, int use_alt);
+extern int64_t fcz_db_encode_range(void* reader, void* writer,
+                                   int64_t start, int64_t end,
+                                   const char* names, int threshold);
+extern int64_t fcz_db_extract_range(void* reader, void* writer, int out_fd,
+                                    int64_t start, int64_t end,
+                                    const char* names, int ext_mode,
+                                    int digits, int use_title);
+
+static int cmd_ranges(const char* data, const char* index) {
+    /* exercise the GIL-free chunk loops under the sanitizers:
+     * decode-range -> shard db, then encode-range the result back, then
+     * extract-range both modes/digit forms to /dev/null */
+    void* h = fcdb_reader_open(data, index, 1);
+    if (!h) { fprintf(stderr, "cannot open db\n"); return 2; }
+    int64_t n = fcdb_reader_size(h);
+    char pdbdb[] = "/tmp/fctest_rng_pdb_XXXXXX";
+    int fd = mkstemp(pdbdb);
+    if (fd < 0) return 2;
+    close(fd);
+    void* w = fcdb_writer_open(pdbdb);
+    int64_t dec = fcz_db_decode_range(h, w, 0, n, NULL, 0);
+    fcdb_writer_close(w);
+    if (dec < 0) return 3;
+    char idx[300];
+    snprintf(idx, sizeof idx, "%s.index", pdbdb);
+    void* h2 = fcdb_reader_open(pdbdb, idx, 1);
+    if (!h2) return 2;
+    char fczdb[] = "/tmp/fctest_rng_fcz_XXXXXX";
+    fd = mkstemp(fczdb);
+    if (fd < 0) return 2;
+    close(fd);
+    void* w2 = fcdb_writer_open(fczdb);
+    int64_t enc = fcz_db_encode_range(h2, w2, 0, dec, NULL, 25);
+    fcdb_writer_close(w2);
+    fcdb_reader_close(h2);
+    if (enc < 0) return 3;
+    int nullfd = open("/dev/null", O_WRONLY);
+    for (int mode = 0; mode <= 1; mode++)
+        for (int digits = 1; digits <= 4; digits++)
+            if (fcz_db_extract_range(h, NULL, nullfd, 0, n, NULL, mode,
+                                     digits, mode) < 0)
+                return 3;
+    close(nullfd);
+    fcdb_reader_close(h);
+    printf("ranges ok dec=%lld enc=%lld\n", (long long)dec,
+           (long long)enc);
+    return 0;
+}
+
 static int cmd_badindex(const char* data) {
     /* write an index whose offsets/lengths run outside the data file; every
      * lookup must be rejected, not read out of bounds */
@@ -233,6 +288,8 @@ int main(int argc, char** argv) {
         return cmd_db(argv[2], argv[3]);
     if (strcmp(argv[1], "badindex") == 0)
         return cmd_badindex(argv[2]);
+    if (strcmp(argv[1], "ranges") == 0 && argc > 3)
+        return cmd_ranges(argv[2], argv[3]);
     fprintf(stderr, "unknown mode\n");
     return 2;
 }

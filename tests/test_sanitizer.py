@@ -78,3 +78,14 @@ def test_asan_corrupt_index_rejected(fctest_bin):
     r = run(fctest_bin, "badindex", str(db))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "badindex ok" in r.stdout
+
+
+def test_asan_chunk_range_loops(fctest_bin):
+    """The GIL-free db chunk loops (fcz_db_{decode,encode,extract}_range)
+    under ASan+UBSan: decode a whole db to a shard, re-encode the result,
+    extract every mode x digits form."""
+    data = require_fixture("example_db")
+    index = require_fixture("example_db.index")
+    r = run(fctest_bin, "ranges", str(data), str(index))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ranges ok" in r.stdout
