@@ -249,3 +249,49 @@ def test_chunk_controller_no_double_claims_under_threads(tmp_path):
     allc = [c for g in got for c in g]
     assert len(allc) == n_chunks
     assert len(set(allc)) == n_chunks
+
+
+def test_db_compress_multichain_entries_c_range(tmp_path):
+    """A db holding multi-chain and single-chain PDB entries compresses
+    identically through the C chunk loop (-t 1 / -t 2 threads) and the
+    per-entry Python encoder."""
+    import pathlib
+
+    from foldcomp_tpu import cli
+    from foldcomp_tpu.io.db import DatabaseReader, DatabaseWriter
+    from foldcomp_tpu.native import encode_pdb_native
+
+    multi = pathlib.Path("/root/reference/test/multichain.pdb")
+    single = pathlib.Path("/root/reference/test/test.pdb")
+    if not multi.exists() or not single.exists():
+        pytest.skip("reference fixtures unavailable")
+    payloads = [multi.read_bytes(), single.read_bytes()] * 4
+    db = str(tmp_path / "pdb_db")
+    w = DatabaseWriter(db)
+    for i, p in enumerate(payloads):
+        w.append(p + b"\x00", i, f"e{i}")
+    w.close()
+
+    outs = []
+    for t in ("1", "2"):
+        out = str(tmp_path / f"fcz_t{t}")
+        assert cli.main(["compress", "--exact", "-t", t, "-y", "-d",
+                         db, out]) == 0
+        outs.append(out)
+    readers = [DatabaseReader(o, use_lookup=True) for o in outs]
+    # expected: per-entry python-driven native encode, all fragments
+    expected = []
+    for i, p in enumerate(payloads):
+        for f in encode_pdb_native(p, 25, None, split=True,
+                                   fallback_title=f"e{i}") or []:
+            if not f["error"]:
+                expected.append((i, f["blob"]))
+    assert len(expected) > len(payloads), "multichain must yield extra frags"
+    for r in readers:
+        assert len(r) == len(expected)
+        got = sorted((r.get_key(i), bytes(r.get_data(i)))
+                     for i in range(len(r)))
+        want = sorted((k, b) for k, b in expected)
+        assert got == want
+    for r in readers:
+        r.close()
