@@ -158,80 +158,127 @@ def pack_decode_batch_seg(fczs, s_bucket: int = 4, seg_bucket: int = 8):
     The host window-expands records/side-chain codes into segment space so
     the device pipeline needs zero gathers (see kernels/decode.py
     decode_seg_core). Windows overlap by one record (the shared anchor
-    residue), ~4% duplication at the default anchor interval."""
+    residue), ~4% duplication at the default anchor interval.
+
+    Fully vectorized ACROSS proteins: all residue streams concatenate
+    into global arrays and every expansion (segment windows, side-chain
+    slot scatter, the stitch index) is one fancy-index / one global
+    searchsorted — the per-protein numpy-call loop was the fast decode
+    path's host bound (~2 Mres/s/thread; this form is several times
+    that)."""
     b = len(fczs)
-    seg_info = [segments_of(f) for f in fczs]
-    s_pad = _round_up(max(len(st) for st, _ in seg_info), s_bucket)
-    seg_pad = _round_up(max(max(cn) for _, cn in seg_info), seg_bucket)
+    nres = np.array([f.n_residue for f in fczs], np.int64)
+    rec_base = np.zeros(b + 1, np.int64)
+    np.cumsum(nres, out=rec_base[1:])
+    r_tot = int(rec_base[-1])
+
+    # global segment table (segments_of semantics, vectorized over the
+    # whole batch: decompression loop bounds of foldcomp.cpp:812-858)
+    na = np.array([f.n_anchor for f in fczs], np.int64)
+    anchors_all = np.concatenate(
+        [np.asarray(f.anchor_indices, np.int64) for f in fczs])
+    ab = np.cumsum(na)
+    s_i = na - 1                                 # segments per protein
+    seg_ord = _ragged_arange(s_i)
+    first_idx = np.repeat(ab - na, s_i) + seg_ord
+    a0 = anchors_all[first_idx]
+    a1 = anchors_all[first_idx + 1]
+    nres_rep = np.repeat(nres, s_i)
+    first = np.minimum(a0, nres_rep - 1)
+    is_last = seg_ord == np.repeat(s_i - 1, s_i)
+    counts_g = np.maximum(
+        np.where(is_last, nres_rep - first,
+                 np.minimum(a1 + 1, nres_rep - 1) - first), 1)
+
+    s_pad = _round_up(int(s_i.max()), s_bucket)
+    seg_pad = _round_up(int(counts_g.max()), seg_bucket)
     n = b * s_pad
-
-    seg_records = np.zeros((n, seg_pad, 8), np.uint8)
-    sc_seg = np.zeros((n, seg_pad, 11), np.uint8)
-    mins_lane = np.zeros((n, 6), F32)
-    cont_lane = np.zeros((n, 6), F32)
-    anchor_xyz = np.zeros((b, s_pad + 1, 3, 3), F32)
-    seg_m = np.ones(n, I32)
-    metas = []
     ar = np.arange(seg_pad)
+    records_all = np.concatenate(
+        [np.asarray(f.records, np.uint8).reshape(-1, 8) for f in fczs])
+
+    # global per-residue side-chain slot scatter (stream element j of
+    # residue r lands at flat r*11 + j; proteins concatenate in order)
+    res_code_all = unpack_records(records_all)[0].astype(np.int32)
+    counts_sc = np.where(res_code_all < NUM_AA,
+                         N_SC_TORSION[res_code_all], 0).astype(np.int64)
+    totals = np.add.reduceat(counts_sc, rec_base[:-1]) if r_tot else \
+        np.zeros(b, np.int64)
+    # 12-byte rows so the window gather below runs as 3 x u32 moves
+    # instead of 11 per-element u8 moves (numpy fancy-indexing cost is
+    # per ELEMENT; the wider view is ~4x on this path)
+    sc_res_all = np.zeros((r_tot, 12), np.uint8)
+    tot = int(counts_sc.sum())
+    if tot:
+        stream = np.concatenate(
+            [np.asarray(f.sc_codes[:t], np.uint8)
+             for f, t in zip(fczs, totals)])
+        res_of = np.repeat(np.arange(r_tot, dtype=np.int64), counts_sc)
+        ends = np.cumsum(counts_sc)
+        within = np.arange(tot, dtype=np.int64) - \
+            np.repeat(ends - counts_sc, counts_sc)
+        sc_res_all.reshape(-1)[res_of * 12 + within] = stream
+
+    # all real lanes at once: global record-row window per (protein, seg)
+    lane_index = np.repeat(np.arange(b, dtype=np.int64) * s_pad, s_i) + \
+        seg_ord
+    starts_g = first + np.repeat(rec_base[:-1], s_i)
+    last_g = np.repeat(rec_base[1:] - 1, s_i)
+    idx = np.minimum(starts_g[:, None] + ar[None, :], last_g[:, None])
+
+    # window-expand through wide views: one u64 per 8-byte record row,
+    # three u32 per 12-byte sc row — fancy-indexing moves elements, not
+    # bytes, so wide elements are ~4-8x faster than u8 gathers
+    seg_records = np.zeros((n, seg_pad, 8), np.uint8)
+    seg_records.view(np.uint64)[:, :, 0][lane_index] = \
+        records_all.view(np.uint64)[:, 0][idx]
+    sc_seg12 = np.zeros((n, seg_pad, 12), np.uint8)
+    sc_seg12.view(np.uint32)[lane_index] = sc_res_all.view(np.uint32)[idx]
+    sc_seg = sc_seg12[:, :, :11]
+    seg_m = np.ones(n, I32)
+    seg_m[lane_index] = counts_g
+
+    mins_lane = np.repeat(np.stack([f.mins for f in fczs]).astype(F32),
+                          s_pad, axis=0)
+    cont_lane = np.repeat(np.stack([f.cont_fs for f in fczs]).astype(F32),
+                          s_pad, axis=0)
+    anchor_xyz = np.zeros((b, s_pad + 1, 3, 3), F32)
     for i, f in enumerate(fczs):
-        nres = f.n_residue
-        starts, counts = seg_info[i]
-        s_i = len(starts)
-        starts_a = np.asarray(starts, np.int64)
-        idx = np.minimum(starts_a[:, None] + ar[None, :], nres - 1)
-        base = i * s_pad
-        seg_records[base:base + s_i] = f.records[idx]
-        mins_lane[base:base + s_pad] = f.mins
-        cont_lane[base:base + s_pad] = f.cont_fs
         anchor_xyz[i, :f.n_anchor] = f.anchor_coords
-        seg_m[base:base + s_i] = counts
 
-        res_code_all = unpack_records(f.records)[0].astype(np.int32)
-        counts_sc = np.where(res_code_all < NUM_AA,
-                             N_SC_TORSION[res_code_all], 0)
-        sc_res = np.zeros((nres, 11), np.uint8)
-        total = int(counts_sc.sum())
-        if total:
-            res_of = np.repeat(np.arange(nres, dtype=np.int64), counts_sc)
-            ends = np.cumsum(counts_sc)
-            within = np.arange(total, dtype=np.int64) - \
-                np.repeat(ends - counts_sc, counts_sc)
-            sc_res.reshape(-1)[res_of * 11 + within] = f.sc_codes[:total]
-        sc_seg[base:base + s_i] = sc_res[idx]
+    # stitch: residue r owned by the last segment starting <= r
+    # (foldcomp.cpp:849-857); starts_g is globally ascending, and every
+    # protein's first start equals its rec_base, so ONE searchsorted
+    # lands inside the right protein for every residue
+    r_g = np.arange(r_tot, dtype=np.int64)
+    s_of_r = np.searchsorted(starts_g, r_g, side="right") - 1
+    lane_of_g = lane_index[s_of_r]
+    rec_of_g = np.clip(r_g - starts_g[s_of_r], 0, seg_pad - 1)
 
-        # residue r -> (lane, record): last segment starting <= r owns it
-        # (foldcomp.cpp:849-857 stitch semantics)
-        r = np.arange(nres)
-        s_of_r = np.searchsorted(starts_a, r, side="right") - 1
-        s_of_r = np.clip(s_of_r, 0, s_i - 1)
-        lane_of = base + s_of_r
-        rec_of = np.clip(r - starts_a[s_of_r], 0, seg_pad - 1)
+    # residue-space stitch index for the on-device stitch; coarse bucket
+    # (4096) so R is not a fresh jit shape per batch (one extra compile
+    # costs ~9 s on a remote-compile service)
+    res_index = np.zeros(_round_up(r_tot, 4096), I32)
+    res_index[:r_tot] = lane_of_g * seg_pad + rec_of_g
 
-        temp = (f.tf_codes.astype(F32) * np.float32(f.tf_cont)
-                + np.float32(f.tf_min)).astype(F32)
+    tf_all = np.concatenate(
+        [np.asarray(f.tf_codes, np.uint8) for f in fczs]).astype(F32)
+    temp_all = (tf_all
+                * np.repeat(np.array([f.tf_cont for f in fczs], F32), nres)
+                + np.repeat(np.array([f.tf_min for f in fczs], F32),
+                            nres)).astype(F32)
+
+    metas = []
+    for i, f in enumerate(fczs):
+        lo, hi = int(rec_base[i]), int(rec_base[i + 1])
         metas.append(SegDecodeMeta(
-            n_residue=nres, idx_residue=f.idx_residue, idx_atom=f.idx_atom,
-            chain=f.chain, title=f.title, first_residue=f.first_residue,
-            last_residue=f.last_residue, has_oxt=f.has_oxt,
-            oxt_coords=np.asarray(f.oxt_coords, F32),
-            res_code=res_code_all, temp=temp,
-            lane_of=lane_of, rec_of=rec_of))
-
-    # residue-space stitch index for the on-device stitch: residue r of
-    # protein i lives at flat row lane_of[r] * seg_pad + rec_of[r] of the
-    # [N, SEG, ...] segment-space output. Padded rows (r_bucket) point at
-    # row 0 and are never read back.
-    # coarse bucket (4096) so R is not a fresh jit shape per batch — the
-    # padded rows cost <4% of D2H while one extra compile costs ~9 s on
-    # a remote-compile service
-    r_total = sum(m.n_residue for m in metas)
-    res_index = np.zeros(_round_up(r_total, 4096), I32)
-    off = 0
-    for m in metas:
-        m.res_base = off
-        res_index[off:off + m.n_residue] = \
-            (m.lane_of * seg_pad + m.rec_of).astype(I32)
-        off += m.n_residue
+            n_residue=f.n_residue, idx_residue=f.idx_residue,
+            idx_atom=f.idx_atom, chain=f.chain, title=f.title,
+            first_residue=f.first_residue, last_residue=f.last_residue,
+            has_oxt=f.has_oxt, oxt_coords=np.asarray(f.oxt_coords, F32),
+            res_code=res_code_all[lo:hi], temp=temp_all[lo:hi],
+            lane_of=lane_of_g[lo:hi], rec_of=rec_of_g[lo:hi],
+            res_base=lo))
 
     arrays = dict(
         seg_records=np.ascontiguousarray(seg_records.transpose(1, 0, 2)),
@@ -239,6 +286,14 @@ def pack_decode_batch_seg(fczs, s_bucket: int = 4, seg_bucket: int = 8):
         sc_codes_seg=np.ascontiguousarray(sc_seg.transpose(2, 1, 0)),
         anchor_xyz=anchor_xyz, seg_m=seg_m, res_index=res_index)
     return arrays, metas
+
+
+def _ragged_arange(counts):
+    """[0..c0), [0..c1), ... concatenated."""
+    total = int(counts.sum())
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(np.cumsum(counts) - counts, counts)
+    return out
 
 
 def _seg_decode_arrays(arrays, refine_iters=2):
