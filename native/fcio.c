@@ -72,6 +72,47 @@ static inline char* put_int_rj(char* p, int64_t v, int width) {
     return p + len;
 }
 
+/* Specialized fast_ftoa for the ATOM-line hot fields: t=1000/P=3 coords
+ * in a width-8 slot and t=100/P=2 temp in width-6. Identical digit
+ * semantics to put_ftoa_rj below (same float rounding + truncating
+ * integer splits), but the digits come from the pair LUT and the
+ * justification is computed, not copied. Caller guarantees the value
+ * range fits the width (put_atom_line template guards). */
+static inline char* put_ftoa_fast(char* p, float n, float t, int pdigits,
+                                  int width) {
+    float half = 0.5f / t;
+    float rounded = n + (n < 0 ? -half : half);
+    int64_t integer = (int64_t)rounded;
+    int64_t decimal = (int64_t)((rounded - (float)integer) * t);
+    int neg = n < 0;
+    if (neg) {
+        if (integer < 0) integer = -integer;
+        if (decimal < 0) decimal = -decimal;
+    }
+    unsigned u = (unsigned)integer;
+    int ilen = u < 10 ? 1 : (u < 100 ? 2 : (u < 1000 ? 3 : 4));
+    int len = neg + ilen + 1 + pdigits;
+    for (int i = width - len; i > 0; i--) *p++ = ' ';
+    if (neg) *p++ = '-';
+    switch (ilen) {
+    case 4: *p++ = DIGIT_PAIRS[(u / 100) * 2];        /* fallthrough */
+    case 3: *p++ = DIGIT_PAIRS[(u / 100) * 2 + 1];    /* fallthrough */
+    case 2: *p++ = DIGIT_PAIRS[(u % 100) * 2];        /* fallthrough */
+    default: *p++ = DIGIT_PAIRS[(u % 100) * 2 + 1];
+    }
+    *p++ = '.';
+    unsigned d = (unsigned)decimal;
+    if (pdigits == 3) {
+        *p++ = (char)('0' + d / 100);
+        *p++ = DIGIT_PAIRS[(d % 100) * 2];
+        *p++ = DIGIT_PAIRS[(d % 100) * 2 + 1];
+    } else {
+        *p++ = DIGIT_PAIRS[d * 2];
+        *p++ = DIGIT_PAIRS[d * 2 + 1];
+    }
+    return p;
+}
+
 /* fast_ftoa<T,P> replica (atom_coordinate.cpp:186-218): add +-0.5f/T,
  * truncate both parts toward zero, zero-pad fraction to P digits;
  * result right-justified in `width`. All arithmetic in float. Non-finite
@@ -198,7 +239,7 @@ static inline int _tmpl_residue(char* line, const char* res3, char chain,
     memset(line + 26, ' ', 4);
     memcpy(line + 54, "  1.00", 6);
     {
-        char* e = put_ftoa_rj(line + 60, temp, 100, 2, 6);
+        char* e = put_ftoa_fast(line + 60, temp, 100.0f, 2, 6);
         if (e != line + 66) return 0;
     }
     memset(line + 66, ' ', 11);
@@ -218,9 +259,12 @@ static inline char* _tmpl_atom(char* p, char* line, int64_t serial,
     char* e = put_int_rj(line + 6, serial, 5);
     if (e != line + 11) return NULL;
     memcpy(line + 12, name4, 4);
-    if (put_ftoa_rj(line + 30, x, 1000, 3, 8) != line + 38) return NULL;
-    if (put_ftoa_rj(line + 38, y, 1000, 3, 8) != line + 46) return NULL;
-    if (put_ftoa_rj(line + 46, z, 1000, 3, 8) != line + 54) return NULL;
+    if (put_ftoa_fast(line + 30, x, 1000.0f, 3, 8) != line + 38)
+        return NULL;
+    if (put_ftoa_fast(line + 38, y, 1000.0f, 3, 8) != line + 46)
+        return NULL;
+    if (put_ftoa_fast(line + 46, z, 1000.0f, 3, 8) != line + 54)
+        return NULL;
     line[77] = name4[0] == ' ' ? name4[1] : name4[0];
     memcpy(p, line, 81);
     return p + 81;
