@@ -906,43 +906,6 @@ def run_check(opts: Options, entries):
     return 0
 
 
-def run_sharded_db(mode: str, inp: str, output: str, opts: Options) -> int:
-    """db -> db compress/decompress across opts.threads worker processes.
-
-    Each worker runs (de)compress_db_shard on its contiguous entry range
-    (original entry keys preserved, like the reference's DatabaseProcessor
-    fan-out, main.cpp:661-669); the parent merges the shard databases."""
-    import subprocess
-
-    from .parallel.dist import merge_shard_dbs
-
-    n = opts.threads
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    fn = ("decompress_db_shard" if mode == "decompress"
-          else "compress_db_shard")
-    extra = ("fast=False" if mode == "decompress"
-             else f"anchor_threshold={opts.anchor_threshold}, fast=False")
-    env = dict(os.environ)
-    # workers run pure native C work — skip the accelerator plugin's
-    # sitecustomize (it imports jax, ~2 s per process)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    procs = []
-    for pid in range(n):
-        code = (f"import sys; sys.path.insert(0, {repo!r})\n"
-                f"from foldcomp_tpu.parallel.dist import {fn}\n"
-                f"{fn}({inp!r}, {output!r}, {pid}, {n}, {extra})\n")
-        procs.append(subprocess.Popen([sys.executable, "-c", code],
-                                      env=env))
-    rc = 0
-    for p in procs:
-        rc |= p.wait()
-    if rc:
-        print("[Error] sharded worker failed", file=sys.stderr)
-        return 1
-    merge_shard_dbs(output, n)
-    return 0
-
-
 def _hybrid_applicable(db_path: str) -> bool:
     """Hybrid CPU+device scheduling pays off when the job is big enough
     to amortize the jax import + first compile and an accelerator
@@ -1226,7 +1189,7 @@ def main(argv=None) -> int:
             # No (usable) accelerator: same work-stealing scheduler with
             # native workers only — dynamic chunk claims absorb per-entry
             # skew that static contiguous ranges cannot (measured +33%
-            # over run_sharded_db on a replicated-entry db), and the
+            # over static contiguous-range sharding), and the
             # parent steals chunks too instead of idling.
             from .parallel.hybrid import run_hybrid_db
             return run_hybrid_db(mode, inputs[0], output, opts.threads,

@@ -448,8 +448,8 @@ def run_hybrid_db(mode: str, db_path: str, out_path: str, n_native: int,
     the native workers are plain THREADS: each chunk runs as one C call
     that drops the GIL, so threads scale like processes without the
     ~0.3 s/worker python spawn+import. Otherwise they are separate
-    processes (the per-entry Python loop convoys on the GIL; see
-    cli.run_sharded_db) launched without the accelerator plugin env so
+    processes (the per-entry Python loop convoys on the GIL) launched
+    without the accelerator plugin env so
     they never pay the jax import."""
     probe = DatabaseReader(db_path, use_lookup=True)
     n = len(probe)
