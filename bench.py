@@ -221,26 +221,33 @@ def bench_e2e(workdir, fcz_db, pdb_db, n_res_total, flags=("--fast",),
 
 def bench_e2e_native(workdir, fcz_db, pdb_db, n_res_total, threads=4,
                      trials=3):
-    """Default CLI path (byte-exact native codec, process-sharded -t) —
-    the product default for small/medium jobs, and not bound by the axon
-    tunnel's ~33 MB/s host<->device link. Best-of-N (shared-VM steal
-    noise swings subsecond walls 2-3x)."""
-    from foldcomp_tpu import cli
+    """--exact CLI walls (byte-exact native codec, GIL-free C chunk
+    loops). Runs in FRESH SUBPROCESSES with the accelerator plugin env
+    stripped: the in-process jax/axon runtime threads of the device
+    benches above steal enough CPU to halve these walls otherwise (and
+    a fresh CLI invocation is what a user actually pays). Best-of-N
+    against shared-VM steal noise; spawn+import (~0.4 s) included."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    repo = str(pathlib.Path(__file__).parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    def run_cli(args):
+        t0 = time.perf_counter()
+        r = subprocess.run([sys.executable, "-m", "foldcomp_tpu", *args],
+                           env=env, capture_output=True)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return time.perf_counter() - t0
 
     best_d = best_c = 0.0
     for _ in range(trials):
-        out1 = os.path.join(workdir, "native_pdb_db")
-        t0 = time.perf_counter()
-        rc = cli.main(["decompress", "--exact", "-t", str(threads), "-y",
-                       "-d", fcz_db, out1])
-        dt_d = time.perf_counter() - t0
-        assert rc == 0
-        out2 = os.path.join(workdir, "native_fcz_db")
-        t0 = time.perf_counter()
-        rc = cli.main(["compress", "-t", str(threads), "-y", "-d", pdb_db,
-                       out2])
-        dt_c = time.perf_counter() - t0
-        assert rc == 0
+        dt_d = run_cli(["decompress", "--exact", "-t", str(threads), "-y",
+                        "-d", fcz_db, os.path.join(workdir, "native_pdb_db")])
+        dt_c = run_cli(["compress", "--exact", "-t", str(threads), "-y",
+                        "-d", pdb_db, os.path.join(workdir, "native_fcz_db")])
         best_d = max(best_d, n_res_total / dt_d)
         best_c = max(best_c, n_res_total / dt_c)
     return best_d, best_c
