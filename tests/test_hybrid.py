@@ -295,3 +295,56 @@ def test_db_compress_multichain_entries_c_range(tmp_path):
         assert got == want
     for r in readers:
         r.close()
+
+
+def test_db_decompress_corrupted_entries_skip(tmp_path):
+    """Corrupted FCZ entries are skipped by the C chunk loop exactly like
+    the per-entry exact path: the surviving entry set matches."""
+    import pathlib
+
+    from foldcomp_tpu import cli
+    from foldcomp_tpu.codec import fcz as fcz_mod
+    from foldcomp_tpu.codec.decoder import decode as decode_exact
+    from foldcomp_tpu.io.db import DatabaseWriter
+    from foldcomp_tpu.io.pdb import parse_pdb
+    from foldcomp_tpu.io.structure import (
+        identify_chains, identify_discontinuous_fragments,
+        remove_alternative_positions)
+    from foldcomp_tpu.codec.encoder import encode
+
+    src = pathlib.Path("/root/reference/test/test.pdb")
+    if not src.exists():
+        pytest.skip("reference fixture unavailable")
+    atoms = remove_alternative_positions(parse_pdb(src.read_bytes()))
+    (cs, ce), = identify_chains(atoms)
+    (fs, fe), = identify_discontinuous_fragments(atoms, cs, ce)
+    blob = fcz_mod.serialize(encode(atoms.slice(fs, fe)))
+
+    corruptions = {
+        1: b"not an fcz stream",                  # bad magic
+        3: blob[: len(blob) // 2],                # truncated
+        5: b"",                                   # empty
+        7: blob[:40] + b"\xff" * 8 + blob[48:],   # mangled header floats
+    }
+    db = str(tmp_path / "db")
+    w = DatabaseWriter(db)
+    for i in range(10):
+        w.append(corruptions.get(i, blob) + b"\x00", i, f"e{i}")
+    w.close()
+
+    out = str(tmp_path / "out")
+    assert cli.main(["decompress", "--exact", "-t", "1", "-y", "-d",
+                     db, out]) == 0
+    got = DatabaseReader(out, use_lookup=True)
+    surviving = sorted(got.get_key(i) for i in range(len(got)))
+    # python-side expectation: entries whose payload parses + decodes
+    expect = []
+    for i in range(10):
+        payload = corruptions.get(i, blob)
+        try:
+            decode_exact(fcz_mod.parse(payload))
+            expect.append(i)
+        except Exception:
+            pass
+    assert surviving == expect, (surviving, expect)
+    got.close()
