@@ -711,47 +711,91 @@ def _run_decompress_fast(opts: Options, entries, sink, sink_kind,
     return 0
 
 
-def _accelerator_present() -> bool:
-    """True when a non-CPU jax backend initializes (TPU/axon).
-
-    Imports jax lazily — only worth the import cost for batch workloads."""
-    try:
-        from .backend import ensure_backend
-        return ensure_backend() not in ("cpu",)
-    except Exception:
-        return False
-
-
 # Decompress ships ~96 compact bytes per residue device->host (see
 # kernels/decode.py). The native exact path delivers ~350k residues/s per
 # core, so below ~100 MB/s of D2H bandwidth the device pipeline cannot
 # beat it no matter how fast the chip is.
 _FAST_MIN_LINK_MBS = 100.0
 
+_PROBE_CODE = """\
+import sys, time
+import numpy as np
+try:
+    import jax
+    backend = jax.default_backend()
+except Exception:
+    backend = "cpu"
+if backend == "cpu":
+    print("none")
+    sys.exit(0)
+try:
+    x = np.zeros(8 << 20, np.uint8)
+    dev = jax.device_put(x)
+    jax.block_until_ready(dev)       # H2D not timed: warm the path
+    t0 = time.perf_counter()
+    np.asarray(dev)                  # D2H, the direction decode ships
+    dt = time.perf_counter() - t0
+    print("ok" if (len(x) / dt) / 1e6 >= %f else "slow")
+except Exception:
+    print("ok")                      # device up, probe flaky: trust it
+"""
 
-def _device_link_ok(min_mbs: float = _FAST_MIN_LINK_MBS) -> bool:
-    """Probe host<->device bandwidth; True when the link can feed the
-    batched path faster than the native CPU path.
+_PROBE_TTL_S = 600.0
 
-    A real TPU host moves tens of GB/s over PCIe and always passes; a
-    tunneled/remoted device (development setups) may only move tens of
-    MB/s, where shipping coordinates would bound end-to-end throughput
-    below the native codec. One 8 MB round trip decides (~0.2 s worst
-    case, amortized over batch jobs that run for many seconds)."""
+
+def _probe_device() -> str:
+    """'ok' | 'slow' | 'none' — accelerator presence + link bandwidth.
+
+    Runs in a SUBPROCESS so a too-slow (or absent) device never leaves
+    the jax/axon runtime threads in this process: they steal measurable
+    CPU from the native workers that end up doing the actual work. The
+    result is cached on disk for _PROBE_TTL_S (tunneled links swing over
+    tens of minutes; real PCIe hosts always probe 'ok').
+    FOLDCOMP_TPU_LINK=ok|slow|none overrides everything."""
+    import json
+    import subprocess
+    import tempfile
+
+    forced = os.environ.get("FOLDCOMP_TPU_LINK")
+    if forced in ("ok", "slow", "none"):
+        return forced
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"foldcomp_tpu_probe_{os.getuid()}.json")
     try:
-        import numpy as np
-
-        import jax
-
-        x = np.zeros(8 << 20, np.uint8)
-        dev = jax.device_put(x)
-        jax.block_until_ready(dev)       # H2D not timed: warm the path
-        t0 = time.perf_counter()
-        np.asarray(dev)                  # D2H, the direction decode ships
-        dt = time.perf_counter() - t0
-        return (len(x) / dt) / 1e6 >= min_mbs
+        with open(cache) as fh:
+            d = json.load(fh)
+        if time.time() - d["ts"] < _PROBE_TTL_S and \
+                d["result"] in ("ok", "slow", "none"):
+            return d["result"]
     except Exception:
-        return True
+        pass
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE % _FAST_MIN_LINK_MBS],
+            capture_output=True, text=True, timeout=180)
+        result = r.stdout.strip().splitlines()[-1] if r.stdout else "none"
+        if result not in ("ok", "slow", "none"):
+            result = "none"
+    except Exception:
+        result = "none"
+    try:
+        with open(cache, "w") as fh:
+            json.dump(dict(ts=time.time(), result=result), fh)
+    except Exception:
+        pass
+    return result
+
+
+def _accelerator_present() -> bool:
+    """True when a non-CPU jax backend initializes (TPU/axon), probed in
+    a subprocess (see _probe_device)."""
+    return _probe_device() != "none"
+
+
+def _device_link_ok() -> bool:
+    """True when the host<->device link can feed the batched path faster
+    than the native CPU path (see _probe_device)."""
+    return _probe_device() == "ok"
 
 
 def run_decompress(opts: Options, entries, output: str, single: bool):

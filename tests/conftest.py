@@ -11,6 +11,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The CLI's device probe runs in a SUBPROCESS (cli._probe_device), which
+# would see the real accelerator even though this suite forces the cpu
+# backend in-process — pin it off so CLI dispatch stays deterministic
+# (tests exercising the decision logic monkeypatch the seams directly).
+os.environ.setdefault("FOLDCOMP_TPU_LINK", "none")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -102,8 +102,35 @@ def test_slow_link_keeps_native(monkeypatch, tmp_path, fcz_dir, capsys):
     assert (out / "p0.pdb").read_text() == format_pdb(decode(f), f.title)
 
 
-def test_device_link_probe_runs():
-    """The probe itself: returns a bool and tolerates any backend (on the
-    CPU test backend the 'link' is memcpy and always passes)."""
-    assert cli._device_link_ok() is True
-    assert cli._device_link_ok(min_mbs=float("inf")) is False
+def test_device_link_probe_override_and_mapping(monkeypatch):
+    """FOLDCOMP_TPU_LINK pins the subprocess probe, and the two CLI
+    seams map its three states correctly."""
+    for forced, present, ok in (("ok", True, True),
+                                ("slow", True, False),
+                                ("none", False, False)):
+        monkeypatch.setenv("FOLDCOMP_TPU_LINK", forced)
+        assert cli._probe_device() == forced
+        assert cli._accelerator_present() is present
+        assert cli._device_link_ok() is ok
+
+
+def test_device_link_probe_cache(monkeypatch, tmp_path):
+    """Without the override the probe consults the on-disk cache before
+    spawning a probe subprocess."""
+    import json
+    import os as _os
+    import time as _time
+
+    monkeypatch.delenv("FOLDCOMP_TPU_LINK", raising=False)
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+    tempfile.tempdir = None  # re-read TMPDIR
+    try:
+        cache = tmp_path / f"foldcomp_tpu_probe_{_os.getuid()}.json"
+        cache.write_text(json.dumps(dict(ts=_time.time(), result="slow")))
+        assert cli._probe_device() == "slow"
+        cache.write_text(json.dumps(dict(ts=0, result="ok")))  # expired
+        # expired cache -> real subprocess probe; accept any valid state
+        assert cli._probe_device() in ("ok", "slow", "none")
+    finally:
+        tempfile.tempdir = None
