@@ -460,6 +460,11 @@ def run_hybrid_db(mode: str, db_path: str, out_path: str, n_native: int,
         _lib = None
     use_threads = _lib is not None and getattr(probe, "_h", None) is not None
     probe.close()
+    # the parent is a full CPU worker when there is no device stream (it
+    # goes straight to the mop-up steal loop), so spawn one fewer worker:
+    # -t N means N compute lanes, and oversubscribing cores just adds
+    # context-switching
+    n_workers = n_native if use_device else max(n_native - 1, 0)
     n_chunks = -(-n // chunk_entries)
     ctrl_path = out_path + ".hybrid_ctrl"
     ctrl = ChunkController.create(ctrl_path, n_chunks)
@@ -482,7 +487,7 @@ def run_hybrid_db(mode: str, db_path: str, out_path: str, n_native: int,
                 thread_rc.append(1)
 
         threads = [threading.Thread(target=tmain, args=(wid,), daemon=True)
-                   for wid in range(n_native)]
+                   for wid in range(n_workers)]
         for t in threads:
             t.start()
     else:
@@ -491,7 +496,7 @@ def run_hybrid_db(mode: str, db_path: str, out_path: str, n_native: int,
         extra_s = "" if mode == "decompress" else f", {anchor_threshold}"
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS", None)  # CPU-only workers: skip jax
-        for wid in range(n_native):
+        for wid in range(n_workers):
             code = (f"import sys; sys.path.insert(0, {repo!r})\n"
                     f"from foldcomp_tpu.parallel.hybrid import {worker_fn}\n"
                     f"{worker_fn}({db_path!r}, {out_path!r}, {wid}, "
@@ -506,7 +511,7 @@ def run_hybrid_db(mode: str, db_path: str, out_path: str, n_native: int,
     claimed: list[int] = []
     done: set[int] = set()
     reader = DatabaseReader(db_path, use_lookup=True)
-    writer = DatabaseWriter(shard_db_path(out_path, n_native))
+    writer = DatabaseWriter(shard_db_path(out_path, n_workers))
     try:
         if use_device:
             try:
@@ -541,7 +546,7 @@ def run_hybrid_db(mode: str, db_path: str, out_path: str, n_native: int,
     if rc:
         print("[Error] hybrid native worker failed", file=sys.stderr)
         return 1
-    merge_shard_dbs(out_path, n_native + 1)
+    merge_shard_dbs(out_path, n_workers + 1)
     return 0
 
 
