@@ -348,3 +348,46 @@ def test_db_decompress_corrupted_entries_skip(tmp_path):
             pass
     assert surviving == expect, (surviving, expect)
     got.close()
+
+
+def test_db_roundtrip_synthetic_lengths_c_loops(tmp_path):
+    """pdb-db -> compress -t2 -> decompress -t2 through the C chunk
+    loops on synthetic proteins of varied lengths; every entry holds the
+    all-atom quantization gate vs its source."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_property_roundtrip import synthesize
+
+    from foldcomp_tpu import cli
+    from foldcomp_tpu.core.exact import rmsd
+    from foldcomp_tpu.io.db import DatabaseWriter
+    from foldcomp_tpu.io.pdb import format_pdb, parse_pdb
+
+    lengths = [24, 61, 150, 333, 702]
+    srcs = {}
+    db = str(tmp_path / "pdb_db")
+    w = DatabaseWriter(db)
+    for i, L in enumerate(lengths * 3):
+        atoms = synthesize(L, seed=L + i)
+        srcs[i] = atoms
+        w.append(format_pdb(atoms, f"s{i}").encode() + b"\x00", i, f"e{i}")
+    w.close()
+
+    fdb = str(tmp_path / "fcz_db")
+    pdb_out = str(tmp_path / "pdb_out")
+    assert cli.main(["compress", "--exact", "-t", "2", "-y", "-d",
+                     db, fdb]) == 0
+    assert cli.main(["decompress", "--exact", "-t", "2", "-y", "-d",
+                     fdb, pdb_out]) == 0
+    got = DatabaseReader(pdb_out, use_lookup=True)
+    assert len(got) == len(srcs)
+    for i in range(len(got)):
+        key = got.get_key(i)
+        dec = parse_pdb(bytes(got.get_data(i)).rstrip(b"\x00"))
+        src = srcs[key]
+        n = min(len(dec), len(src))
+        r = rmsd(src.coords[:n], dec.coords[:n])
+        assert r < 0.2, (key, r)   # quantization-level reconstruction
+    got.close()
