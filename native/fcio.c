@@ -72,6 +72,9 @@ static inline char* put_int_rj(char* p, int64_t v, int width) {
     return p + len;
 }
 
+static inline char* put_ftoa_rj(char* p, float n, int t, int pdigits,
+                                int width);
+
 /* Specialized fast_ftoa for the ATOM-line hot fields: t=1000/P=3 coords
  * in a width-8 slot and t=100/P=2 temp in width-6. Identical digit
  * semantics to put_ftoa_rj below (same float rounding + truncating
@@ -90,6 +93,9 @@ static inline char* put_ftoa_fast(char* p, float n, float t, int pdigits,
         if (decimal < 0) decimal = -decimal;
     }
     unsigned u = (unsigned)integer;
+    if (u > 9999)   /* defensive: 4-digit LUT form only (callers' range
+                       guards make this unreachable for f32 inputs) */
+        return put_ftoa_rj(p, n, (int)t, pdigits, width);
     int ilen = u < 10 ? 1 : (u < 100 ? 2 : (u < 1000 ? 3 : 4));
     int len = neg + ilen + 1 + pdigits;
     for (int i = width - len; i > 0; i--) *p++ = ' ';
