@@ -289,3 +289,12 @@ def test_device_stitch_res_mode_matches_host_stitch(test_pdb_fragment,
         o = off_c[m.res_base:m.res_base + m.n_residue].astype(np.float32)
         recon = ca[:, None, :] + o * np.float32(0.001)
         assert np.nanmax(np.abs(recon - host)) < 6e-4  # 0.5 mm + rounding
+
+
+def test_fast_decode_alt_order_matches_exact(test_af_fcz):
+    """--alt atom ordering through the batched decoder matches the exact
+    decoder's alternative ordering atom-for-atom."""
+    exact = decode_exact(test_af_fcz, use_alt_order=True)
+    fast = decode_fcz_batch([test_af_fcz], use_alt_order=True)[0]
+    assert exact.atom_name == fast.atom_name
+    assert np.abs(exact.coords - fast.coords).max() < 1e-3
