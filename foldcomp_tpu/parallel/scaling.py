@@ -141,6 +141,10 @@ def measure_multiprocess_scaling(proc_counts, n_entries: int = 2000,
         coord = f"127.0.0.1:{free_port()}"
         env = dict(os.environ)
         env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        # cpu-forced workers: the accelerator plugin's sitecustomize
+        # would initialize the (single-client) tunnel in every process
+        # and serialize startup
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         procs = []
         for pid in range(p_count):
             code = _MP_WORKER.format(repo=repo, coord=coord, nproc=p_count,
