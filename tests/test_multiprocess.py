@@ -60,6 +60,9 @@ def _run_workers(n_proc, fn, db, out, extra, timeout=300):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("JAX_COORDINATOR_ADDRESS", None)
+    # cpu-forced workers: the accelerator plugin would serialize startup
+    # through the single-client tunnel (see parallel/scaling.py)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     procs = []
     for pid in range(n_proc):
         code = WORKER.format(repo=REPO, coord=coord, nproc=n_proc, pid=pid,
