@@ -1065,6 +1065,9 @@ class _ScratchPool:
     to the pool in encode_finish, after the kernel outputs exist (which
     guarantees the H2D transfer has consumed them)."""
 
+    _MAX_PER_KEY = 2      # submit/finish pipelining needs at most 2
+    _MAX_KEYS = 16        # distinct (shape, dtype) classes kept alive
+
     def __init__(self):
         self._free = {}
 
@@ -1074,8 +1077,16 @@ class _ScratchPool:
 
     def give(self, *arrays):
         for a in arrays:
-            if a is not None:
-                self._free.setdefault((a.shape, a.dtype.str), []).append(a)
+            if a is None:
+                continue
+            key = (a.shape, a.dtype.str)
+            lst = self._free.setdefault(key, [])
+            if len(lst) < self._MAX_PER_KEY:
+                lst.append(a)
+            if len(self._free) > self._MAX_KEYS:
+                # many distinct batch shapes streamed through: drop the
+                # lot rather than hold every shape class forever
+                self._free = {key: lst}
 
 
 _POOL = _ScratchPool()
