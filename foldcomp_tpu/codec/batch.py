@@ -507,7 +507,11 @@ def decode_fcz_stream(payload_iter, batch_size: int = 128,
                 pad = batch_size - len(batch)
                 batch = batch + [batch[-1]] * pad
                 idxs = idxs + [None] * pad
-            q_packed.put((idxs, batch, pack_decode_batch_seg(batch)))
+            # pack on the worker pool: the producer thread alone packs at
+            # ~3 Mres/s while a fast-link device decodes 20M+ — the
+            # bounded q_packed still applies backpressure on the futures
+            q_packed.put((idxs, batch,
+                          pool.submit(pack_decode_batch_seg, batch)))
 
     def producer():
         window = []
@@ -551,7 +555,8 @@ def decode_fcz_stream(payload_iter, batch_size: int = 128,
         item = q_packed.get()
         if item is None:
             break
-        idxs, fczs, (arrays, metas) = item
+        idxs, fczs, packed = item
+        arrays, metas = packed.result()
         outs = _seg_decode_arrays(arrays, refine_iters)
         fut = xfer.submit(_outs_to_host, outs)
         # format the PREVIOUS batch while this one runs on device
