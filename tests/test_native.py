@@ -185,3 +185,33 @@ print("ok")
                        text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-1000:]
     assert "ok" in r.stdout
+
+
+def test_database_writer_backends_identical(tmp_path):
+    """The native-backed DatabaseWriter and the pure-Python fallback
+    produce byte-identical data/index/lookup/dbtype files (out-of-order
+    keys included: both stable-sort on close)."""
+    from foldcomp_tpu.io import db as db_mod
+
+    entries = [(5, b"five\x00", "e5"), (1, b"one\x00", "e1"),
+               (3, b"three\x00", "e3"), (1, b"one2\x00", "dup")]
+
+    def build(path, force_python):
+        w = db_mod.DatabaseWriter(str(path))
+        if force_python and w._h is not None:
+            # release the native handle and rebuild as pure Python
+            w._lib.fcdb_writer_close(w._h)
+            w._h = None
+            w._data = open(str(path), "wb")
+            w._entries = []
+            w._sorted = True
+        for key, data, name in entries:
+            w.append(data, key, name)
+        w.close()
+
+    build(tmp_path / "nat", force_python=False)
+    build(tmp_path / "py", force_python=True)
+    for suffix in ("", ".index", ".lookup", ".dbtype"):
+        a = (tmp_path / ("nat" + suffix)).read_bytes()
+        b = (tmp_path / ("py" + suffix)).read_bytes()
+        assert a == b, suffix
