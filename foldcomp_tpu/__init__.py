@@ -1,6 +1,6 @@
 """foldcomp_tpu: TPU-native protein structure compression (FCZ-compatible).
 
-A from-scratch JAX/XLA/Pallas framework with the capabilities of the reference
+A from-scratch JAX/XLA framework with the capabilities of the reference
 Foldcomp (steineggerlab/foldcomp): FCZ compress/decompress/extract/check/rmsd
 over files, directories, tars and MMseqs2-style databases, plus a
 foldcomp-compatible Python API, with batched TPU kernels for the compute path.

@@ -6,18 +6,19 @@ all-atom coordinates for the whole batch. Everything between the byte
 streams and the atom14 coordinate tensor runs on device; host code only does
 FCZ parsing and PDB text (codec/batch.py).
 
-Three interchangeable cores produce quantization-identical output and are
-selected per backend by `decode_batch_core` (v5e numbers at B=512 x 276
-residues):
+NeRF core selection (`nerf_impl`, default `assoc` everywhere):
 
-- `_decode_core_lanes` + gather_free=True (TPU default, 2.26M res/s):
-  lanes-last component layout with a gather-free reverse sweep and
-  select-chain side chains; optionally the fused Pallas kernel
-  (FOLDCOMP_TPU_PALLAS=1, 2.33M).
-- `_decode_core_lanes` with real gathers (CPU default — take_along_axis is
-  cheap there, the select/sweep forms cost ~2x on CPU).
-- `_decode_core_vec3` (FOLDCOMP_TPU_VEC3=1, 1.40M): legacy [..., 3]-vector
-  layout kept for comparison runs.
+- `assoc` — log-depth rigid-frame `associative_scan` composition
+  (kernels/nerf_assoc.py). Wins on both backends: TPU B=512 sync decode
+  30.3 ms vs 48.5 ms for the sequential sweep and 32.8 ms for the retired
+  Pallas kernel; CPU 73 ms vs 80 ms. Override with FOLDCOMP_TPU_NERF=xla
+  for comparison runs.
+- `xla` — the 3*SEG-step sequential `lax.scan` sweep (kernels/nerf.py),
+  kept as the parity oracle for tests.
+
+Layout cores (residue-space `_decode_core_lanes`/`_decode_core_vec3` are
+legacy; the production path is segment-space `decode_seg_core` — zero
+device gathers, host window-expansion).
 
 Reference pipeline parity: Foldcomp::decompress (foldcomp.cpp:779-902).
 """
@@ -27,6 +28,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .bitpack import unpack_records
 from .nerf import decode_backbone_segments_c, decode_backbone_segments_vec3
@@ -36,8 +38,8 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 # FixedAngleDiscretizer(255) continuize constants (discretizer.h:89-106)
-_SC_CONT_F = F32(360.0 / 255.0)
-_SC_MIN = F32(-180.0)
+_SC_CONT_F = np.float32(360.0 / 255.0)
+_SC_MIN = np.float32(-180.0)
 
 PRO_CODE = 14
 
@@ -104,9 +106,9 @@ def _decode_core_lanes(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
         (seg_codes == PRO_CODE).reshape(s, seg_w, b),
         (1, 2, 0)).reshape(seg_w, n)
 
-    if nerf_impl == "pallas":
-        from .nerf_pallas import decode_backbone_segments_fused
-        bx, by, bz = decode_backbone_segments_fused(
+    if nerf_impl == "assoc":
+        from .nerf_assoc import decode_backbone_segments_assoc
+        bx, by, bz = decode_backbone_segments_assoc(
             seg_ang, seg_is_pro, anchor_xyz, seg_m.reshape(n),
             refine_iters=refine_iters)               # each [T, N]
     else:
@@ -280,9 +282,9 @@ def decode_seg_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
         axis=1)                                      # [SEG, 6, N]
     seg_is_pro = res_code == PRO_CODE
 
-    if nerf_impl == "pallas":
-        from .nerf_pallas import decode_backbone_segments_fused
-        bx, by, bz = decode_backbone_segments_fused(
+    if nerf_impl == "assoc":
+        from .nerf_assoc import decode_backbone_segments_assoc
+        bx, by, bz = decode_backbone_segments_assoc(
             seg_ang, seg_is_pro, anchor_xyz, seg_m,
             refine_iters=refine_iters)
     else:
@@ -356,12 +358,13 @@ def decode_seg_batch_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
     import jax
 
     backend = jax.default_backend()
+    nerf_impl = os.environ.get("FOLDCOMP_TPU_NERF", "assoc")
     if backend == "cpu":
         return decode_seg_core(seg_records, mins_lane, cont_lane,
                                sc_codes_seg, anchor_xyz, seg_m,
                                refine_iters=refine_iters,
+                               nerf_impl=nerf_impl,
                                gather_free=False)
-    nerf_impl = "pallas" if os.environ.get("FOLDCOMP_TPU_PALLAS") else "xla"
     compact = os.environ.get("FOLDCOMP_TPU_COMPACT", "1") != "0"
     return decode_seg_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
                            anchor_xyz, seg_m, refine_iters=refine_iters,
@@ -385,19 +388,15 @@ def decode_batch_core(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
     import jax
 
     backend = jax.default_backend()
+    nerf_impl = os.environ.get("FOLDCOMP_TPU_NERF", "assoc")
     if backend == "cpu":
         # CPU: component layout with real gathers (take_along_axis is
         # cheap there; the select-chain/sweep forms cost ~2x)
         return _decode_core_lanes(records, mins, cont_fs, sc_codes,
                                   tf_codes, tf_min, tf_cont, anchor_xyz,
                                   seg_start, seg_m, seg_width=seg_width,
-                                  refine_iters=refine_iters)
-    if os.environ.get("FOLDCOMP_TPU_PALLAS"):
-        return _decode_core_lanes(records, mins, cont_fs, sc_codes,
-                                  tf_codes, tf_min, tf_cont, anchor_xyz,
-                                  seg_start, seg_m, seg_width=seg_width,
                                   refine_iters=refine_iters,
-                                  nerf_impl="pallas", gather_free=True)
+                                  nerf_impl=nerf_impl)
     if os.environ.get("FOLDCOMP_TPU_VEC3"):
         # legacy [..., 3]-vector core (1.40M res/s on v5e), kept for
         # comparison runs
@@ -410,5 +409,5 @@ def decode_batch_core(records, mins, cont_fs, sc_codes, tf_codes, tf_min,
     # chains (2.26M res/s on v5e vs 1.40M vec3 / 0.50M gather form)
     return _decode_core_lanes(records, mins, cont_fs, sc_codes, tf_codes,
                               tf_min, tf_cont, anchor_xyz, seg_start, seg_m,
-                              seg_width=seg_width,
+                              seg_width=seg_width, nerf_impl=nerf_impl,
                               refine_iters=refine_iters, gather_free=True)

@@ -30,15 +30,15 @@ from .sidechain import MAX_ATOM, _PRED_IDX
 F32 = jnp.float32
 I32 = jnp.int32
 
-NBIN_PHI_PSI = F32(2 ** 12 - 1)
-NBIN_OMEGA = F32(2 ** 11 - 1)
-NBIN_BOND = F32(2 ** 8 - 1)
-NBIN_TEMP = F32(2 ** 8 - 1)
+NBIN_PHI_PSI = np.float32(2 ** 12 - 1)
+NBIN_OMEGA = np.float32(2 ** 11 - 1)
+NBIN_BOND = np.float32(2 ** 8 - 1)
+NBIN_TEMP = np.float32(2 ** 8 - 1)
 
 # FixedAngleDiscretizer(255) (discretizer.h:89-106), truncating scalar path
-_SC_DISC_F = F32(255.0 / 360.0)
+_SC_DISC_F = np.float32(255.0 / 360.0)
 
-_BIG = F32(3.4e38)
+_BIG = np.float32(3.4e38)
 
 
 def _masked_min_max(v, mask):

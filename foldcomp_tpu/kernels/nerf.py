@@ -36,6 +36,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.aatable import (C_TO_N_DIST, CA_TO_C_DIST, N_TO_CA_DIST,
                             PRO_N_TO_CA_DIST)
@@ -44,10 +45,10 @@ from .geometry import bond_angle_c, place_atom_c
 F32 = jnp.float32
 I32 = jnp.int32
 
-_C_TO_N = F32(C_TO_N_DIST)
-_N_TO_CA = F32(N_TO_CA_DIST)
-_PRO_N_TO_CA = F32(PRO_N_TO_CA_DIST)
-_CA_TO_C = F32(CA_TO_C_DIST)
+_C_TO_N = np.float32(C_TO_N_DIST)
+_N_TO_CA = np.float32(N_TO_CA_DIST)
+_PRO_N_TO_CA = np.float32(PRO_N_TO_CA_DIST)
+_CA_TO_C = np.float32(CA_TO_C_DIST)
 
 
 def _forward_scan_c(seed9, ang, is_pro):

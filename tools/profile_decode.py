@@ -24,8 +24,6 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--pallas", action="store_true",
-                    help="also time the pallas variants")
     ap.add_argument("--skip-stages", action="store_true")
     args = ap.parse_args()
 
@@ -102,8 +100,7 @@ def main():
             nerf_impl=nerf_impl, gather_free=gather_free)
 
     timeit("full_xla_gatherfree", lambda: full())
-    if args.pallas:
-        timeit("full_pallas", lambda: full(nerf_impl="pallas"))
+    timeit("full_assoc", lambda: full(nerf_impl="assoc"))
 
     # ---- segment-space core (zero device gathers) -----------------------
     from foldcomp_tpu.codec.batch import pack_decode_batch_seg
@@ -119,8 +116,7 @@ def main():
             nerf_impl=nerf_impl, gather_free=True)
 
     timeit("seg_full_xla", lambda: seg_full())
-    if args.pallas:
-        timeit("seg_full_pallas", lambda: seg_full("pallas"))
+    timeit("seg_full_assoc", lambda: seg_full("assoc"))
 
     if args.skip_stages:
         return
