@@ -51,13 +51,29 @@ def _load_fcz():
     return encode(_load_fragment()[0])
 
 
-def bench_device_decode(jax, f, batch_size=512, iters=10):
+def _force(out):
+    """Force completion of a device computation.
+
+    jax.block_until_ready does not reliably block through the axon
+    remote-device tunnel (observed returning in ~0.1 ms for a ~30 ms
+    computation), so pull ONE scalar of the output — the D2H of a single
+    element forces the producing executable to finish without paying the
+    full-output transfer."""
+    import jax
+    import numpy as np
+    leaf = jax.tree.leaves(out)[0] if not hasattr(out, "shape") else out
+    while leaf.ndim:
+        leaf = leaf[0]
+    np.asarray(leaf)
+
+
+def bench_device_decode(jax_, f, batch_size=512, iters=10):
     from foldcomp_tpu.codec.batch import pack_decode_batch_seg
     from foldcomp_tpu.kernels.decode import decode_seg_batch_core
 
     arrays, metas = pack_decode_batch_seg([f] * batch_size)
     n_res_total = sum(m.n_residue for m in metas)
-    dev = {k: jax.device_put(v) for k, v in arrays.items()}
+    dev = {k: jax_.device_put(v) for k, v in arrays.items()}
 
     def run():
         return decode_seg_batch_core(
@@ -65,15 +81,56 @@ def bench_device_decode(jax, f, batch_size=512, iters=10):
             dev["sc_codes_seg"], dev["anchor_xyz"], dev["seg_m"],
             refine_iters=2, res_index=dev.get("res_index"))
 
-    jax.block_until_ready(run())
-    jax.block_until_ready(run())
+    _force(run())
+    _force(run())
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(run())
+        _force(run())
     sync = n_res_total * iters / (time.perf_counter() - t0)
     t0 = time.perf_counter()
     outs = [run() for _ in range(iters)]
-    jax.block_until_ready(outs)
+    _force(outs[-1])
+    sustained = n_res_total * iters / (time.perf_counter() - t0)
+    return sync, sustained
+
+
+def bench_device_encode_resident(jax_, frag, batch_size=512, iters=10):
+    """Device-resident full-parity encode kernel rate (inputs staged on
+    device, outputs left on device) — the apples-to-apples twin of
+    bench_device_decode's headline. The pipelined bench_device_encode
+    measures the wire-bound e2e instead."""
+    import numpy as np
+
+    from foldcomp_tpu.codec.batch import (_compact_coord_batch, _round_up,
+                                          fragment_to_tensors)
+    from foldcomp_tpu.kernels.encode import _parity_jit_compact
+
+    a14, rc, tf, meta = fragment_to_tensors(frag)
+    l_pad = _round_up(len(rc), 32)
+    atom14 = np.zeros((batch_size, l_pad, 14, 3), np.float32)
+    res_code = np.zeros((batch_size, l_pad), np.int32)
+    n_res = np.full(batch_size, len(rc), np.int32)
+    atom14[:, :len(rc)] = a14
+    res_code[:, :len(rc)] = rc
+    n_res_total = len(rc) * batch_size
+    base, delta, present = (jax_.device_put(x)
+                            for x in _compact_coord_batch(atom14))
+    rc_d = jax_.device_put(res_code)
+    nr_d = jax_.device_put(n_res)
+
+    def run():
+        return _parity_jit_compact(base, delta, present, rc_d, nr_d,
+                                   parts_eps=0.0)
+
+    _force(run())
+    _force(run())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _force(run())
+    sync = n_res_total * iters / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    outs = [run() for _ in range(iters)]
+    _force(outs[-1])
     sustained = n_res_total * iters / (time.perf_counter() - t0)
     return sync, sustained
 
@@ -142,10 +199,10 @@ def bench_device_decode_mixed(jax, n_entries=512, batch_size=128, iters=5):
             refine_iters=2, res_index=dev.get("res_index"))
 
     for dev in batches:                      # compile + warm all shapes
-        jax.block_until_ready(run(dev))
+        _force(run(dev))
     t0 = time.perf_counter()
     outs = [run(dev) for _ in range(iters) for dev in batches]
-    jax.block_until_ready(outs)
+    _force(outs[-1])
     return n_res * iters / (time.perf_counter() - t0)
 
 
@@ -268,6 +325,7 @@ def main():
     frag, _ = _load_fragment()
     sync, sustained = bench_device_decode(jax, f)
     enc_rate = bench_device_encode(jax, frag)
+    enc_sync, enc_sustained = bench_device_encode_resident(jax, frag)
     mixed_rate = bench_device_decode_mixed(jax)
 
     # e2e on tmpfs: the VM disk writes at 131 MB/s and would floor the
@@ -299,7 +357,9 @@ def main():
         "unit": "residues/s",
         "vs_baseline": round(sustained / base, 3),
         "decode_sync_res_s": round(sync, 1),
-        "encode_device_res_s": round(enc_rate, 1),
+        "encode_device_res_s": round(enc_sustained, 1),
+        "encode_device_sync_res_s": round(enc_sync, 1),
+        "encode_pipelined_res_s": round(enc_rate, 1),
         "decode_mixed_device_res_s": round(mixed_rate, 1),
         "e2e_decompress_db_res_s": round(e2e_dec, 1),
         "e2e_decompress_vs_baseline": round(e2e_dec / base_tmpfs, 3),

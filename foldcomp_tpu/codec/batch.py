@@ -722,6 +722,204 @@ def _exact_sc_t(p0, p1, p2, p3):
     return ((ang + np.float32(180.0)) * _SC_DISC_F).astype(F32)
 
 
+# header stream order (foldcomp.cpp:508-519): bit s of the device flag /
+# candidate bitmaps <-> stream s here. Dihedral streams use 4-atom windows
+# starting at flat backbone row 3*i + off; bond streams 3-atom windows.
+_STREAMS = (
+    ("d", 2, 2 ** 12 - 1),   # phi_i   = tors[3i+2]
+    ("d", 0, 2 ** 12 - 1),   # psi_i   = tors[3i]
+    ("d", 1, 2 ** 11 - 1),   # omega_i = tors[3i+1]
+    ("b", 3, 2 ** 8 - 1),    # n_ca_c_i = angs[3i+3]
+    ("b", 1, 2 ** 8 - 1),    # ca_c_n_i = angs[3i+1]
+    ("b", 2, 2 ** 8 - 1),    # c_n_ca_i = angs[3i+2]
+)
+
+
+def _exact_stream_values(bb, bs, ls, ss):
+    """Exact (reference-bit) stream values for selected rows.
+
+    bb f32 [B, L, 3, 3]; bs/ls/ss: selected (protein, residue, stream)
+    triples. Gathers the 3- or 4-atom windows and finishes with the C op
+    ordering + f64 acos — identical results to the full-stream numpy path
+    (_np_dihedral_parts/_np_bond_parts + _host_dihedral/_host_bond)."""
+    out = np.zeros(len(bs), F32)
+    flat = bb.reshape(bb.shape[0], -1, 3)            # [B, 3L, 3]
+    kinds = np.array([0 if _STREAMS[s][0] == "d" else 1
+                      for s in range(6)])[ss]
+    offs = np.array([_STREAMS[s][1] for s in range(6)])[ss]
+    start = 3 * ls + offs
+    for kind in (0, 1):
+        m = kinds == kind
+        if not m.any():
+            continue
+        sb, st = bs[m], start[m]
+        p = [flat[sb, st + j] for j in range(4 if kind == 0 else 3)]
+        if kind == 0:
+            inner, denom2, det = _np_dihedral_parts_rows(*p)
+            out[m] = _host_dihedral(inner, denom2, det)
+        else:
+            inner, denom2 = _np_bond_parts_rows(*p)
+            out[m] = _host_bond(inner, denom2)
+    return out
+
+
+def _np_dihedral_parts_rows(p0, p1, p2, p3):
+    """_np_dihedral_parts for gathered [M, 3] windows (same op order)."""
+    d1 = (p1 - p0).T
+    d2 = (p2 - p1).T
+    d3 = (p3 - p2).T
+    u1x = d1[1] * d2[2] - d2[1] * d1[2]
+    u1y = d1[2] * d2[0] - d2[2] * d1[0]
+    u1z = d1[0] * d2[1] - d2[0] * d1[1]
+    u2x = d2[1] * d3[2] - d3[1] * d2[2]
+    u2y = d2[2] * d3[0] - d3[2] * d2[0]
+    u2z = d2[0] * d3[1] - d3[0] * d2[1]
+    inner = (u1x * u2x) + (u1y * u2y) + (u1z * u2z)
+    s1 = u1x * u1x + u1y * u1y + u1z * u1z
+    s2 = u2x * u2x + u2y * u2y + u2z * u2z
+    pbx = u2y * d2[2] - d2[1] * u2z
+    pby = u2z * d2[0] - d2[2] * u2x
+    pbz = u2x * d2[1] - d2[0] * u2y
+    det = (u1x * pbx) + (u1y * pby) + (u1z * pbz)
+    return inner, s1 * s2, det
+
+
+def _np_bond_parts_rows(a, b, c):
+    """_np_bond_parts for gathered [M, 3] windows (same op order)."""
+    d1 = (a - b).T
+    d2 = (c - b).T
+    inner = (d1[0] * d2[0]) + (d1[1] * d2[1]) + (d1[2] * d2[2])
+    s1 = d1[0] * d1[0] + d1[1] * d1[1] + d1[2] * d1[2]
+    s2 = d2[0] * d2[0] + d2[1] * d2[1] + d2[2] * d2[2]
+    return inner, s1 * s2
+
+
+def _host_quant_one(v, vmin, disc_f):
+    """Single-value reference discretize (discretizer.cpp:43-53)."""
+    t = ((v - vmin) * disc_f).astype(F32).astype(np.float64) + 0.5
+    t = np.where(np.isnan(t) | (t < 0), 0.0, t)
+    return t.astype(np.uint32)
+
+
+def finish_encode_device(parts, atom14, res_code, tf_ca, res_mask):
+    """Sparse host finishing for the full-device parity encode.
+
+    The device produced every record/sc/tf bin plus rescue metadata
+    (kernels/encode.py encode_parity_core). Host work is O(B + flagged):
+
+    1. exact quantizer extremes: recompute the device-flagged min/max
+       candidate rows with reference-bit math, scatter-min/max into
+       per-(protein, stream) vmin/vmax, derive disc_f/cont_f (the header
+       floats must be exact, so they are ALWAYS host-derived);
+    2. rescue flagged bins: exact value + exact params -> exact code,
+       patched into the device records (unpack/patch/repack of only the
+       affected rows);
+    3. side-chain rescue + tempFactors exactly as finish_encode_host
+       (tf inputs are exact f32s, so its min/max need no candidates).
+
+    Proteins with n_res < 4 route through the full-host path — the
+    degenerate-stream semantics (empty masks, inf ranges) are not worth
+    replicating on device."""
+    atom14 = np.asarray(atom14, F32)
+    bb = atom14[:, :, :3]
+    res_code = np.asarray(res_code)
+    tf_ca = np.asarray(tf_ca, F32)
+    res_mask = np.asarray(res_mask, bool)
+    b, l = res_code.shape
+    n_res = res_mask.sum(axis=1).astype(np.int64)
+
+    small = n_res < 4
+    records = np.asarray(parts["records"], np.uint8).copy()
+    bb_flags = np.asarray(parts["bb_flags"])
+    cand_bits = np.asarray(parts["cand_bits"])
+
+    # 1. exact extremes from the candidate sets
+    vmin = np.full((b, 6), np.inf, F32)
+    vmax = np.full((b, 6), -np.inf, F32)
+    cm = ((cand_bits[:, :, None] >> np.arange(6)) & 1) > 0     # [B, L, 6]
+    cx = ((cand_bits[:, :, None] >> (np.arange(6) + 8)) & 1) > 0
+    anym = cm | cx
+    if anym.any():
+        bs, ls, ss = np.nonzero(anym)
+        vals = _exact_stream_values(bb, bs, ls, ss)
+        sel_min = cm[bs, ls, ss]
+        np.minimum.at(vmin, (bs[sel_min], ss[sel_min]), vals[sel_min])
+        sel_max = cx[bs, ls, ss]
+        np.maximum.at(vmax, (bs[sel_max], ss[sel_max]), vals[sel_max])
+    nbins = np.array([s[2] for s in _STREAMS], F32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rng = (vmax - vmin).astype(F32)
+        disc_f = (nbins[None, :] / rng).astype(F32)
+        cont_f = (rng / nbins[None, :]).astype(F32)
+
+    # 2. rescue flagged bins into the records
+    fl = ((bb_flags[:, :, None] >> np.arange(6)) & 1) > 0      # [B, L, 6]
+    # only rows the serializer emits matter (i < n_res - 1)
+    fl &= (np.arange(l)[None, :, None] < (n_res[:, None, None] - 1))
+    fl &= ~small[:, None, None]
+    if fl.any():
+        from .fcz import pack_records as _pack_np
+        from .fcz import unpack_records as _unpack_np
+        bs, ls, ss = np.nonzero(fl)
+        vals = _exact_stream_values(bb, bs, ls, ss)
+        q_new = _host_quant_one(vals, vmin[bs, ss], disc_f[bs, ss])
+        rows = np.unique(bs * l + ls)
+        rb, rl = rows // l, rows % l
+        # unpack order == stream-index order shifted by the residue field
+        fields = list(_unpack_np(records[rb, rl]))
+        pos = np.searchsorted(rows, bs * l + ls)
+        for s in range(6):
+            m = ss == s
+            if m.any():
+                fields[1 + s][pos[m]] = q_new[m]
+        records[rb, rl] = _pack_np(*fields)
+
+    # 3. side-chain rescue + tempFactors (same as finish_encode_host)
+    sc_q = _rescue_sc(parts, atom14, res_code, res_mask)
+    tf_q, tf_min, tf_cont = _host_quant_round(tf_ca.T, res_mask.T,
+                                              2 ** 8 - 1)
+    tf_q = np.where(res_mask, tf_q.T, 0).astype(np.uint8)
+
+    out = dict(records=records, sc_q=sc_q, tf_q=tf_q, mins=vmin,
+               cont_fs=cont_f, tf_min=tf_min, tf_cont=tf_cont)
+
+    if small.any():
+        idx = np.nonzero(small)[0]
+        sub = finish_encode_host(
+            dict(sc_q=sc_q[idx], sc_flag_bits=np.zeros((len(idx), l),
+                                                       np.uint16)),
+            atom14[idx], res_code[idx], tf_ca[idx], res_mask[idx])
+        out["records"][idx] = sub["records"]
+        out["mins"][idx] = sub["mins"]
+        out["cont_fs"][idx] = sub["cont_fs"]
+    return out
+
+
+def _rescue_sc(parts, atom14, res_code, res_mask):
+    """Flagged side-chain code rescue (shared with finish_encode_host)."""
+    q = np.asarray(parts["sc_q"], np.uint8).copy()   # [B, L, 11]
+    fb = np.asarray(parts["sc_flag_bits"])           # u16 [B, L]
+    flagged = ((fb[:, :, None] >> np.arange(11)) & 1) > 0
+    counts = np.where(res_code < NUM_AA, N_SC_TORSION[res_code], 0)
+    emitted = (np.arange(q.shape[2])[None, None, :]
+               < counts[:, :, None]) & res_mask[:, :, None]
+    flagged &= emitted
+    if flagged.any():
+        from ..core.aatable import PRED_IDX
+        bs, ls, ks = np.nonzero(flagged)
+        codes = np.clip(res_code[bs, ls], 0, 23)
+        preds = np.asarray(PRED_IDX)[codes, ks + 3]
+        p0 = atom14[bs, ls, preds[:, 0]]
+        p1 = atom14[bs, ls, preds[:, 1]]
+        p2 = atom14[bs, ls, preds[:, 2]]
+        p3 = atom14[bs, ls, ks + 3]
+        t_new = _exact_sc_t(p0, p1, p2, p3)
+        t_new = np.where(np.isnan(t_new) | (t_new < 0),
+                         np.float32(0.0), t_new)
+        q[bs, ls, ks] = t_new.astype(np.uint32).astype(np.uint8)
+    return q
+
+
 def finish_encode_host(sc_parts, atom14, res_code, tf_ca, res_mask):
     """Host half of the bit-parity batched encode.
 
@@ -783,32 +981,8 @@ def finish_encode_host(sc_parts, atom14, res_code, tf_ca, res_mask):
     # within ulp-tolerance of a truncation boundary plus all NaN-guard
     # outputs (kernels/encode.py encode_sc_q_core). Unflagged bins cannot
     # differ from the exact path; flagged ones (~1e-3 of values) are
-    # recomputed here with the exact f32 parts + f64 acos — bit parity.
-    q = np.asarray(sc_parts["sc_q"], np.uint8).copy()   # [B, L, 11]
-    fb = np.asarray(sc_parts["sc_flag_bits"])           # u16 [B, L]
-    flagged = ((fb[:, :, None] >> np.arange(11)) & 1) > 0
-    # only slots the serializer will emit need bit-parity rescue: slot k
-    # of residue r matters iff k < n_sc_torsion(residue r) and the
-    # residue is real — unused slots see degenerate zero geometry, hit
-    # the NaN guard, and would otherwise all be flagged (57% of slots)
-    counts = np.where(res_code < NUM_AA, N_SC_TORSION[res_code], 0)
-    emitted = (np.arange(q.shape[2])[None, None, :]
-               < counts[:, :, None]) & res_mask[:, :, None]
-    flagged &= emitted
-    if flagged.any():
-        from ..core.aatable import PRED_IDX
-        bs, ls, ks = np.nonzero(flagged)          # batch, residue, slot-3
-        codes = np.clip(res_code[bs, ls], 0, 23)
-        preds = np.asarray(PRED_IDX)[codes, ks + 3]    # [M, 3]
-        p0 = atom14[bs, ls, preds[:, 0]]
-        p1 = atom14[bs, ls, preds[:, 1]]
-        p2 = atom14[bs, ls, preds[:, 2]]
-        p3 = atom14[bs, ls, ks + 3]
-        t_new = _exact_sc_t(p0, p1, p2, p3)
-        t_new = np.where(np.isnan(t_new) | (t_new < 0),
-                         np.float32(0.0), t_new)
-        q[bs, ls, ks] = t_new.astype(np.uint32).astype(np.uint8)
-    sc_q = q
+    # recomputed in _rescue_sc with the exact f32 parts + f64 acos.
+    sc_q = _rescue_sc(sc_parts, atom14, res_code, res_mask)
 
     # tempFactors: per-protein rounding quantizer (foldcomp.cpp:543-550)
     tf_q, tf_min, tf_cont = _host_quant_round(tf_ca.T, res_mask.T,
@@ -1153,7 +1327,11 @@ def encode_submit(frag_tensors, frag_meta, anchor_threshold: int = 25,
     quantization kernel WITHOUT blocking. Returns an opaque handle for
     encode_finish; callers may submit the next batch before finishing
     the previous one so host finishing overlaps device transfers."""
-    from ..kernels.encode import (encode_sc_q_core,
+    import os
+
+    from ..kernels.encode import (encode_parity_core,
+                                  encode_parity_core_compact,
+                                  encode_sc_q_core,
                                   encode_sc_q_core_compact)
 
     live = [(i, t) for i, t in enumerate(frag_tensors) if t is not None]
@@ -1166,25 +1344,40 @@ def encode_submit(frag_tensors, frag_meta, anchor_threshold: int = 25,
     res_code = np.zeros((b, l_pad), I32)
     tf_ca = np.zeros((b, l_pad), F32)
     res_mask = np.zeros((b, l_pad), bool)
+    n_res = np.zeros(b, I32)
     for k, (_, (a14, rc, tf)) in enumerate(live):
         m = a14.shape[0]
         atom14[k, :m] = a14
         res_code[k, :m] = rc
         tf_ca[k, :m] = tf
         res_mask[k, :m] = True
+        n_res[k] = m
+    # full-device parity encode (backbone records + side chains + rescue
+    # metadata) unless FOLDCOMP_TPU_ENC=host keeps the backbone streams
+    # on host (round-2 behavior, kept for A/B)
+    device_bb = os.environ.get("FOLDCOMP_TPU_ENC", "device") != "host"
     compact = _compact_coord_batch(atom14)
-    if compact is not None:
+    if device_bb:
+        if compact is not None:
+            parts = encode_parity_core_compact(*compact, res_code, n_res)
+            delta_buf = compact[1]
+        else:
+            parts = encode_parity_core(atom14, res_code, n_res)
+            delta_buf = None
+    elif compact is not None:
         sc_q, flag_bits = encode_sc_q_core_compact(*compact, res_code)
+        parts = dict(sc_q=sc_q, sc_flag_bits=flag_bits)
         delta_buf = compact[1]
     else:
         sc_q, flag_bits = encode_sc_q_core(atom14, res_code)
+        parts = dict(sc_q=sc_q, sc_flag_bits=flag_bits)
         delta_buf = None
     # copy frag_meta: callers may clear/reuse their list while the
     # handle is in flight (the live tensors are captured pairwise above)
     return dict(n=len(frag_tensors), live=live, frag_meta=list(frag_meta),
                 anchor_threshold=anchor_threshold, atom14=atom14,
                 res_code=res_code, tf_ca=tf_ca, res_mask=res_mask,
-                sc_q=sc_q, flag_bits=flag_bits, delta_buf=delta_buf)
+                parts=parts, device_bb=device_bb, delta_buf=delta_buf)
 
 
 def encode_finish(handle):
@@ -1196,10 +1389,11 @@ def encode_finish(handle):
     frag_meta = handle["frag_meta"]
     anchor_threshold = handle["anchor_threshold"]
     atom14, res_code = handle["atom14"], handle["res_code"]
-    out = finish_encode_host(
-        dict(sc_q=np.asarray(handle["sc_q"]),
-             sc_flag_bits=np.asarray(handle["flag_bits"])),
-        atom14, res_code, handle["tf_ca"], handle["res_mask"])
+    parts = {k: np.asarray(v) for k, v in handle["parts"].items()}
+    finish = finish_encode_device if handle["device_bb"] \
+        else finish_encode_host
+    out = finish(parts, atom14, res_code, handle["tf_ca"],
+                 handle["res_mask"])
     # the device outputs are materialized, so the H2D transfer consumed
     # the pooled input buffers: recycle them for the next submit (pop so
     # a double-finish cannot hand the same buffer out twice)
