@@ -70,6 +70,11 @@ def parse_pdb(text, default_title: str = "") -> AtomArray:
                 bf.append(float(line[60:66]))
             except (ValueError, IndexError):
                 bf.append(0.0)
+        elif rec == "ENDMDL" and atom_name:
+            # first model only: the reference concatenates every model
+            # and crashes downstream (structure_reader.cpp:47-60);
+            # first-model-only is the pinned deterministic behavior
+            break
         elif rec == "TITLE " and len(line) > 10:
             title_parts.append(line[10:].rstrip())
         elif rec == "HEADER":

@@ -433,7 +433,11 @@ static inline float parse_float_field(const char* s, int len) {
     return (float)(sign * (v + frac / scale));
 }
 
-/* Count ATOM/HETATM records (pass 1). */
+/* Count ATOM/HETATM records (pass 1). Stops at the first ENDMDL so a
+ * multi-model (NMR) file contributes only its first model — the
+ * reference concatenates all models and then crashes downstream
+ * (structure_reader.cpp:47-60); first-model-only is the pinned,
+ * deterministic behavior (tests/test_wild_structures.py). */
 int64_t fcio_count_atoms(const char* text, int64_t len) {
     int64_t count = 0;
     const char* p = text;
@@ -444,6 +448,8 @@ int64_t fcio_count_atoms(const char* text, int64_t len) {
         if (ll >= 54 && (memcmp(p, "ATOM  ", 6) == 0 ||
                          memcmp(p, "HETATM", 6) == 0))
             count++;
+        else if (count > 0 && ll >= 6 && memcmp(p, "ENDMDL", 6) == 0)
+            break;
         p = nl ? nl + 1 : end;
     }
     return count;
@@ -478,6 +484,8 @@ int64_t fcio_parse_pdb(const char* text, int64_t len, int32_t* atom_index,
             occ[n] = ll >= 60 ? parse_float_field(p + 54, 6) : 1.0f;
             temp[n] = ll >= 66 ? parse_float_field(p + 60, 6) : 0.0f;
             n++;
+        } else if (n > 0 && ll >= 6 && memcmp(p, "ENDMDL", 6) == 0) {
+            break;   /* first model only (see fcio_count_atoms) */
         } else if (ll > 62 && memcmp(p, "HEADER", 6) == 0) {
             int32_t m = (int32_t)(ll - 62 < 4 ? ll - 62 : 4);
             int32_t s = 0, e = m;

@@ -12,7 +12,7 @@ from foldcomp_tpu.codec.batch import decode_fcz_batch, encode_fragment_batch
 from foldcomp_tpu.codec.decoder import decode, place_atom
 from foldcomp_tpu.codec.encoder import encode
 from foldcomp_tpu.core.aatable import (AA_DATA, C_TO_N_DIST, CA_TO_C_DIST,
-                                       N_TO_CA_DIST)
+                                       N_TO_CA_DIST, PRO_N_TO_CA_DIST)
 from foldcomp_tpu.core.codes import THREE_LETTER
 from foldcomp_tpu.core.exact import rmsd
 from foldcomp_tpu.io.structure import AtomArray
@@ -21,9 +21,7 @@ from foldcomp_tpu.io.structure import AtomArray
 def synthesize(n_res: int, seed: int) -> AtomArray:
     """Random single-chain all-atom protein with realistic geometry."""
     rng = np.random.default_rng(seed)
-    codes = rng.integers(0, 20, n_res)
-    # avoid PRO for simplicity of backbone bond lengths
-    codes[codes == 14] = 7
+    codes = rng.integers(0, 20, n_res)   # all 20, proline included
     phi = rng.uniform(-160, -40, n_res)
     psi = rng.uniform(-60, 170, n_res)
     omega = rng.normal(179.0, 2.0, n_res)
@@ -37,8 +35,10 @@ def synthesize(n_res: int, seed: int) -> AtomArray:
                          111.0, -60.0))
     for i in range(n_res - 1):
         a, b, c = bb[-3], bb[-2], bb[-1]
+        # residue i+1's N-CA bond: proline is shorter (nerf.h:37-43)
+        n_ca = PRO_N_TO_CA_DIST if codes[i + 1] == 14 else N_TO_CA_DIST
         n_xyz = place_atom(a, b, c, C_TO_N_DIST, ca_c_n[i], psi[i])
-        ca_xyz = place_atom(b, c, n_xyz, N_TO_CA_DIST, c_n_ca[i], omega[i])
+        ca_xyz = place_atom(b, c, n_xyz, n_ca, c_n_ca[i], omega[i])
         c_xyz = place_atom(c, n_xyz, ca_xyz, CA_TO_C_DIST, n_ca_c[i],
                            phi[i])
         bb.extend([n_xyz, ca_xyz, c_xyz])
@@ -99,5 +99,7 @@ def test_fast_matches_exact_synthetic(seed):
 
     f_fast = encode_fragment_batch([atoms])[0]
     assert f_fast.n_sc_torsion == f_exact.n_sc_torsion
-    rec_eq = (f_fast.records == f_exact.records).mean()
-    assert rec_eq > 0.9, rec_eq
+    # the device encode is BYTE-parity since the full-device rescue
+    # scheme (kernels/encode.py encode_parity_core)
+    assert np.array_equal(f_fast.records, f_exact.records)
+    assert np.array_equal(f_fast.sc_codes, f_exact.sc_codes)
