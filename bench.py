@@ -67,7 +67,59 @@ def _force(out):
     np.asarray(leaf)
 
 
+def bench_device_bandwidth(jax_, mib=256, passes=64, iters=3, trials=3):
+    """Measured on-device memory stream bandwidth: `passes` elementwise
+    multiplies over a `mib`-MiB f32 array inside ONE jitted dispatch,
+    separated by optimization_barrier so each pass materializes to HBM
+    (one read + one write per element per pass — XLA would otherwise fuse
+    the chain into a single kernel). Chaining amortizes the per-dispatch
+    graph-launch latency (~ms through the axon tunnel) that would
+    otherwise dominate a single 0.3 ms copy. This is the empirical
+    roofline denominator — chip-achievable, not datasheet."""
+    import numpy as np
+    from jax import lax
+    n = mib * (1 << 20) // 4
+
+    def body(a):
+        for _ in range(passes):
+            a = lax.optimization_barrier(a * np.float32(1.0000001))
+        return a
+
+    x = jax_.device_put(np.ones(n, np.float32))
+    f = jax_.jit(body)
+    _force(f(x))
+    _force(f(x))
+    best = 0.0
+    for _ in range(trials):        # best-of: tunnel swing is ~2x
+        t0 = time.perf_counter()
+        outs = [f(x) for _ in range(iters)]
+        _force(outs[-1])
+        best = max(best, 2.0 * x.nbytes * passes * iters
+                   / (time.perf_counter() - t0))
+    return best
+
+
+def _scan_depth_levels(t, chunk=8):
+    """Dependent levels of the chunked associative NeRF scan for a
+    3*SEG-element sweep (kernels/nerf_assoc.py _scan_chunked)."""
+    d = 1
+    while t > chunk:
+        t = -(-t // chunk)
+        d += 1
+    return d
+
+
 def bench_device_decode(jax_, f, batch_size=512, iters=10):
+    """Returns (sync res/s, sustained res/s, roofline dict).
+
+    The roofline models the decode's UNAVOIDABLE memory traffic: every
+    kernel input read once from HBM + every output written once (no
+    intermediates — the true speed-of-light for this I/O signature).
+    pct_roofline = sustained rate / (measured copy BW / bytes-per-residue).
+    Intermediates, scan levels and gather inefficiency all show up as the
+    gap below 100%, so regressions are visible without a profiler."""
+    import numpy as np
+
     from foldcomp_tpu.codec.batch import pack_decode_batch_seg
     from foldcomp_tpu.kernels.decode import decode_seg_batch_core
 
@@ -81,7 +133,11 @@ def bench_device_decode(jax_, f, batch_size=512, iters=10):
             dev["sc_codes_seg"], dev["anchor_xyz"], dev["seg_m"],
             refine_iters=2, res_index=dev.get("res_index"))
 
-    _force(run())
+    out = run()
+    _force(out)
+    in_bytes = sum(np.asarray(v).nbytes for v in arrays.values()
+                   if v is not None)
+    out_bytes = sum(l.nbytes for l in jax_.tree.leaves(out))
     _force(run())
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -91,7 +147,18 @@ def bench_device_decode(jax_, f, batch_size=512, iters=10):
     outs = [run() for _ in range(iters)]
     _force(outs[-1])
     sustained = n_res_total * iters / (time.perf_counter() - t0)
-    return sync, sustained
+
+    bw = bench_device_bandwidth(jax_)
+    bytes_per_res = (in_bytes + out_bytes) / n_res_total
+    rate_ub = bw / bytes_per_res          # res/s if only-I/O-bound
+    roofline = {
+        "device_copy_bw_gb_s": round(bw / 1e9, 1),
+        "decode_io_bytes_per_res": round(bytes_per_res, 1),
+        "pct_roofline": round(100.0 * sustained / rate_ub, 1),
+        "scan_depth_levels": _scan_depth_levels(
+            3 * arrays["seg_records"].shape[0]),
+    }
+    return sync, sustained, roofline
 
 
 def bench_device_encode_resident(jax_, frag, batch_size=512, iters=10):
@@ -323,7 +390,7 @@ def main():
 
     f = _load_fcz()
     frag, _ = _load_fragment()
-    sync, sustained = bench_device_decode(jax, f)
+    sync, sustained, roofline = bench_device_decode(jax, f)
     enc_rate = bench_device_encode(jax, frag)
     enc_sync, enc_sustained = bench_device_encode_resident(jax, frag)
     mixed_rate = bench_device_decode_mixed(jax)
@@ -367,7 +434,8 @@ def main():
         "e2e_compress_vs_baseline": round(e2e_comp / base_c_tmpfs, 3),
         "e2e_fast_decompress_db_res_s": round(fast_dec, 1),
         "e2e_fast_compress_db_res_s": round(fast_comp, 1),
-        "e2e_cold_first_run_s": [round(cold_d, 1), round(cold_c, 1)],
+        "cold_compile_s": [round(cold_d, 1), round(cold_c, 1)],
+        **roofline,
         "e2e_native_decompress_res_s": round(nat_dec, 1),
         "e2e_native_decompress_vs_baseline": round(nat_dec / base_tmpfs, 3),
         "e2e_native_compress_res_s": round(nat_comp, 1),
