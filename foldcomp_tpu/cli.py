@@ -638,7 +638,7 @@ def run_compress(opts: Options, entries, output: str, single: bool):
                                     else "." + parts[1])
                 sink.write(base_name(out_name), blob)
         if opts.measure_time:
-            print(f"{name}\t{time.perf_counter() - t0:.6f}", file=sys.stderr)
+            print(f"{name}\t{time.perf_counter() - t0:.6f}")
         return True
 
     if opts.threads > 1:
@@ -705,7 +705,7 @@ def _run_decompress_fast(opts: Options, entries, sink, sink_kind,
         if opts.measure_time and n_done % FAST_BATCH == 0:
             now = time.perf_counter()
             print(f"batch[{n_done - FAST_BATCH}:{n_done}]\t"
-                  f"{now - t_last:.6f}", file=sys.stderr)
+                  f"{now - t_last:.6f}")
             t_last = now
     sink.close()
     return 0
@@ -872,7 +872,7 @@ def run_decompress(opts: Options, entries, output: str, single: bool):
         else:
             sink.write(parts[0] + ".pdb", payload)
         if opts.measure_time:
-            print(f"{name}\t{time.perf_counter() - t0:.6f}", file=sys.stderr)
+            print(f"{name}\t{time.perf_counter() - t0:.6f}")
         return True
 
     if opts.threads > 1:
