@@ -11,6 +11,9 @@
  *   fctest roundtrip <pdb>         parse PDB -> encode -> decode
  *   fctest db <dbdata> <dbindex>   decode every entry of an MMseqs2 db
  *   fctest badindex <dbdata>       corrupt .index offsets must be rejected
+ *   fctest tchunks <db> <idx> [T] [R]  T threads x R rounds of the
+ *       flock'd chunk-claim decode loop (the hybrid scheduler's
+ *       thread-worker pattern) — built with -fsanitize=thread too
  *
  * Built by tests/test_sanitizer.py with
  *   -fsanitize=address,undefined -fno-sanitize-recover=all
@@ -238,6 +241,126 @@ static int cmd_ranges(const char* data, const char* index) {
     return 0;
 }
 
+#include <pthread.h>
+#include <stdatomic.h>
+#include <sys/file.h>
+
+/* --- tchunks: the production thread-worker concurrency under TSan ---
+ *
+ * Mirrors parallel/hybrid.py exactly: N threads, each with its OWN
+ * reader+writer handle, claiming entry chunks from a shared flock'd
+ * two-pointer control file (ChunkController wire format: two LE int64s,
+ * front ascending / back descending) and running the GIL-free
+ * fcz_db_decode_range chunk loop. Shared state between threads is the
+ * read-only mmap, the control file, and one atomic result counter —
+ * any unsynchronized mutation inside fcio/fccodec shows up as a TSan
+ * report (built with -fsanitize=thread by tests/test_sanitizer.py). */
+
+typedef struct {
+    const char* data;
+    const char* index;
+    const char* ctrl;
+    int64_t n_entries;
+    int64_t chunk_entries;
+    int wid;
+    int back;              /* claim from the back pointer (device-stream
+                              role) instead of the front */
+    atomic_llong* total;
+    int rc;
+} tchunk_arg;
+
+static int64_t ctrl_claim(const char* path, int back) {
+    int fd = open(path, O_RDWR);
+    if (fd < 0) return -2;
+    if (flock(fd, LOCK_EX) != 0) { close(fd); return -2; }
+    int64_t ptrs[2];
+    int64_t got = -1;
+    if (pread(fd, ptrs, 16, 0) == 16 && ptrs[0] < ptrs[1]) {
+        if (back) got = --ptrs[1];
+        else      got = ptrs[0]++;
+        if (pwrite(fd, ptrs, 16, 0) != 16) got = -2;
+    }
+    flock(fd, LOCK_UN);
+    close(fd);
+    return got;
+}
+
+static void* tchunk_main(void* p) {
+    tchunk_arg* a = (tchunk_arg*)p;
+    void* reader = fcdb_reader_open(a->data, a->index, 1);
+    if (!reader) { a->rc = 2; return NULL; }
+    char shard[256];
+    snprintf(shard, sizeof shard, "/tmp/fctest_tchunk_%d_XXXXXX", a->wid);
+    int fd = mkstemp(shard);
+    if (fd < 0) { fcdb_reader_close(reader); a->rc = 2; return NULL; }
+    close(fd);
+    void* writer = fcdb_writer_open(shard);
+    if (!writer) { fcdb_reader_close(reader); a->rc = 2; return NULL; }
+    int64_t c;
+    while ((c = ctrl_claim(a->ctrl, a->back)) >= 0) {
+        int64_t start = c * a->chunk_entries;
+        int64_t stop = start + a->chunk_entries;
+        if (stop > a->n_entries) stop = a->n_entries;
+        int64_t r = fcz_db_decode_range(reader, writer, start, stop, NULL,
+                                        0);
+        if (r < 0) { a->rc = 3; break; }
+        atomic_fetch_add(a->total, (long long)r);
+    }
+    if (c == -2) a->rc = 2;
+    fcdb_writer_close(writer);
+    fcdb_reader_close(reader);
+    unlink(shard);
+    char aux[300];
+    snprintf(aux, sizeof aux, "%s.index", shard); unlink(aux);
+    snprintf(aux, sizeof aux, "%s.dbtype", shard); unlink(aux);
+    snprintf(aux, sizeof aux, "%s.lookup", shard); unlink(aux);
+    return NULL;
+}
+
+static int cmd_tchunks(const char* data, const char* index, int n_threads,
+                       int rounds) {
+    void* h = fcdb_reader_open(data, index, 0);
+    if (!h) { fprintf(stderr, "cannot open db\n"); return 2; }
+    int64_t n = fcdb_reader_size(h);
+    fcdb_reader_close(h);
+    const int64_t chunk_entries = 2;
+    int64_t n_chunks = (n + chunk_entries - 1) / chunk_entries;
+    for (int round = 0; round < rounds; round++) {
+        char ctrl[] = "/tmp/fctest_ctrl_XXXXXX";
+        int fd = mkstemp(ctrl);
+        if (fd < 0) return 2;
+        int64_t ptrs[2] = {0, n_chunks};
+        if (write(fd, ptrs, 16) != 16) return 2;
+        close(fd);
+
+        atomic_llong total = 0;
+        pthread_t tids[64];
+        tchunk_arg args[64];
+        if (n_threads > 64) n_threads = 64;
+        for (int t = 0; t < n_threads; t++) {
+            args[t] = (tchunk_arg){data, index, ctrl, n, chunk_entries, t,
+                                   t == n_threads - 1, &total, 0};
+            pthread_create(&tids[t], NULL, tchunk_main, &args[t]);
+        }
+        int rc = 0;
+        for (int t = 0; t < n_threads; t++) {
+            pthread_join(tids[t], NULL);
+            if (args[t].rc) rc = args[t].rc;
+        }
+        unlink(ctrl);
+        if (rc) return rc;
+        /* every entry decoded exactly once: double-claims or lost
+         * chunks both break the count */
+        if ((int64_t)atomic_load(&total) != n) {
+            fprintf(stderr, "round %d: decoded %lld of %lld entries\n",
+                    round, (long long)atomic_load(&total), (long long)n);
+            return 3;
+        }
+    }
+    printf("tchunks ok %d threads x %d rounds\n", n_threads, rounds);
+    return 0;
+}
+
 static int cmd_badindex(const char* data) {
     /* write an index whose offsets/lengths run outside the data file; every
      * lookup must be rejected, not read out of bounds */
@@ -270,7 +393,7 @@ static int cmd_badindex(const char* data) {
 int main(int argc, char** argv) {
     if (argc < 3) {
         fprintf(stderr,
-                "usage: fctest decode|fuzz|roundtrip|db|badindex ...\n");
+                "usage: fctest decode|fuzz|roundtrip|db|badindex|ranges|tchunks ...\n");
         return 2;
     }
     if (strcmp(argv[1], "decode") == 0) {
@@ -290,6 +413,10 @@ int main(int argc, char** argv) {
         return cmd_badindex(argv[2]);
     if (strcmp(argv[1], "ranges") == 0 && argc > 3)
         return cmd_ranges(argv[2], argv[3]);
+    if (strcmp(argv[1], "tchunks") == 0 && argc > 3)
+        return cmd_tchunks(argv[2], argv[3],
+                           argc > 4 ? atoi(argv[4]) : 4,
+                           argc > 5 ? atoi(argv[5]) : 3);
     fprintf(stderr, "unknown mode\n");
     return 2;
 }
