@@ -321,10 +321,13 @@ def _gather_a14(outs_np, m):
     sl = slice(m.res_base, m.res_base + m.n_residue)
     if isinstance(outs_np, tuple):
         off, ca = outs_np
-        if off.ndim == 3:            # residue space: [R, 14, 3], [R, 3]
-            return np.ascontiguousarray(
-                ca[sl][:, None, :] + off[sl].astype(F32)
-                * np.float32(0.001))
+        if off.ndim == 3:            # residue space, PLANAR: [3, 14, R]
+            # reconstruct + transpose to [n, 14, 3] in one materializing
+            # pass (the kernel keeps R in the TPU lane dimension; see
+            # kernels/decode.py res_index+compact)
+            a = ca[:, None, sl] + off[:, :, sl].astype(F32) \
+                * np.float32(0.001)
+            return np.ascontiguousarray(np.transpose(a, (2, 1, 0)))
         o = off[m.lane_of, m.rec_of].astype(F32)
         c = ca[m.lane_of, m.rec_of]
         return np.ascontiguousarray(c[:, None, :] + o * np.float32(0.001))

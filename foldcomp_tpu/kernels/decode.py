@@ -312,23 +312,31 @@ def decode_seg_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
         sx, sy, sz = place_sidechains_c(rx, ry, rz, res_code, sc_torsions,
                                         gather_free=sc_impl == "select")
 
+    if res_index is not None and compact:
+        # Residue-space stitch ON DEVICE, PLANAR form: gather each
+        # component plane [14, SEG*N] along its LANE axis and keep the
+        # [3, 14, R] layout on the wire. The earlier [R, 14, 3] form paid
+        # ~1.8 ms/dispatch at B=512 for the stack(axis=-1)+transpose that
+        # put a 3-wide axis in the 128-lane minor dimension; planar keeps
+        # R in lanes end-to-end (6.4 -> 5.7 ms measured, bit-identical).
+        # D2H ships ONLY real residues either way; the host reconstruct
+        # transposes once per protein while materializing f32 coords
+        # (codec/batch.py _gather_a14).
+        seg_pad = seg
+        planar_idx = (res_index % seg_pad) * n + res_index // seg_pad
+        sel = [jnp.take(s.reshape(14, seg_pad * n), planar_idx, axis=1)
+               for s in (sx, sy, sz)]                # 3 x [14, R]
+        ca = jnp.stack([s[1] for s in sel], axis=0)  # [3, R]
+        off = jnp.stack(sel, axis=0) - ca[:, None, :]
+        off = jnp.clip(jnp.round(off * F32(1000.0)), -32767.0,
+                       32767.0).astype(jnp.int16)
+        return off, ca                               # [3,14,R], [3,R]
+
     atom14 = jnp.stack([sx, sy, sz], axis=-1)        # [14, SEG, N, 3]
     atom14 = jnp.transpose(atom14, (2, 1, 0, 3))     # [N, SEG, 14, 3]
     if res_index is not None:
-        # Residue-space stitch ON DEVICE: one row gather on the major
-        # axis (friendly on TPU — 0.05 ms at B=512; only per-lane minor-
-        # axis gathers are pathological, PROFILE.md). D2H then ships ONLY
-        # real residues: on mixed-length corpora the padded segment space
-        # is 2-8x larger than the residue space, and the transfer is the
-        # e2e bound on starved links. The host 'stitch' fancy-index
-        # becomes a contiguous slice per protein.
-        sel = jnp.take(atom14.reshape(-1, 14, 3), res_index, axis=0)
-        if not compact:
-            return sel                               # [R, 14, 3]
-        ca = sel[:, 1]
-        off = (sel - ca[:, None, :]) * F32(1000.0)
-        off = jnp.clip(jnp.round(off), -32767.0, 32767.0).astype(jnp.int16)
-        return off, ca                               # [R,14,3], [R,3]
+        # non-compact residue-space debug form (FOLDCOMP_TPU_COMPACT=0)
+        return jnp.take(atom14.reshape(-1, 14, 3), res_index, axis=0)
     if not compact:
         return atom14
     # Compact D2H form: CA in f32 + per-atom int16 millangstrom offsets

@@ -166,8 +166,8 @@ jax.distributed.initialize(coordinator_address={coord!r},
                            num_processes={nproc}, process_id={pid})
 from foldcomp_tpu.parallel.dist import decompress_db_shard
 t0 = time.perf_counter()
-n = decompress_db_shard({db!r}, {out!r}, jax.process_index(),
-                        jax.process_count(), batch_size=64, fast={fast})
+n = decompress_db_shard({db!r}, {out!r}, {shard_id}, {n_shards},
+                        batch_size=64, fast={fast})
 dt = time.perf_counter() - t0
 print("SHARD", n, f"{{dt:.6f}}")
 jax.distributed.shutdown()
@@ -189,28 +189,45 @@ def measure_multiprocess_scaling(proc_counts, n_entries: int = 2000,
 
     Measurement hygiene (the r2 artifact showed ±40% swings and
     superlinear points — VERDICT r2 'what's missing' #3):
+    - EQUAL WINDOWS: the db is sharded max(proc_counts) ways and a
+      P-process run launches only shards 0..P-1, so every process does
+      the SAME work at every count and every measurement exposes the
+      same wall-clock window to shared-VM steal. (Fixed-total-work
+      sharding made the 1-process wall 8x longer than the 8-process
+      one; on a steal-heavy VM the long windows always caught noise and
+      produced both superlinear and 0.3x artifacts.)
     - pin=True pins worker p of a P-process run to core p % ncores via
       sched_setaffinity, so P<=ncores runs are one-core-per-process and
       turbo/steal migration noise can't masquerade as scaling;
     - trials are INTERLEAVED across process counts (all counts measured
       once per sweep, `trials` sweeps) so page-cache warmth and slow VM
       phases hit every count equally, after one unmeasured warmup run;
-    - the summary is the MEDIAN with IQR, not best-of.
+    - the summary is the MEDIAN with IQR (peak_res_s kept as a
+      secondary), not best-of.
 
-    Returns {"per_count": {P: {"median_res_s", "iqr_res_s", "trials",
-    "linearity", "per_core_eff"}}, "n_cores", "total_residues"}.
-    linearity = median_P / (P * median_1); per_core_eff divides by the
-    number of distinct CORES actually used (= min(P, ncores)), the honest
-    denominator once P oversubscribes the host.
+    Returns {"per_count": {P: {"median_res_s", "iqr_res_s", "peak_res_s",
+    "trials", "linearity", "per_core_eff"}}, "n_cores",
+    "total_residues"}. linearity = median_P / (P * median_1);
+    per_core_eff divides by the number of distinct CORES actually used
+    (= min(P, ncores)), the honest denominator once P oversubscribes
+    the host.
     """
     import os
+    import shutil
     import socket
     import statistics
     import subprocess
     import sys
     import tempfile
 
-    workdir = workdir or tempfile.mkdtemp(prefix="fc_scale_")
+    # tmpfs by default: at 100k mixed entries each decompress writes a
+    # multi-GB PDB shard set, and a ~130 MB/s VM disk would put a serial
+    # write floor under every process count, masking the CPU scaling
+    # being measured (same rationale as bench.py's /dev/shm e2e runs)
+    own_workdir = workdir is None
+    if own_workdir:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        workdir = tempfile.mkdtemp(prefix="fc_scale_", dir=base)
     db = os.path.join(workdir, "syn_db")
     total_res = build_synthetic_db(db, n_entries, mixed=mixed)
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
@@ -223,6 +240,8 @@ def measure_multiprocess_scaling(proc_counts, n_entries: int = 2000,
         port = s.getsockname()[1]
         s.close()
         return port
+
+    n_shards = max(proc_counts)
 
     def run_once(p_count):
         out = os.path.join(workdir, f"out_p{p_count}")
@@ -237,8 +256,9 @@ def measure_multiprocess_scaling(proc_counts, n_entries: int = 2000,
         for pid in range(p_count):
             cores = [pid % n_cores] if pin else None
             code = _MP_WORKER.format(repo=repo, coord=coord, nproc=p_count,
-                                     pid=pid, db=db, out=out, fast=fast,
-                                     cores=cores)
+                                     pid=pid, shard_id=pid,
+                                     n_shards=n_shards, db=db, out=out,
+                                     fast=fast, cores=cores)
             procs.append(subprocess.Popen(
                 [sys.executable, "-c", code], stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE, text=True, env=env))
@@ -250,13 +270,22 @@ def measure_multiprocess_scaling(proc_counts, n_entries: int = 2000,
             line = [ln for ln in out_s.splitlines()
                     if ln.startswith("SHARD")][0]
             walls.append(float(line.split()[2]))
-        return max(walls)
+        # drop the output shards right away: on tmpfs they are RAM
+        for f in os.listdir(workdir):
+            if f.startswith(f"out_p{p_count}"):
+                path = os.path.join(workdir, f)
+                (shutil.rmtree if os.path.isdir(path)
+                 else os.unlink)(path)
+        # shards are equal entry counts of a shuffled mixed pool, so
+        # residues split evenly to ~0.5%; the run covers p/n_shards of
+        # the corpus
+        return total_res * (p_count / n_shards) / max(walls)
 
     run_once(max(proc_counts))            # warmup: page cache, pyc, jit
     samples = {p: [] for p in proc_counts}
     for _ in range(trials):
         for p_count in proc_counts:      # interleaved sweeps
-            samples[p_count].append(total_res / run_once(p_count))
+            samples[p_count].append(run_once(p_count))
 
     def iqr(xs):
         qs = statistics.quantiles(xs, n=4) if len(xs) >= 2 else [0, 0, 0]
@@ -269,10 +298,13 @@ def measure_multiprocess_scaling(proc_counts, n_entries: int = 2000,
         per_count[p] = {
             "median_res_s": round(med[p], 1),
             "iqr_res_s": round(iqr(samples[p]), 1),
+            "peak_res_s": round(max(samples[p]), 1),
             "trials": [round(x, 1) for x in samples[p]],
             "linearity": round(med[p] / (p * base), 3),
             "per_core_eff": round(med[p] / (min(p, n_cores) * base), 3),
         }
+    if own_workdir:
+        shutil.rmtree(workdir, ignore_errors=True)
     return {"per_count": per_count, "n_cores": n_cores,
             "total_residues": total_res, "n_entries": n_entries,
             "mixed": mixed, "pinned": pin, "trials": trials}

@@ -285,9 +285,11 @@ def test_device_stitch_res_mode_matches_host_stitch(test_pdb_fragment,
         host = seg.reshape(-1, 14, 3)[m.lane_of * seg_pad + m.rec_of]
         dev = res[m.res_base:m.res_base + m.n_residue]
         np.testing.assert_array_equal(host, dev)
-        ca = ca_c[m.res_base:m.res_base + m.n_residue]
-        o = off_c[m.res_base:m.res_base + m.n_residue].astype(np.float32)
-        recon = ca[:, None, :] + o * np.float32(0.001)
+        sl = slice(m.res_base, m.res_base + m.n_residue)
+        ca = ca_c[:, sl]                        # planar [3, n]
+        o = off_c[:, :, sl].astype(np.float32)  # planar [3, 14, n]
+        recon = np.transpose(ca[:, None, :] + o * np.float32(0.001),
+                             (2, 1, 0))
         assert np.nanmax(np.abs(recon - host)) < 6e-4  # 0.5 mm + rounding
 
 
