@@ -6,12 +6,39 @@ so the batched paths degrade to CPU instead of crashing.
 """
 from __future__ import annotations
 
+import os
 import sys
+
+CACHE_DIR = os.environ.get("FOLDCOMP_TPU_JAX_CACHE",
+                           os.path.join(os.path.expanduser("~"), ".cache",
+                                        "foldcomp_tpu_jax"))
+
+
+def enable_persistent_cache() -> None:
+    """Point JAX's persistent compilation cache at a stable location.
+
+    First-touch cost of the batched paths is the jit compile (~20-40 s
+    for the standard decode/encode shapes). On runtimes that support the
+    persistent cache (local TPU/CPU PJRT), a fresh CLI process reuses
+    the compiled executables, so only the first invocation EVER pays it
+    (`foldcomp_tpu warmup` pre-pays it explicitly). Remote-compile
+    services that bypass the cache (the axon tunnel) just ignore it.
+    Disable with FOLDCOMP_TPU_JAX_CACHE=0."""
+    if CACHE_DIR in ("0", ""):
+        return
+    import jax
+    try:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — older jax or read-only home
+        pass
 
 
 def ensure_backend() -> str:
     """Return the active platform name, falling back to CPU if needed."""
     import jax
+    enable_persistent_cache()
     try:
         return jax.devices()[0].platform
     except RuntimeError as e:

@@ -111,3 +111,19 @@ def test_check_mode():
     r = run_cli("check", str(fczf))
     assert r.returncode == 0
     assert "[Error]" not in r.stderr
+
+
+def test_warmup_subcommand(tmp_path, monkeypatch, ref_test_dir):
+    """`warmup <dir>` pre-compiles one decode + one encode batch and
+    reports timings (FAST_BATCH shrunk so the CPU compile stays small;
+    the real batch size only changes shapes, not code paths)."""
+    import foldcomp_tpu.cli as cli
+
+    d = tmp_path / "mix"
+    d.mkdir()
+    (d / "test.pdb").write_bytes((ref_test_dir / "test.pdb").read_bytes())
+    (d / "test_af.fcz").write_bytes(
+        (ref_test_dir / "test_af.fcz").read_bytes())
+    monkeypatch.setattr(cli, "FAST_BATCH", 4)
+    rc = cli.main(["warmup", str(d)])
+    assert rc == 0
