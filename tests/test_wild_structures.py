@@ -323,3 +323,96 @@ def test_wild_roundtrip_no_reference(tmp_path):
             assert de.atom_name == df.atom_name, case
             d = np.abs(np.asarray(de.coords) - np.asarray(df.coords))
             assert d.max() < 0.02, (case, d.max())
+
+
+# ---- bulk differential corpus: hundreds of cases, two CLI calls --------
+
+_MUTATORS = [
+    lambda t, rng: t,
+    _with_hydrogens,
+    lambda t, rng: _with_inscode(t, str(int(rng.integers(2, 9)))),
+    lambda t, rng: _with_model_wrapper(t),
+    lambda t, rng: _with_shifted_resseq(t, int(rng.integers(-300, 300))),
+    lambda t, rng: _without_atom(t, rng.choice(["CG", "CB", "OG", "CD"])),
+    lambda t, rng: _with_garbage(t),
+]
+
+
+def _bulk_case(seed):
+    rng = np.random.default_rng(seed)
+    n_res = int(rng.choice([2, 3, 5, 9, 17, 33, 64, 120, 260]))
+    text = format_pdb(synthesize(n_res, seed), "wild")
+    mut = _MUTATORS[seed % len(_MUTATORS)]
+    try:
+        return mut(text, rng)
+    except TypeError:
+        return mut(text)
+
+
+@needs_ref
+def test_bulk_differential_pdb_corpus(tmp_path):
+    """A few hundred seeded wild PDBs through BOTH tools in one batch
+    compress + one batch decompress each (VERDICT r2 #4 scale ask):
+    the tools must produce the same SET of outputs (same skips) and
+    byte-identical bytes for every produced entry."""
+    src = tmp_path / "src"
+    src.mkdir()
+    n_cases = 210
+    for seed in range(n_cases):
+        (src / f"c{seed:03d}.pdb").write_text(_bulk_case(seed))
+
+    ours_fcz = tmp_path / "O_fcz"
+    ref_fcz = tmp_path / "R_fcz"
+    r = run_ref("compress", "-y", str(src), str(ref_fcz))
+    assert r.returncode == 0, r.stderr[-500:]
+    o = run_cli("compress", "-y", str(src), str(ours_fcz))
+    assert o.returncode == 0, o.stderr[-500:]
+
+    ref_names = sorted(p.name for p in ref_fcz.iterdir())
+    our_names = sorted(p.name for p in ours_fcz.iterdir())
+    assert our_names == ref_names
+    assert len(ref_names) >= n_cases * 0.9  # the corpus mostly parses
+    mismatched = [name for name in ref_names
+                  if not equal_with_padding_mask(
+                      (ours_fcz / name).read_bytes(),
+                      (ref_fcz / name).read_bytes())]
+    assert not mismatched, mismatched[:10]
+
+    ours_pdb = tmp_path / "O_pdb"
+    ref_pdb = tmp_path / "R_pdb"
+    r = run_ref("decompress", "-y", str(ref_fcz), str(ref_pdb))
+    assert r.returncode == 0, r.stderr[-500:]
+    o = run_cli("decompress", "-y", str(ours_fcz), str(ours_pdb))
+    assert o.returncode == 0, o.stderr[-500:]
+    ref_names = sorted(p.name for p in ref_pdb.iterdir())
+    assert sorted(p.name for p in ours_pdb.iterdir()) == ref_names
+    diff = [name for name in ref_names
+            if (ours_pdb / name).read_bytes() !=
+            (ref_pdb / name).read_bytes()]
+    assert not diff, diff[:10]
+
+
+@needs_ref
+def test_bulk_differential_mmcif_corpus(tmp_path):
+    """~50 seeded wild mmCIFs (same generator, CIF route) through both
+    tools in one batch compress each; same-set + byte-parity gates."""
+    src = tmp_path / "src"
+    src.mkdir()
+    for seed in range(300, 350):
+        (src / f"m{seed}.cif").write_text(
+            _as_mmcif(_bulk_case(seed), block=f"W{seed}"))
+
+    ours_fcz = tmp_path / "O_fcz"
+    ref_fcz = tmp_path / "R_fcz"
+    r = run_ref("compress", "-y", str(src), str(ref_fcz))
+    assert r.returncode == 0, r.stderr[-500:]
+    o = run_cli("compress", "-y", str(src), str(ours_fcz))
+    assert o.returncode == 0, o.stderr[-500:]
+    ref_names = sorted(p.name for p in ref_fcz.iterdir())
+    assert sorted(p.name for p in ours_fcz.iterdir()) == ref_names
+    assert len(ref_names) >= 45
+    mismatched = [name for name in ref_names
+                  if not equal_with_padding_mask(
+                      (ours_fcz / name).read_bytes(),
+                      (ref_fcz / name).read_bytes())]
+    assert not mismatched, mismatched[:10]
