@@ -156,3 +156,29 @@ def test_cif_multiline_title():
     atoms = parse_cif(text, "x")
     assert atoms.title == "a long title text"
     assert len(atoms) == 1
+
+
+def test_cif_gz_golden_rmsd_gate(tmp_path):
+    """The reference harness's SECOND golden gate (build.sh:35-38):
+    compress test.cif.gz, decompress -a, all-atom RMSD vs the cif must
+    be 0.130284±0.001. (The test.pdb 0.0826751 twin lives in
+    test_cli.py.)"""
+    import subprocess
+
+    src = require_fixture("test.cif.gz")
+
+    def run_cli(*args):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        return subprocess.run([sys.executable, "-m", "foldcomp_tpu",
+                               *args], capture_output=True, text=True,
+                              env=env)
+    fcz_p = tmp_path / "compressed_cif.fcz"
+    pdb_p = tmp_path / "decompressed_cif.pdb"
+    assert run_cli("compress", "-y", str(src), str(fcz_p)).returncode == 0
+    assert run_cli("decompress", "-y", "-a", str(fcz_p),
+                   str(pdb_p)).returncode == 0
+    r = run_cli("rmsd", str(src), str(pdb_p))
+    assert r.returncode == 0, r.stderr
+    rmsd_all = float(r.stdout.split("\t")[5])
+    assert abs(rmsd_all - 0.130284) < 0.001, r.stdout
