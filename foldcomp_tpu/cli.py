@@ -1200,6 +1200,9 @@ def main(argv=None) -> int:
         return run_rmsd(pos[1], pos[2])
 
     if mode == "warmup":
+        if not os.path.exists(pos[1]) and not is_database(pos[1]):
+            print(f"[Error] {pos[1]} does not exist.", file=sys.stderr)
+            return 1
         return run_warmup(pos[1])
 
     if mode == "subdb":

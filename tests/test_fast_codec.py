@@ -300,3 +300,36 @@ def test_fast_decode_alt_order_matches_exact(test_af_fcz):
     fast = decode_fcz_batch([test_af_fcz], use_alt_order=True)[0]
     assert exact.atom_name == fast.atom_name
     assert np.abs(exact.coords - fast.coords).max() < 1e-3
+
+
+def test_gather_a14_planar_compact_branch(test_pdb_fragment, test_af_fcz):
+    """codec/batch._gather_a14 on the PLANAR compact wire ([3,14,R] i16 +
+    [3,R] f32 — what the accelerator res_index path ships): per-protein
+    reconstruction must match the seg-space host stitch to the compact
+    form's 0.5 mm quantization."""
+    from foldcomp_tpu.codec.batch import (_gather_a14,
+                                          pack_decode_batch_seg)
+    from foldcomp_tpu.kernels.decode import decode_seg_core
+
+    f_long = encode_exact(test_pdb_fragment)
+    batch = [test_af_fcz, f_long, test_af_fcz]
+    arrays, metas = pack_decode_batch_seg(batch)
+    kw = dict(refine_iters=2, nerf_impl="xla", gather_free=True,
+              sc_impl="onehot")
+    seg = np.asarray(decode_seg_core(
+        arrays["seg_records"], arrays["mins_lane"], arrays["cont_lane"],
+        arrays["sc_codes_seg"], arrays["anchor_xyz"], arrays["seg_m"],
+        **kw))
+    off, ca = decode_seg_core(
+        arrays["seg_records"], arrays["mins_lane"], arrays["cont_lane"],
+        arrays["sc_codes_seg"], arrays["anchor_xyz"], arrays["seg_m"],
+        res_index=arrays["res_index"], compact=True, **kw)
+    outs_np = (np.asarray(off), np.asarray(ca))
+    assert outs_np[0].ndim == 3 and outs_np[0].shape[0] == 3
+    seg_pad = seg.shape[1]
+    for m in metas:
+        host = seg.reshape(-1, 14, 3)[m.lane_of * seg_pad + m.rec_of]
+        got = _gather_a14(outs_np, m)
+        assert got.shape == host.shape
+        assert got.flags["C_CONTIGUOUS"]
+        assert np.nanmax(np.abs(got - host)) < 6e-4
