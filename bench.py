@@ -85,18 +85,22 @@ def bench_device_bandwidth(jax_, mib=256, passes=64, iters=3, trials=3):
             a = lax.optimization_barrier(a * np.float32(1.0000001))
         return a
 
+    import statistics
     x = jax_.device_put(np.ones(n, np.float32))
     f = jax_.jit(body)
     _force(f(x))
     _force(f(x))
-    best = 0.0
-    for _ in range(trials):        # best-of: tunnel swing is ~2x
+    vals = []
+    for _ in range(trials):        # tunnel swing is ~2x trial to trial
         t0 = time.perf_counter()
         outs = [f(x) for _ in range(iters)]
         _force(outs[-1])
-        best = max(best, 2.0 * x.nbytes * passes * iters
-                   / (time.perf_counter() - t0))
-    return best
+        vals.append(2.0 * x.nbytes * passes * iters
+                    / (time.perf_counter() - t0))
+    # (best, median): best for the headline denominator's upper bound,
+    # median for the round-over-round-stable pct_roofline (ADVICE r3:
+    # best-over-best ratios swing with the drifting dispatch floor)
+    return max(vals), statistics.median(vals)
 
 
 def _scan_depth_levels(t, chunk=8):
@@ -146,21 +150,28 @@ def bench_device_decode(jax_, f, batch_size=512, iters=10):
     # best-of-3 sustained groups: the tunnel's per-dispatch launch floor
     # drifts 1.3-2.9 ms between phases (PROFILE.md round 3), which would
     # otherwise dominate round-to-round headline jitter
-    sustained = 0.0
+    import statistics
+    sus_vals = []
     for _ in range(3):
         t0 = time.perf_counter()
         outs = [run() for _ in range(iters)]
         _force(outs[-1])
-        sustained = max(sustained,
-                        n_res_total * iters / (time.perf_counter() - t0))
+        sus_vals.append(n_res_total * iters / (time.perf_counter() - t0))
+    sustained = max(sus_vals)
+    sustained_med = statistics.median(sus_vals)
 
-    bw = bench_device_bandwidth(jax_)
+    bw_best, bw_med = bench_device_bandwidth(jax_)
     bytes_per_res = (in_bytes + out_bytes) / n_res_total
-    rate_ub = bw / bytes_per_res          # res/s if only-I/O-bound
+    # pct_roofline from MEDIANS of both quantities (ADVICE r3): a
+    # best/best ratio taken at different moments of the drifting tunnel
+    # floor swings round-to-round while looking like a kernel change
     roofline = {
-        "device_copy_bw_gb_s": round(bw / 1e9, 1),
+        "device_copy_bw_gb_s": round(bw_best / 1e9, 1),
+        "device_copy_bw_med_gb_s": round(bw_med / 1e9, 1),
+        "decode_sustained_med_res_s": round(sustained_med, 1),
         "decode_io_bytes_per_res": round(bytes_per_res, 1),
-        "pct_roofline": round(100.0 * sustained / rate_ub, 1),
+        "pct_roofline": round(100.0 * sustained_med * bytes_per_res
+                              / bw_med, 2),
         "scan_depth_levels": _scan_depth_levels(
             3 * arrays["seg_records"].shape[0]),
     }

@@ -653,7 +653,12 @@ def _host_quant_round(v, mask, nbin):
         cont_f = (rng / np.float32(nbin)).astype(F32)
         t = ((v - vmin[None, :]) * disc_f[None, :]).astype(F32) \
             .astype(np.float64) + 0.5
-    t = np.where(np.isnan(t) | (t < 0), 0.0, t)
+    # NaN: rng=0 constant-stream parity (discretizer.cpp UB cast -> 0 on
+    # x86, see exact.Discretizer.discretize). inf: only on MASKED padded
+    # positions (v outside [vmin, vmax] can't happen for real lanes);
+    # zero them so the u32 cast is warning-clean — masked codes are never
+    # read downstream (VERDICT r3 #8)
+    t = np.where(~np.isfinite(t) | (t < 0), 0.0, t)
     return t.astype(np.uint32), vmin, cont_f
 
 

@@ -146,16 +146,22 @@ class Discretizer:
     def discretize(self, values) -> np.ndarray:
         """Vector path: uint32(f64(f32((v - min) * disc_f)) + 0.5), truncated."""
         v = np.asarray(values, dtype=F32)
-        t = (v - self.min) * self.disc_f  # f32
+        # NaN here is REFERENCE PARITY, not a bug: a constant stream has
+        # rng=0 -> disc_f=inf (discretizer.cpp:36-41), and (v-min)=0 gives
+        # 0*inf=NaN, which the C++ UB-for-NaN u32 cast lands on 0 via x86
+        # cvttsd2si; errstate keeps the suite warning-clean so a NEW NaN
+        # source can't hide in expected noise (VERDICT r3 #8)
+        with np.errstate(invalid="ignore"):
+            t = (v - self.min) * self.disc_f  # f32
         t64 = t.astype(F64) + 0.5
-        # UB-for-NaN in C++ lands on 0 via x86 cvttsd2si truncation to u32
         t64 = np.where(np.isnan(t64), 0.0, t64)
         return np.floor(t64).astype(np.int64).astype(np.uint32)
 
     def discretize_trunc(self, values) -> np.ndarray:
         """Scalar path (used for side chains): truncate the raw f32 product."""
         v = np.asarray(values, dtype=F32)
-        t = (v - self.min) * self.disc_f  # f32
+        with np.errstate(invalid="ignore"):  # same rng=0 parity as above
+            t = (v - self.min) * self.disc_f  # f32
         t = np.where(np.isnan(t), F32(0.0), t)
         return t.astype(np.int64).astype(np.uint32)
 

@@ -91,12 +91,18 @@ def _mixed_variants(blobs, seed: int = 0):
             variants.append(atoms.slice(0, int(bounds[k])))
         if i % 4 == 0:  # a long tail: 3x tiled chain
             reps = []
+            # offset reps by the residue-NUMBERING span, not the residue
+            # count: sources with numbering gaps (span > n_res) would
+            # otherwise overlap/reverse indices across reps and quietly
+            # fall back, thinning the intended long tail
+            span = (int(atoms.residue_index.max())
+                    - int(atoms.residue_index.min()) + 2)
             for r in range(3):
                 shift = np.asarray([80.0 * r, 0, 0], np.float32)
                 reps.append(AtomArray(
                     list(atoms.atom_name), list(atoms.residue_name),
                     list(atoms.chain), atoms.atom_index.copy(),
-                    atoms.residue_index + r * (n_res + 1),
+                    atoms.residue_index + r * span,
                     atoms.coords + shift, atoms.occupancy.copy(),
                     atoms.temp_factor.copy(), atoms.title))
             tiled = AtomArray(
@@ -232,7 +238,11 @@ def measure_multiprocess_scaling(proc_counts, n_entries: int = 2000,
     total_res = build_synthetic_db(db, n_entries, mixed=mixed)
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    n_cores = len(os.sched_getaffinity(0))
+    # pin to cores from the ACTUAL affinity mask — under a cgroup/CI mask
+    # like {2,5,7}, core IDs are not contiguous 0..n-1 and pinning to
+    # [pid % n] would land outside the allowed set and kill the worker
+    avail_cores = sorted(os.sched_getaffinity(0))
+    n_cores = len(avail_cores)
 
     def free_port():
         s = socket.socket()
@@ -254,7 +264,7 @@ def measure_multiprocess_scaling(proc_counts, n_entries: int = 2000,
         env.pop("PALLAS_AXON_POOL_IPS", None)
         procs = []
         for pid in range(p_count):
-            cores = [pid % n_cores] if pin else None
+            cores = [avail_cores[pid % n_cores]] if pin else None
             code = _MP_WORKER.format(repo=repo, coord=coord, nproc=p_count,
                                      pid=pid, shard_id=pid,
                                      n_shards=n_shards, db=db, out=out,
@@ -267,9 +277,13 @@ def measure_multiprocess_scaling(proc_counts, n_entries: int = 2000,
             out_s, err_s = pr.communicate(timeout=900)
             if pr.returncode != 0:
                 raise RuntimeError(f"worker failed: {err_s[-2000:]}")
-            line = [ln for ln in out_s.splitlines()
-                    if ln.startswith("SHARD")][0]
-            walls.append(float(line.split()[2]))
+            lines = [ln for ln in out_s.splitlines()
+                     if ln.startswith("SHARD")]
+            if not lines:
+                raise RuntimeError(
+                    "worker exited 0 without a SHARD line; stdout="
+                    f"{out_s[-500:]!r} stderr={err_s[-2000:]!r}")
+            walls.append(float(lines[0].split()[2]))
         # drop the output shards right away: on tmpfs they are RAM
         for f in os.listdir(workdir):
             if f.startswith(f"out_p{p_count}"):

@@ -275,7 +275,10 @@ static int64_t ctrl_claim(const char* path, int back) {
     if (flock(fd, LOCK_EX) != 0) { close(fd); return -2; }
     int64_t ptrs[2];
     int64_t got = -1;
-    if (pread(fd, ptrs, 16, 0) == 16 && ptrs[0] < ptrs[1]) {
+    if (pread(fd, ptrs, 16, 0) != 16) {
+        got = -2;               /* read error != drained: report, don't
+                                   silently end the claim loop */
+    } else if (ptrs[0] < ptrs[1]) {
         if (back) got = --ptrs[1];
         else      got = ptrs[0]++;
         if (pwrite(fd, ptrs, 16, 0) != 16) got = -2;

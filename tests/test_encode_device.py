@@ -14,6 +14,11 @@ import pytest
 
 from test_property_roundtrip import synthesize
 
+# the parity path must stay RuntimeWarning-clean: the intentional
+# NaN-through-quantizer reference-parity sites are wrapped in np.errstate
+# (core/exact.py, codec/batch.py), so any warning here is a NEW NaN source
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
+
 from foldcomp_tpu.codec import fcz
 from foldcomp_tpu.codec.batch import (encode_fragment_batch,
                                       encode_tensor_batch,
