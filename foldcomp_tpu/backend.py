@@ -36,13 +36,29 @@ def enable_persistent_cache() -> None:
 
 
 def ensure_backend() -> str:
-    """Return the active platform name, falling back to CPU if needed."""
+    """Return the active platform name, falling back to CPU if needed.
+
+    A plugin-pinned JAX_PLATFORMS value (e.g. "axon") can name a backend
+    that never registered in THIS process — observed when the plugin's
+    sitecustomize registration is cwd-dependent — while a real
+    accelerator platform (e.g. "tpu") is available under its own name.
+    Retry with auto-selection before surrendering to CPU, so the CLI's
+    device paths reach the accelerator from any working directory."""
     import jax
     enable_persistent_cache()
     try:
         return jax.devices()[0].platform
-    except RuntimeError as e:
-        print(f"[Warning] accelerator backend unavailable ({e}); "
-              "falling back to CPU", file=sys.stderr)
-        jax.config.update("jax_platforms", "cpu")
-        return jax.devices()[0].platform
+    except RuntimeError as first_err:
+        try:
+            jax.config.update("jax_platforms", "")
+            plat = jax.devices()[0].platform
+            if plat != "cpu":
+                print(f"[Info] configured backend unavailable "
+                      f"({first_err}); auto-selected '{plat}'",
+                      file=sys.stderr)
+            return plat
+        except RuntimeError as e:
+            print(f"[Warning] accelerator backend unavailable ({e}); "
+                  "falling back to CPU", file=sys.stderr)
+            jax.config.update("jax_platforms", "cpu")
+            return jax.devices()[0].platform

@@ -723,7 +723,14 @@ import sys, time
 import numpy as np
 try:
     import jax
-    backend = jax.default_backend()
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        # a plugin-pinned JAX_PLATFORMS can name a backend that never
+        # registered in this process while a real accelerator exists
+        # under its own name (see foldcomp_tpu.backend.ensure_backend)
+        jax.config.update("jax_platforms", "")
+        backend = jax.default_backend()
 except Exception:
     backend = "cpu"
 if backend == "cpu":

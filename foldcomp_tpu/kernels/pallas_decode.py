@@ -1,0 +1,452 @@
+"""Fused Pallas decode: the whole per-lane pipeline in VMEM.
+
+Round-3 profiling concluded the B=512 decode was "kernel-efficiency
+bound"; round-4 cost analysis (tools/exp_cost.py) showed it is actually
+BANDWIDTH-bound on its own intermediates: XLA's compiled executable
+models 4.4-49 GB of HBM "bytes accessed" per dispatch (30-43 KB per
+residue vs the ~125 B minimal I/O), and the modeled traffic time matches
+the observed walls almost exactly. The ~286 fusions of the XLA pipeline
+each round-trip [T, N] arrays through HBM.
+
+This module keeps everything between the dequantized angle streams and
+the compact int16 output in VMEM, so the only HBM traffic is the true
+input/output of the decode (~0.7 KB/residue):
+
+- kernel 1 `tails`  — forward NeRF scan from the anchor seeds, emitting
+  only the blended 3-atom tail per lane ([9, N]); the refine reseed
+  (foldcomp.cpp:849-857: segment s is re-seeded by segment s-1's blended
+  tail) needs a cross-lane shift, done in XLA between the kernels.
+- kernel 2 `backbone` — forward scan from the refined seeds + the
+  reverse (C->N) sweep + positional blend (reconstructBackboneReverse,
+  foldcomp.cpp:248-273 / weightedAverage, atom_coordinate.cpp:145-163),
+  emitting blended backbone rows [T, N].
+- kernel 3 `sidechain` — per-residue side-chain placement over the AA
+  dependency graph (reconstructAminoAcid, nerf.cpp:106-160) with the
+  chemistry tables baked in as static where-chains, plus the compact
+  int16 milli-angstrom conversion.
+
+All three run inside ONE jit (one dispatch); XLA keeps only the record
+unpack/dequant prologue, the tiny seeds2 middle, and the res_index
+gather epilogue. Lanes are blocked [rows, G, 128] so each sequential
+step operates on full (G, 128) tiles.
+
+The math is operation-for-operation the gather-free XLA core
+(kernels/nerf.py `_forward_scan_c` / `_blend_pass_sweep`,
+kernels/sidechain.py `place_sidechains_c`), so the result stays inside
+the reference RMSD gates (build.sh:34-38).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.aatable import BOND_ANG, BOND_LEN, MAX_ATOM, PRED_IDX
+from .bitpack import unpack_records
+from .geometry import place_atom_c
+from .nerf import _C_TO_N, _CA_TO_C, _N_TO_CA, _PRO_N_TO_CA, _comp9
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+_PRED = np.asarray(PRED_IDX, np.int32)    # [24, 14, 3]
+_BLEN = np.asarray(BOND_LEN, np.float32)  # [24, 14]
+_BANG = np.asarray(BOND_ANG, np.float32)  # [24, 14]
+
+_SC_CONT_F = np.float32(360.0 / 255.0)
+_SC_MIN = np.float32(-180.0)
+PRO_CODE = 14
+
+# lane-group sizes: G sublane-groups x 128 lanes per grid step (the
+# Mosaic block constraint requires sublane dims divisible by 8)
+_G_BB = 8
+_G_SC = 8
+_LANE_PAD = 128 * max(_G_BB, _G_SC)
+
+
+def _bond_angle_cs(ax, ay, az, bx, by, bz, cx, cy, cz):
+    """(cos, sin) of the 3-point angle at b.
+
+    Mosaic has no acos lowering; the only consumer of the reverse pass's
+    bond angle is place_atom's cos/sin of it, so the acos -> cos round
+    trip (a ~1 ulp identity) is skipped entirely. The angle is in
+    [0, 180] so sin >= 0."""
+    d1x, d1y, d1z = ax - bx, ay - by, az - bz
+    d2x, d2y, d2z = cx - bx, cy - by, cz - bz
+    inner = d1x * d2x + d1y * d2y + d1z * d2z
+    s1 = d1x * d1x + d1y * d1y + d1z * d1z
+    s2 = d2x * d2x + d2y * d2y + d2z * d2z
+    cos_t = inner / jnp.sqrt(jnp.maximum(s1 * s2, F32(1e-30)))
+    cos_t = jnp.clip(cos_t, -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(F32(1.0) - cos_t * cos_t, F32(0.0)))
+    return cos_t, sin_t
+
+
+_RADK = np.float32(np.pi / 180.0)
+
+
+def _place_atom_cs(ax, ay, az, bx, by, bz, cx, cy, cz,
+                   bond_length, cos_ba, sin_ba, torsion_deg):
+    """place_atom_c with the bond angle given as (cos, sin)."""
+    abx, aby, abz = bx - ax, by - ay, bz - az
+    bcx, bcy, bcz = cx - bx, cy - by, cz - bz
+    inv_bc = jax.lax.rsqrt(jnp.maximum(bcx * bcx + bcy * bcy + bcz * bcz,
+                                       F32(1e-30)))
+    bcnx, bcny, bcnz = bcx * inv_bc, bcy * inv_bc, bcz * inv_bc
+    ta = torsion_deg * _RADK
+    dx = -bond_length * cos_ba
+    dy = bond_length * jnp.cos(ta) * sin_ba
+    dz = bond_length * jnp.sin(ta) * sin_ba
+    nx = aby * bcnz - bcny * abz
+    ny = abz * bcnx - bcnz * abx
+    nz = abx * bcny - bcnx * aby
+    inv_n = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                      F32(1e-30)))
+    nx, ny, nz = nx * inv_n, ny * inv_n, nz * inv_n
+    mx = ny * bcnz - bcny * nz
+    my = nz * bcnx - bcnz * nx
+    mz = nx * bcny - bcnx * ny
+    ox = bcnx * dx + mx * dy + nx * dz + cx
+    oy = bcny * dx + my * dy + ny * dz + cy
+    oz = bcnz * dx + mz * dy + nz * dz + cz
+    return ox, oy, oz
+
+
+def _spec(rows, g):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    return pl.BlockSpec((rows, g, 128), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_scan_into(ang6_ref, blca_ref, seed, fx_ref, fy_ref, fz_ref, seg):
+    """Forward NeRF recurrence (nerf.py _forward_scan_c parity) writing
+    atom rows into the [T, G, 128] scratch refs. seed = 9 (G, 128) tiles
+    in (ax..az, bx..bz, cx..cz) order."""
+    fx_ref[0], fx_ref[1], fx_ref[2] = seed[0], seed[3], seed[6]
+    fy_ref[0], fy_ref[1], fy_ref[2] = seed[1], seed[4], seed[7]
+    fz_ref[0], fz_ref[1], fz_ref[2] = seed[2], seed[5], seed[8]
+
+    def body(k, carry):
+        ax, ay, az, bx, by, bz, cx, cy, cz = carry
+        base = 6 * k
+        psi = ang6_ref[base]
+        omega = ang6_ref[base + 1]
+        phi = ang6_ref[base + 2]
+        ncac = ang6_ref[base + 3]
+        cacn = ang6_ref[base + 4]
+        cnca = ang6_ref[base + 5]
+        nx, ny, nz = place_atom_c(ax, ay, az, bx, by, bz, cx, cy, cz,
+                                  _C_TO_N, cacn, psi)
+        cax, cay, caz = place_atom_c(bx, by, bz, cx, cy, cz, nx, ny, nz,
+                                     blca_ref[k], cnca, omega)
+        ccx, ccy, ccz = place_atom_c(cx, cy, cz, nx, ny, nz, cax, cay, caz,
+                                     _CA_TO_C, ncac, phi)
+        row = 3 * k + 3
+        fx_ref[row], fx_ref[row + 1], fx_ref[row + 2] = nx, cax, ccx
+        fy_ref[row], fy_ref[row + 1], fy_ref[row + 2] = ny, cay, ccy
+        fz_ref[row], fz_ref[row + 1], fz_ref[row + 2] = nz, caz, ccz
+        return (nx, ny, nz, cax, cay, caz, ccx, ccy, ccz)
+
+    jax.lax.fori_loop(0, seg - 1, body, seed)
+
+
+def _make_tails_kernel(seg):
+    """Forward scan + blended-tail extraction: out [9, G, 128] rows
+    comp*3 + kk = blended row (t-3+kk) component comp."""
+    t = 3 * seg
+
+    def kernel(ang6_ref, blca_ref, seed_ref, ranc_ref, tat_ref, out_ref,
+               fx_ref, fy_ref, fz_ref):
+        seed = tuple(seed_ref[i] for i in range(9))
+        _fwd_scan_into(ang6_ref, blca_ref, seed, fx_ref, fy_ref, fz_ref, seg)
+
+        tat = tat_ref[0]
+        tf = jnp.maximum(tat.astype(F32), F32(1.0))
+        acc = [jnp.zeros_like(tf) for _ in range(9)]
+        for r in range(t):
+            fxr, fyr, fzr = fx_ref[r], fy_ref[r], fz_ref[r]
+            for kk in range(3):
+                m = r == (tat - 3 + kk)
+                acc[0 * 3 + kk] = jnp.where(m, fxr, acc[0 * 3 + kk])
+                acc[1 * 3 + kk] = jnp.where(m, fyr, acc[1 * 3 + kk])
+                acc[2 * 3 + kk] = jnp.where(m, fzr, acc[2 * 3 + kk])
+        # blend tail rows against the stored next-anchor (N, CA, C):
+        # row t-3+kk has reverse weight w_r = t-3+kk (the reverse pass
+        # holds the anchor verbatim there)
+        for kk in range(3):
+            w_r = (tat - 3 + kk).astype(F32)
+            w_f = tf - w_r
+            for comp in range(3):
+                anc = ranc_ref[kk * 3 + comp]
+                out_ref[comp * 3 + kk] = \
+                    (acc[comp * 3 + kk] * w_f + anc * w_r) / tf
+
+    return kernel
+
+
+def _make_backbone_kernel(seg):
+    """Forward scan from refined seeds + reverse sweep + blend
+    (_blend_pass_sweep parity). Outputs blended rows [T, G, 128] x3."""
+    t = 3 * seg
+
+    def kernel(ang6_ref, blca_ref, seed_ref, ranc_ref, tat_ref,
+               ox_ref, oy_ref, oz_ref, fx_ref, fy_ref, fz_ref,
+               rx_ref, ry_ref, rz_ref):
+        seed = tuple(seed_ref[i] for i in range(9))
+        _fwd_scan_into(ang6_ref, blca_ref, seed, fx_ref, fy_ref, fz_ref, seg)
+
+        tat = tat_ref[0]
+        nxa, nya, nza = ranc_ref[0], ranc_ref[1], ranc_ref[2]
+        cxa, cya, cza = ranc_ref[3], ranc_ref[4], ranc_ref[5]
+        ccx, ccy, ccz = ranc_ref[6], ranc_ref[7], ranc_ref[8]
+        # derive the zero from loaded data: a splat-constant init gives the
+        # fori_loop carry a replicated Mosaic layout that conflicts with
+        # the body's computed (non-replicated) vectors
+        zero = jnp.minimum(nxa, F32(0.0)) * F32(0.0)
+
+        def rev_body(i, carry):
+            r = t - 1 - i
+            v1x, v1y, v1z, v2x, v2y, v2z, v3x, v3y, v3z = carry
+            # bond length cycle: descending step i -> (C_TO_N, CA_TO_C,
+            # N_TO_CA)[i % 3] (t % 3 == 0, see nerf._blend_pass_sweep)
+            im3 = i % 3
+            bl = jnp.where(im3 == 0, _C_TO_N,
+                           jnp.where(im3 == 1, _CA_TO_C, _N_TO_CA))
+            tor = ang6_ref[6 * (r // 3) + (r % 3)]
+            rc = jnp.minimum(r, t - 3)
+            cos_a, sin_a = _bond_angle_cs(
+                fx_ref[rc], fy_ref[rc], fz_ref[rc],
+                fx_ref[rc + 1], fy_ref[rc + 1], fz_ref[rc + 1],
+                fx_ref[rc + 2], fy_ref[rc + 2], fz_ref[rc + 2])
+            px, py, pz = _place_atom_cs(v3x, v3y, v3z, v2x, v2y, v2z,
+                                        v1x, v1y, v1z, bl, cos_a, sin_a,
+                                        tor)
+            is_c = r == tat - 1
+            is_ca = r == tat - 2
+            is_n = r == tat - 3
+            sx = jnp.where(is_c, ccx, jnp.where(is_ca, cxa,
+                                                jnp.where(is_n, nxa, zero)))
+            sy = jnp.where(is_c, ccy, jnp.where(is_ca, cya,
+                                                jnp.where(is_n, nya, zero)))
+            sz = jnp.where(is_c, ccz, jnp.where(is_ca, cza,
+                                                jnp.where(is_n, nza, zero)))
+            active = r <= tat - 4
+            wx = jnp.where(active, px, sx)
+            wy = jnp.where(active, py, sy)
+            wz = jnp.where(active, pz, sz)
+            rx_ref[r], ry_ref[r], rz_ref[r] = wx, wy, wz
+            return (wx, wy, wz, v1x, v1y, v1z, v2x, v2y, v2z)
+
+        jax.lax.fori_loop(0, t, rev_body, (zero,) * 9)
+
+        tf = jnp.maximum(tat.astype(F32), F32(1.0))
+        for j in range(t):
+            w_r = F32(j)
+            w_f = tat.astype(F32) - w_r
+            ox_ref[j] = (fx_ref[j] * w_f + rx_ref[j] * w_r) / tf
+            oy_ref[j] = (fy_ref[j] * w_f + ry_ref[j] * w_r) / tf
+            oz_ref[j] = (fz_ref[j] * w_f + rz_ref[j] * w_r) / tf
+
+    return kernel
+
+
+def _chain_const(code, col):
+    """Per-lane table value via a static where-chain grouped by value.
+
+    code: i32 (G, 128) residue codes; col: np [24] table column.
+    Replicates table[code] without a per-lane gather."""
+    groups: dict[float, list[int]] = {}
+    for c in range(col.shape[0]):
+        groups.setdefault(float(col[c]), []).append(c)
+    items = sorted(groups.items(), key=lambda kv: -len(kv[1]))
+    acc = jnp.full(code.shape, F32(items[0][0]))
+    for v, cs in items[1:]:
+        m = code == cs[0]
+        for c in cs[1:]:
+            m = m | (code == c)
+        acc = jnp.where(m, F32(v), acc)
+    return acc
+
+
+def _sel_pred(code, rows_x, rows_y, rows_z, col):
+    """Predecessor-atom lookup: rows[col[code]] per lane, as static
+    where-chains grouped by predecessor slot (gather-free)."""
+    groups: dict[int, list[int]] = {}
+    for c in range(col.shape[0]):
+        groups.setdefault(int(col[c]), []).append(c)
+    items = sorted(groups.items(), key=lambda kv: -len(kv[1]))
+    ax, ay, az = rows_x[items[0][0]], rows_y[items[0][0]], rows_z[items[0][0]]
+    for slot, cs in items[1:]:
+        m = code == cs[0]
+        for c in cs[1:]:
+            m = m | (code == c)
+        ax = jnp.where(m, rows_x[slot], ax)
+        ay = jnp.where(m, rows_y[slot], ay)
+        az = jnp.where(m, rows_z[slot], az)
+    return ax, ay, az
+
+
+def _make_sidechain_kernel(seg):
+    """Per-residue side-chain placement + compact int16 conversion.
+
+    Inputs: blended backbone rows [T, G, 128] x3, residue codes
+    [SEG, G, 128] i32, dequantized side-chain torsions [11*SEG, G, 128].
+    Outputs: off i16 [3*14*SEG, G, 128] (rows (c*14+k)*SEG+s) and
+    ca f32 [3*SEG, G, 128] (rows c*SEG+s)."""
+
+    def kernel(bx_ref, by_ref, bz_ref, code_ref, sct_ref, off_ref, ca_ref):
+        def body(s, _):
+            rows_x = [bx_ref[3 * s], bx_ref[3 * s + 1], bx_ref[3 * s + 2]]
+            rows_y = [by_ref[3 * s], by_ref[3 * s + 1], by_ref[3 * s + 2]]
+            rows_z = [bz_ref[3 * s], bz_ref[3 * s + 1], bz_ref[3 * s + 2]]
+            code = code_ref[s]
+            for k in range(3, MAX_ATOM):
+                a = _sel_pred(code, rows_x, rows_y, rows_z, _PRED[:, k, 0])
+                b = _sel_pred(code, rows_x, rows_y, rows_z, _PRED[:, k, 1])
+                c = _sel_pred(code, rows_x, rows_y, rows_z, _PRED[:, k, 2])
+                bl = _chain_const(code, _BLEN[:, k])
+                ba = _chain_const(code, _BANG[:, k])
+                tor = sct_ref[(k - 3) * seg + s]
+                ox, oy, oz = place_atom_c(a[0], a[1], a[2], b[0], b[1], b[2],
+                                          c[0], c[1], c[2], bl, ba, tor)
+                rows_x.append(ox)
+                rows_y.append(oy)
+                rows_z.append(oz)
+            cax, cay, caz = rows_x[1], rows_y[1], rows_z[1]
+            ca_ref[s] = cax
+            ca_ref[seg + s] = cay
+            ca_ref[2 * seg + s] = caz
+            for ci, (rows, cav) in enumerate(((rows_x, cax), (rows_y, cay),
+                                              (rows_z, caz))):
+                for k in range(MAX_ATOM):
+                    off = jnp.clip(jnp.round((rows[k] - cav) * F32(1000.0)),
+                                   -32767.0, 32767.0).astype(jnp.int16)
+                    off_ref[(ci * MAX_ATOM + k) * seg + s] = off
+            return 0
+
+        jax.lax.fori_loop(0, seg, body, 0)
+
+    return kernel
+
+
+def _blocked(x, rows, np_):
+    return x.reshape(rows, np_ // 128, 128)
+
+
+@partial(jax.jit, static_argnames=("refine_iters", "interpret"))
+def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
+                     anchor_xyz, seg_m, res_index, refine_iters: int = 2,
+                     interpret: bool = False):
+    """Fused-kernel segment-space decode (decode_seg_core contract,
+    compact planar form): returns (off i16 [3, 14, R], ca f32 [3, R])."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    seg, n, _ = seg_records.shape
+    t = 3 * seg
+
+    # ---- XLA prologue: unpack + dequant ----
+    res_code, phi_q, psi_q, omega_q, ncac_q, cacn_q, cnca_q = \
+        unpack_records(seg_records)
+
+    def cont(q, idx):
+        return q.astype(F32) * cont_lane[None, :, idx] \
+            + mins_lane[None, :, idx]
+
+    ang6 = jnp.stack([cont(psi_q, 1), cont(omega_q, 2), cont(phi_q, 0),
+                      cont(ncac_q, 3), cont(cacn_q, 4), cont(cnca_q, 5)],
+                     axis=1).reshape(seg * 6, n)
+    bl_ca = jnp.where(res_code == PRO_CODE, _PRO_N_TO_CA, _N_TO_CA)
+    sct = (sc_codes_seg.astype(F32) * _SC_CONT_F + _SC_MIN) \
+        .reshape(11 * seg, n)
+    fwd9 = jnp.stack(_comp9(anchor_xyz[:, :-1]), axis=0)   # [9, N]
+    rev9 = jnp.stack(_comp9(anchor_xyz[:, 1:]), axis=0)    # [9, N]
+    tat = (3 * seg_m).astype(I32)[None, :]                 # [1, N]
+
+    # ---- lane padding to the block quantum ----
+    np_ = -(-n // _LANE_PAD) * _LANE_PAD
+    pad = np_ - n
+
+    def padl(x, val=0):
+        if pad == 0:
+            return x
+        return jnp.pad(x, ((0, 0), (0, pad)), constant_values=val)
+
+    ang6_p = _blocked(padl(ang6), seg * 6, np_)
+    blca_p = _blocked(padl(bl_ca), seg, np_)
+    sct_p = _blocked(padl(sct), 11 * seg, np_)
+    code_p = _blocked(padl(res_code), seg, np_)
+    fwd9_p = _blocked(padl(fwd9), 9, np_)
+    rev9_p = _blocked(padl(rev9), 9, np_)
+    tat_p = _blocked(padl(tat, val=3), 1, np_)
+
+    grid_bb = (np_ // (128 * _G_BB),)
+    vmem = pltpu.VMEM
+
+    if refine_iters >= 2:
+        # ---- kernel 1: forward tails from anchor seeds ----
+        tails = pl.pallas_call(
+            _make_tails_kernel(seg),
+            grid=grid_bb,
+            in_specs=[_spec(seg * 6, _G_BB), _spec(seg, _G_BB),
+                      _spec(9, _G_BB), _spec(9, _G_BB), _spec(1, _G_BB)],
+            out_specs=_spec(9, _G_BB),
+            out_shape=jax.ShapeDtypeStruct((9, np_ // 128, 128), F32),
+            scratch_shapes=[vmem((t, _G_BB, 128), F32) for _ in range(3)],
+            interpret=interpret,
+        )(ang6_p, blca_p, fwd9_p, rev9_p, tat_p)
+
+        # ---- XLA middle: segment s re-seeded by segment s-1's tail ----
+        tails = tails.reshape(9, np_)[:, :n]
+        b, s = anchor_xyz.shape[0], anchor_xyz.shape[1] - 1
+        seeds2 = []
+        for atom in range(3):
+            for comp in range(3):
+                tails_c = tails[comp * 3 + atom].reshape(b, s)
+                anchor_col = anchor_xyz[:, 0, atom, comp]        # [B]
+                prev = jnp.concatenate(
+                    [anchor_col[:, None], tails_c[:, :-1]], axis=1)
+                seeds2.append(prev.reshape(b * s))
+        seeds_p = _blocked(padl(jnp.stack(seeds2, axis=0)), 9, np_)
+    else:
+        seeds_p = fwd9_p
+
+    # ---- kernel 2: backbone (forward + reverse sweep + blend) ----
+    bb_shape = jax.ShapeDtypeStruct((t, np_ // 128, 128), F32)
+    bbx, bby, bbz = pl.pallas_call(
+        _make_backbone_kernel(seg),
+        grid=grid_bb,
+        in_specs=[_spec(seg * 6, _G_BB), _spec(seg, _G_BB),
+                  _spec(9, _G_BB), _spec(9, _G_BB), _spec(1, _G_BB)],
+        out_specs=(_spec(t, _G_BB),) * 3,
+        out_shape=(bb_shape,) * 3,
+        scratch_shapes=[vmem((t, _G_BB, 128), F32) for _ in range(6)],
+        interpret=interpret,
+    )(ang6_p, blca_p, seeds_p, rev9_p, tat_p)
+
+    # ---- kernel 3: side chains + compact int16 ----
+    grid_sc = (np_ // (128 * _G_SC),)
+    off, ca = pl.pallas_call(
+        _make_sidechain_kernel(seg),
+        grid=grid_sc,
+        in_specs=[_spec(t, _G_SC), _spec(t, _G_SC), _spec(t, _G_SC),
+                  _spec(seg, _G_SC), _spec(11 * seg, _G_SC)],
+        out_specs=(_spec(3 * MAX_ATOM * seg, _G_SC), _spec(3 * seg, _G_SC)),
+        out_shape=(
+            jax.ShapeDtypeStruct((3 * MAX_ATOM * seg, np_ // 128, 128),
+                                 jnp.int16),
+            jax.ShapeDtypeStruct((3 * seg, np_ // 128, 128), F32),
+        ),
+        interpret=interpret,
+    )(bbx, bby, bbz, code_p, sct_p)
+
+    # ---- XLA epilogue: residue-space planar gather ----
+    off = off.reshape(3, MAX_ATOM, seg * np_)
+    ca = ca.reshape(3, seg * np_)
+    planar_idx = (res_index % seg) * np_ + res_index // seg
+    off_r = jnp.take(off, planar_idx, axis=2)              # [3, 14, R]
+    ca_r = jnp.take(ca, planar_idx, axis=1)                # [3, R]
+    return off_r, ca_r
