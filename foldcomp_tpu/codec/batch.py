@@ -14,7 +14,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..core.aatable import ALT_PERM, ATOM_NAMES, N_ATOMS, N_SC_TORSION
+from ..core.aatable import (ALT_PERM, ATOM_NAMES, MAX_ATOM,
+                            N_ATOMS, N_SC_TORSION)
 from ..core.codes import (NUM_AA, THREE_LETTER, three_letter_from_one)
 from ..io.structure import AtomArray
 from .fcz import FczData, unpack_records
@@ -296,7 +297,167 @@ def _ragged_arange(counts):
     return out
 
 
+LANE_PAD = 1024  # fused-kernel lane quantum (kernels/pallas_decode.py)
+
+
+def pack_decode_batch_lanes(fczs, seg_bucket: int = 8):
+    """List[FczData] -> RAGGED-lane device arrays for the fused decode.
+
+    Unlike pack_decode_batch_seg's [B, S_max] lane grid, lanes here exist
+    only for REAL segments (NL = sum(s_i), padded to the fused kernel's
+    1024-lane quantum). Protein-level lane padding disappears — on mixed
+    corpora the [b, s_pad] grid pads every short protein to the longest
+    protein's segment count — and the decode output needs NO residue
+    gather on device: the fused epilogue transposes to per-lane rows
+    [NL, SEG, 42] and the host row-gathers each protein's residues
+    ((lane_of, rec_of) fancy-index, one contiguous 84 B row per residue).
+
+    Per-lane anchors replace the [B, S+1, 3, 3] anchor block: fwd9/rev9
+    are the segment's own start/end anchor triples (9 components,
+    atom-major), and `is_first` marks each protein's first segment so the
+    refine reseed can shift tails by ONE lane (segment s's seed is
+    segment s-1's blended tail, foldcomp.cpp:849-857) with a plain roll.
+    """
+    b = len(fczs)
+    nres = np.array([f.n_residue for f in fczs], np.int64)
+    rec_base = np.zeros(b + 1, np.int64)
+    np.cumsum(nres, out=rec_base[1:])
+    r_tot = int(rec_base[-1])
+
+    na = np.array([f.n_anchor for f in fczs], np.int64)
+    anchors_all = np.concatenate(
+        [np.asarray(f.anchor_indices, np.int64) for f in fczs])
+    acoords_all = np.concatenate(
+        [np.asarray(f.anchor_coords, F32).reshape(-1, 9) for f in fczs])
+    ab = np.cumsum(na)
+    s_i = na - 1
+    seg_ord = _ragged_arange(s_i)
+    first_idx = np.repeat(ab - na, s_i) + seg_ord
+    a0 = anchors_all[first_idx]
+    a1 = anchors_all[first_idx + 1]
+    nres_rep = np.repeat(nres, s_i)
+    first = np.minimum(a0, nres_rep - 1)
+    is_last = seg_ord == np.repeat(s_i - 1, s_i)
+    counts_g = np.maximum(
+        np.where(is_last, nres_rep - first,
+                 np.minimum(a1 + 1, nres_rep - 1) - first), 1)
+
+    nl = int(s_i.sum())
+    nlp = _round_up(nl, LANE_PAD)
+    seg_pad = _round_up(int(counts_g.max()), seg_bucket)
+    ar = np.arange(seg_pad)
+    records_all = np.concatenate(
+        [np.asarray(f.records, np.uint8).reshape(-1, 8) for f in fczs])
+
+    # global per-residue side-chain slot scatter (see pack_decode_batch_seg)
+    res_code_all = unpack_records(records_all)[0].astype(np.int32)
+    counts_sc = np.where(res_code_all < NUM_AA,
+                         N_SC_TORSION[res_code_all], 0).astype(np.int64)
+    totals = np.add.reduceat(counts_sc, rec_base[:-1]) if r_tot else \
+        np.zeros(b, np.int64)
+    sc_res_all = np.zeros((r_tot, 12), np.uint8)
+    tot = int(counts_sc.sum())
+    if tot:
+        stream = np.concatenate(
+            [np.asarray(f.sc_codes[:t], np.uint8)
+             for f, t in zip(fczs, totals)])
+        res_of = np.repeat(np.arange(r_tot, dtype=np.int64), counts_sc)
+        ends = np.cumsum(counts_sc)
+        within = np.arange(tot, dtype=np.int64) - \
+            np.repeat(ends - counts_sc, counts_sc)
+        sc_res_all.reshape(-1)[res_of * 12 + within] = stream
+
+    # dense ragged lanes: global record-row window per segment
+    starts_g = first + np.repeat(rec_base[:-1], s_i)
+    last_g = np.repeat(rec_base[1:] - 1, s_i)
+    idx = np.minimum(starts_g[:, None] + ar[None, :], last_g[:, None])
+
+    seg_records = np.zeros((nlp, seg_pad, 8), np.uint8)
+    seg_records.view(np.uint64)[:nl, :, 0] = \
+        records_all.view(np.uint64)[:, 0][idx]
+    sc_seg12 = np.zeros((nlp, seg_pad, 12), np.uint8)
+    sc_seg12.view(np.uint32)[:nl] = sc_res_all.view(np.uint32)[idx]
+    sc_seg = sc_seg12[:, :, :11]
+    seg_m = np.ones(nlp, I32)
+    seg_m[:nl] = counts_g
+
+    mins_lane = np.zeros((nlp, 6), F32)
+    cont_lane = np.zeros((nlp, 6), F32)
+    mins_lane[:nl] = np.repeat(np.stack([f.mins for f in fczs])
+                               .astype(F32), s_i, axis=0)
+    cont_lane[:nl] = np.repeat(np.stack([f.cont_fs for f in fczs])
+                               .astype(F32), s_i, axis=0)
+
+    fwd9 = np.zeros((9, nlp), F32)
+    rev9 = np.zeros((9, nlp), F32)
+    fwd9[:, :nl] = acoords_all[first_idx].T
+    rev9[:, :nl] = acoords_all[first_idx + 1].T
+    is_first = np.ones(nlp, bool)          # pad lanes keep their own seed
+    is_first[:nl] = seg_ord == 0
+
+    # stitch: residue r owned by the last segment starting <= r
+    r_g = np.arange(r_tot, dtype=np.int64)
+    lane_of_g = np.searchsorted(starts_g, r_g, side="right") - 1
+    rec_of_g = np.clip(r_g - starts_g[lane_of_g], 0, seg_pad - 1)
+
+    tf_all = np.concatenate(
+        [np.asarray(f.tf_codes, np.uint8) for f in fczs]).astype(F32)
+    temp_all = (tf_all
+                * np.repeat(np.array([f.tf_cont for f in fczs], F32), nres)
+                + np.repeat(np.array([f.tf_min for f in fczs], F32),
+                            nres)).astype(F32)
+
+    metas = []
+    for i, f in enumerate(fczs):
+        lo, hi = int(rec_base[i]), int(rec_base[i + 1])
+        metas.append(SegDecodeMeta(
+            n_residue=f.n_residue, idx_residue=f.idx_residue,
+            idx_atom=f.idx_atom, chain=f.chain, title=f.title,
+            first_residue=f.first_residue, last_residue=f.last_residue,
+            has_oxt=f.has_oxt, oxt_coords=np.asarray(f.oxt_coords, F32),
+            res_code=res_code_all[lo:hi], temp=temp_all[lo:hi],
+            lane_of=lane_of_g[lo:hi], rec_of=rec_of_g[lo:hi],
+            res_base=lo))
+
+    arrays = dict(
+        seg_records=np.ascontiguousarray(seg_records.transpose(1, 0, 2)),
+        mins_lane=mins_lane, cont_lane=cont_lane,
+        sc_codes_seg=np.ascontiguousarray(sc_seg.transpose(2, 1, 0)),
+        fwd9=fwd9, rev9=rev9, is_first=is_first, seg_m=seg_m)
+    return arrays, metas
+
+
+def use_fused_decode() -> bool:
+    """True when the fused Pallas decode path is active (accelerator
+    backend + not disabled); decides the pack form."""
+    import os
+
+    import jax
+    if os.environ.get("FOLDCOMP_TPU_FUSED", "1") == "0":
+        return False
+    if os.environ.get("FOLDCOMP_TPU_NERF", "assoc") != "assoc":
+        return False
+    if os.environ.get("FOLDCOMP_TPU_COMPACT", "1") == "0":
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def pack_decode_batch_auto(fczs):
+    """Backend-matched pack: ragged lanes for the fused decode, the
+    [B, S] grid for the XLA cores."""
+    if use_fused_decode():
+        return pack_decode_batch_lanes(fczs)
+    return pack_decode_batch_seg(fczs)
+
+
 def _seg_decode_arrays(arrays, refine_iters=2):
+    if "fwd9" in arrays:          # ragged-lane pack -> fused Pallas path
+        from ..kernels.pallas_decode import decode_seg_fused
+        return decode_seg_fused(
+            arrays["seg_records"], arrays["mins_lane"],
+            arrays["cont_lane"], arrays["sc_codes_seg"], arrays["fwd9"],
+            arrays["rev9"], arrays["is_first"], arrays["seg_m"],
+            refine_iters=refine_iters)
     from ..kernels.decode import decode_seg_batch_core
     return decode_seg_batch_core(
         arrays["seg_records"], arrays["mins_lane"], arrays["cont_lane"],
@@ -321,6 +482,17 @@ def _gather_a14(outs_np, m):
     sl = slice(m.res_base, m.res_base + m.n_residue)
     if isinstance(outs_np, tuple):
         off, ca = outs_np
+        if off.ndim == 3 and off.shape[2] == 42:
+            # ragged-lane rows [NL, SEG, 42] (fused Pallas wire): one
+            # contiguous 84 B row per residue; [42] is (k, c)-major so
+            # the reshape lands directly on [14, 3]
+            segw = off.shape[1]
+            idx = m.lane_of * segw + m.rec_of
+            rows = off.reshape(-1, 42)[idx].astype(F32)
+            crow = ca.reshape(-1, 3)[idx]
+            return np.ascontiguousarray(
+                crow[:, None, :]
+                + rows.reshape(-1, MAX_ATOM, 3) * np.float32(0.001))
         if off.ndim == 3:            # residue space, PLANAR: [3, 14, R]
             # reconstruct + transpose to [n, 14, 3] in one materializing
             # pass (the kernel keeps R in the TPU lane dimension; see
@@ -430,7 +602,7 @@ def unpack_decode_result(atom14, res_code, temp, metas,
 def decode_fcz_batch(fczs, refine_iters: int = 2, use_alt_order: bool = False):
     """Parse payloads through the batched device decoder (segment-space
     core; the residue re-index happens on host)."""
-    arrays, metas = pack_decode_batch_seg(fczs)
+    arrays, metas = pack_decode_batch_auto(fczs)
     outs = _outs_to_host(_seg_decode_arrays(arrays, refine_iters))
     return [_assemble_protein(_gather_a14(outs, m), m, use_alt_order)
             for m in metas]
@@ -443,7 +615,7 @@ def decode_fcz_to_pdb_batch(fczs, refine_iters: int = 2,
     When the native formatter is available the atom14 tensors go straight to
     text (no per-atom Python); otherwise falls back through AtomArray.
     """
-    arrays, metas = pack_decode_batch_seg(fczs)
+    arrays, metas = pack_decode_batch_auto(fczs)
     outs = _outs_to_host(_seg_decode_arrays(arrays, refine_iters))
 
     try:
@@ -514,7 +686,7 @@ def decode_fcz_stream(payload_iter, batch_size: int = 128,
             # ~3 Mres/s while a fast-link device decodes 20M+ — the
             # bounded q_packed still applies backpressure on the futures
             q_packed.put((idxs, batch,
-                          pool.submit(pack_decode_batch_seg, batch)))
+                          pool.submit(pack_decode_batch_auto, batch)))
 
     def producer():
         window = []

@@ -373,19 +373,11 @@ def decode_seg_batch_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
                                refine_iters=refine_iters,
                                nerf_impl=nerf_impl,
                                gather_free=False)
+    # NOTE: the fused Pallas pipeline (kernels/pallas_decode.py) consumes
+    # the RAGGED-lane pack (codec/batch.py pack_decode_batch_lanes) and is
+    # dispatched by codec/batch._seg_decode_arrays; this function serves
+    # the [B, S]-grid pack for the XLA cores.
     compact = os.environ.get("FOLDCOMP_TPU_COMPACT", "1") != "0"
-    if (compact and res_index is not None
-            and os.environ.get("FOLDCOMP_TPU_FUSED", "1") != "0"
-            and nerf_impl == "assoc"):
-        # Fused Pallas pipeline (kernels/pallas_decode.py): the whole
-        # per-lane decode in VMEM — the XLA pipeline is bandwidth-bound
-        # on its own intermediates (30-43 KB/res of modeled HBM traffic
-        # vs ~0.7 KB true I/O; tools/exp_cost.py, PROFILE.md round 4).
-        # FOLDCOMP_TPU_FUSED=0 falls back to the XLA assoc core.
-        from .pallas_decode import decode_seg_fused
-        return decode_seg_fused(seg_records, mins_lane, cont_lane,
-                                sc_codes_seg, anchor_xyz, seg_m, res_index,
-                                refine_iters=refine_iters)
     return decode_seg_core(seg_records, mins_lane, cont_lane, sc_codes_seg,
                            anchor_xyz, seg_m, refine_iters=refine_iters,
                            nerf_impl=nerf_impl, gather_free=True,

@@ -26,9 +26,12 @@ input/output of the decode (~0.7 KB/residue):
   int16 milli-angstrom conversion.
 
 All three run inside ONE jit (one dispatch); XLA keeps only the record
-unpack/dequant prologue, the tiny seeds2 middle, and the res_index
-gather epilogue. Lanes are blocked [rows, G, 128] so each sequential
-step operates on full (G, 128) tiles.
+unpack/dequant prologue, the tiny seeds2 middle, and a free transpose
+epilogue to per-lane output rows (a per-residue gather is index-rate
+bound at ~17 ns/index on this chip — ~10 ms at B=2048 — so the residue
+stitch moved to a host row-gather over the ragged-lane wire;
+codec/batch.py pack_decode_batch_lanes). Lanes are blocked
+[rows, G, 128] so each sequential step operates on full (G, 128) tiles.
 
 The math is operation-for-operation the gather-free XLA core
 (kernels/nerf.py `_forward_scan_c` / `_blend_pass_sweep`,
@@ -46,7 +49,7 @@ import numpy as np
 from ..core.aatable import BOND_ANG, BOND_LEN, MAX_ATOM, PRED_IDX
 from .bitpack import unpack_records
 from .geometry import place_atom_c
-from .nerf import _C_TO_N, _CA_TO_C, _N_TO_CA, _PRO_N_TO_CA, _comp9
+from .nerf import _C_TO_N, _CA_TO_C, _N_TO_CA, _PRO_N_TO_CA
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -319,12 +322,15 @@ def _make_sidechain_kernel(seg):
             ca_ref[s] = cax
             ca_ref[seg + s] = cay
             ca_ref[2 * seg + s] = caz
+            # off rows in (k, c)-major order so the epilogue transpose
+            # yields per-lane [SEG, 42] rows whose [42] reshape directly
+            # to the host's [14, 3] atom block (no host transpose)
             for ci, (rows, cav) in enumerate(((rows_x, cax), (rows_y, cay),
                                               (rows_z, caz))):
                 for k in range(MAX_ATOM):
                     off = jnp.clip(jnp.round((rows[k] - cav) * F32(1000.0)),
                                    -32767.0, 32767.0).astype(jnp.int16)
-                    off_ref[(ci * MAX_ATOM + k) * seg + s] = off
+                    off_ref[(k * 3 + ci) * seg + s] = off
             return 0
 
         jax.lax.fori_loop(0, seg, body, 0)
@@ -338,15 +344,23 @@ def _blocked(x, rows, np_):
 
 @partial(jax.jit, static_argnames=("refine_iters", "interpret"))
 def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
-                     anchor_xyz, seg_m, res_index, refine_iters: int = 2,
+                     fwd9, rev9, is_first, seg_m, refine_iters: int = 2,
                      interpret: bool = False):
-    """Fused-kernel segment-space decode (decode_seg_core contract,
-    compact planar form): returns (off i16 [3, 14, R], ca f32 [3, R])."""
+    """Fused-kernel ragged-lane decode (pack_decode_batch_lanes arrays).
+
+    Returns per-lane compact rows: (off i16 [NL, SEG, 42], ca f32
+    [NL, SEG, 3]) — row [42] = the residue's [14, 3] milli-angstrom
+    offsets from its CA. The host row-gathers each protein's residues
+    ((lane_of, rec_of) index); no residue gather runs on device — the
+    XLA gather is index-rate-bound (~17 ns/index: ~10 ms at B=2048,
+    round-4 measurement), while the lane transpose here is free."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     seg, n, _ = seg_records.shape
     t = 3 * seg
+    assert n % _LANE_PAD == 0, "pack_decode_batch_lanes pads lanes"
+    np_ = n
 
     # ---- XLA prologue: unpack + dequant ----
     res_code, phi_q, psi_q, omega_q, ncac_q, cacn_q, cnca_q = \
@@ -362,26 +376,15 @@ def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
     bl_ca = jnp.where(res_code == PRO_CODE, _PRO_N_TO_CA, _N_TO_CA)
     sct = (sc_codes_seg.astype(F32) * _SC_CONT_F + _SC_MIN) \
         .reshape(11 * seg, n)
-    fwd9 = jnp.stack(_comp9(anchor_xyz[:, :-1]), axis=0)   # [9, N]
-    rev9 = jnp.stack(_comp9(anchor_xyz[:, 1:]), axis=0)    # [9, N]
     tat = (3 * seg_m).astype(I32)[None, :]                 # [1, N]
 
-    # ---- lane padding to the block quantum ----
-    np_ = -(-n // _LANE_PAD) * _LANE_PAD
-    pad = np_ - n
-
-    def padl(x, val=0):
-        if pad == 0:
-            return x
-        return jnp.pad(x, ((0, 0), (0, pad)), constant_values=val)
-
-    ang6_p = _blocked(padl(ang6), seg * 6, np_)
-    blca_p = _blocked(padl(bl_ca), seg, np_)
-    sct_p = _blocked(padl(sct), 11 * seg, np_)
-    code_p = _blocked(padl(res_code), seg, np_)
-    fwd9_p = _blocked(padl(fwd9), 9, np_)
-    rev9_p = _blocked(padl(rev9), 9, np_)
-    tat_p = _blocked(padl(tat, val=3), 1, np_)
+    ang6_p = _blocked(ang6, seg * 6, np_)
+    blca_p = _blocked(bl_ca, seg, np_)
+    sct_p = _blocked(sct, 11 * seg, np_)
+    code_p = _blocked(res_code, seg, np_)
+    fwd9_p = _blocked(fwd9, 9, np_)
+    rev9_p = _blocked(rev9, 9, np_)
+    tat_p = _blocked(tat, 1, np_)
 
     grid_bb = (np_ // (128 * _G_BB),)
     vmem = pltpu.VMEM
@@ -400,17 +403,17 @@ def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
         )(ang6_p, blca_p, fwd9_p, rev9_p, tat_p)
 
         # ---- XLA middle: segment s re-seeded by segment s-1's tail ----
-        tails = tails.reshape(9, np_)[:, :n]
-        b, s = anchor_xyz.shape[0], anchor_xyz.shape[1] - 1
+        # Ragged lanes are protein-contiguous, so the shift is a roll by
+        # ONE lane; each protein's first segment keeps its own anchor
+        # seed (foldcomp.cpp:849-857: prevAtoms = last 3 blended atoms).
+        tails = tails.reshape(9, np_)
+        rolled = jnp.roll(tails, 1, axis=1)
         seeds2 = []
         for atom in range(3):
             for comp in range(3):
-                tails_c = tails[comp * 3 + atom].reshape(b, s)
-                anchor_col = anchor_xyz[:, 0, atom, comp]        # [B]
-                prev = jnp.concatenate(
-                    [anchor_col[:, None], tails_c[:, :-1]], axis=1)
-                seeds2.append(prev.reshape(b * s))
-        seeds_p = _blocked(padl(jnp.stack(seeds2, axis=0)), 9, np_)
+                seeds2.append(jnp.where(is_first, fwd9[atom * 3 + comp],
+                                        rolled[comp * 3 + atom]))
+        seeds_p = _blocked(jnp.stack(seeds2, axis=0), 9, np_)
     else:
         seeds_p = fwd9_p
 
@@ -443,10 +446,10 @@ def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
         interpret=interpret,
     )(bbx, bby, bbz, code_p, sct_p)
 
-    # ---- XLA epilogue: residue-space planar gather ----
-    off = off.reshape(3, MAX_ATOM, seg * np_)
-    ca = ca.reshape(3, seg * np_)
-    planar_idx = (res_index % seg) * np_ + res_index // seg
-    off_r = jnp.take(off, planar_idx, axis=2)              # [3, 14, R]
-    ca_r = jnp.take(ca, planar_idx, axis=1)                # [3, R]
-    return off_r, ca_r
+    # ---- XLA epilogue: transpose to per-lane rows (measured free — the
+    # relayout hides in the fusion; a per-residue gather here would cost
+    # ~10 ms at B=2048 regardless of formulation) ----
+    off_t = jnp.transpose(off.reshape(3 * MAX_ATOM, seg, np_),
+                          (2, 1, 0))                       # [NL, SEG, 42]
+    ca_t = jnp.transpose(ca.reshape(3, seg, np_), (2, 1, 0))
+    return off_t, ca_t

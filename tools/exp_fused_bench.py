@@ -30,22 +30,28 @@ def main():
     print(json.dumps({"backend": ensure_backend()}), flush=True)
 
     from bench import _force, _load_fcz
-    from foldcomp_tpu.codec.batch import pack_decode_batch_seg
+    from foldcomp_tpu.codec.batch import (pack_decode_batch_lanes,
+                                          pack_decode_batch_seg)
     from foldcomp_tpu.kernels.decode import decode_seg_core
     from foldcomp_tpu.kernels.pallas_decode import decode_seg_fused
 
     f = _load_fcz()
 
     for b in [int(x) for x in args.sizes.split(",")]:
+        al, ml = pack_decode_batch_lanes([f] * b)
         arrays, metas = pack_decode_batch_seg([f] * b)
         n_res = sum(m.n_residue for m in metas)
+        devl = {k: jax.device_put(v) for k, v in al.items()}
         dev = {k: jax.device_put(v) for k, v in arrays.items()}
         a = (dev["seg_records"], dev["mins_lane"], dev["cont_lane"],
              dev["sc_codes_seg"], dev["anchor_xyz"], dev["seg_m"],
              dev["res_index"])
 
         def run_fused():
-            return decode_seg_fused(*a)
+            return decode_seg_fused(
+                devl["seg_records"], devl["mins_lane"], devl["cont_lane"],
+                devl["sc_codes_seg"], devl["fwd9"], devl["rev9"],
+                devl["is_first"], devl["seg_m"])
 
         def run_assoc():
             return decode_seg_core(
@@ -75,7 +81,10 @@ def main():
                 best_sync = min(best_sync, time.perf_counter() - t0)
             res[name] = (best_sus, best_sync)
 
-        lowered = jax.jit(decode_seg_fused).lower(*a)
+        lowered = jax.jit(decode_seg_fused).lower(
+            devl["seg_records"], devl["mins_lane"], devl["cont_lane"],
+            devl["sc_codes_seg"], devl["fwd9"], devl["rev9"],
+            devl["is_first"], devl["seg_m"])
         mem = lowered.compile().memory_analysis()
         print(json.dumps({
             "B": b, "n_res": n_res,
