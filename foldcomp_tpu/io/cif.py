@@ -65,9 +65,18 @@ def parse_cif(data, default_title: str = "") -> AtomArray:
 
     i = 0
     n_lines = len(lines)
+    n_blocks = 0
     while i < n_lines:
         line = lines[i].strip()
-        if line.startswith("_entry.id"):
+        if line.startswith("data_"):
+            # multi-datablock file: read the FIRST block only (gemmi's
+            # read_structure convention; the reference binary rejects the
+            # whole file with "No atoms found" — structure_reader.cpp:86 —
+            # which tests/test_foreign_corpus.py pins as a defect)
+            n_blocks += 1
+            if n_blocks > 1:
+                break
+        elif line.startswith("_entry.id"):
             toks = _tokenize(line)
             if len(toks) >= 2:
                 entry_id = toks[1]

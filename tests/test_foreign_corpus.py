@@ -297,7 +297,6 @@ def _cif_from(auth_seq_shift=0, with_label_divergence=False,
     ("plain", {}),
     ("auth_shifted", dict(auth_seq_shift=500)),
     ("label_divergent", dict(with_label_divergence=True)),
-    ("two_datablocks", dict(extra_block=True)),
 ])
 def test_hand_written_mmcif(tmp_path, variant, kwargs):
     (tmp_path / f"{variant}.cif").write_text(_cif_from(**kwargs))
@@ -314,3 +313,28 @@ def test_hand_written_mmcif(tmp_path, variant, kwargs):
     assert equal_with_padding_mask(
         (tmp_path / "O" / "c.fcz").read_bytes(),
         (tmp_path / "R" / "c.fcz").read_bytes()), variant
+
+
+@needs_ref
+def test_hand_written_mmcif_two_datablocks(tmp_path):
+    """Reference DEFECT pin: on a multi-datablock mmCIF the reference
+    logs '[Error] No atoms found' and silently skips the entry (rc 0,
+    no output). We read the FIRST data block — and the proof that this
+    is the right extension is byte parity with the reference's own
+    output on the single-block file."""
+    (tmp_path / "two.cif").write_text(_cif_from(extra_block=True))
+    (tmp_path / "one.cif").write_text(_cif_from())
+    for sub in ("O", "R"):
+        (tmp_path / sub).mkdir()
+    r = run_ref("compress", "-y", "../two.cif", "c.fcz", cwd=tmp_path / "R")
+    assert r.returncode == 0 and not (tmp_path / "R" / "c.fcz").exists()
+    assert b"No atoms found" in r.stderr + r.stdout
+    o = run_cli("compress", "-y", "../two.cif", "c.fcz", cwd=tmp_path / "O")
+    assert o.returncode == 0, o.stderr[-500:]
+    # reference single-block output under the SAME output name (titles
+    # embed the output path)
+    r = run_ref("compress", "-y", "../one.cif", "c.fcz", cwd=tmp_path / "R")
+    assert r.returncode == 0
+    assert equal_with_padding_mask(
+        (tmp_path / "O" / "c.fcz").read_bytes(),
+        (tmp_path / "R" / "c.fcz").read_bytes())
