@@ -699,13 +699,17 @@ def _run_decompress_fast(opts: Options, entries, sink, sink_kind,
 
     t_last = time.perf_counter()
     n_done = 0
-    for f, text in decode_fcz_stream(payloads(), batch_size=FAST_BATCH,
+    bsz = fast_batch_size()
+    if bsz != FAST_BATCH:
+        print(f"[Info] device batch size {bsz} (link probe)",
+              file=sys.stderr)
+    for f, text in decode_fcz_stream(payloads(), batch_size=bsz,
                                      use_alt_order=opts.alt):
         _decompress_write(sink, sink_kind, output, f.entry_name, text)
         n_done += 1
-        if opts.measure_time and n_done % FAST_BATCH == 0:
+        if opts.measure_time and n_done % bsz == 0:
             now = time.perf_counter()
-            print(f"batch[{n_done - FAST_BATCH}:{n_done}]\t"
+            print(f"batch[{n_done - bsz}:{n_done}]\t"
                   f"{now - t_last:.6f}")
             t_last = now
     sink.close()
@@ -743,16 +747,18 @@ try:
     t0 = time.perf_counter()
     np.asarray(dev)                  # D2H, the direction decode ships
     dt = time.perf_counter() - t0
-    print("ok" if (len(x) / dt) / 1e6 >= %f else "slow")
+    mbs = (len(x) / dt) / 1e6
+    print(("ok" if mbs >= %f else "slow") + " " + str(round(mbs, 1)))
 except Exception:
-    print("ok")                      # device up, probe flaky: trust it
+    print("ok 0")                    # device up, probe flaky: trust it
 """
 
 _PROBE_TTL_S = 600.0
 
 
-def _probe_device() -> str:
-    """'ok' | 'slow' | 'none' — accelerator presence + link bandwidth.
+def _probe_info() -> tuple:
+    """('ok'|'slow'|'none', link_mbs) — accelerator presence + measured
+    D2H bandwidth.
 
     Runs in a SUBPROCESS so a too-slow (or absent) device never leaves
     the jax/axon runtime threads in this process: they steal measurable
@@ -766,7 +772,7 @@ def _probe_device() -> str:
 
     forced = os.environ.get("FOLDCOMP_TPU_LINK")
     if forced in ("ok", "slow", "none"):
-        return forced
+        return forced, 0.0
     cache = os.path.join(tempfile.gettempdir(),
                          f"foldcomp_tpu_probe_{os.getuid()}.json")
     try:
@@ -774,24 +780,60 @@ def _probe_device() -> str:
             d = json.load(fh)
         if time.time() - d["ts"] < _PROBE_TTL_S and \
                 d["result"] in ("ok", "slow", "none"):
-            return d["result"]
+            return d["result"], float(d.get("mbs", 0.0))
     except Exception:
         pass
+    mbs = 0.0
     try:
         r = subprocess.run(
             [sys.executable, "-c", _PROBE_CODE % _FAST_MIN_LINK_MBS],
             capture_output=True, text=True, timeout=180)
-        result = r.stdout.strip().splitlines()[-1] if r.stdout else "none"
+        toks = (r.stdout.strip().splitlines()[-1] if r.stdout
+                else "none").split()
+        result = toks[0]
+        if len(toks) > 1:
+            try:
+                mbs = float(toks[1])
+            except ValueError:
+                pass
         if result not in ("ok", "slow", "none"):
             result = "none"
     except Exception:
         result = "none"
     try:
         with open(cache, "w") as fh:
-            json.dump(dict(ts=time.time(), result=result), fh)
+            json.dump(dict(ts=time.time(), result=result, mbs=mbs), fh)
     except Exception:
         pass
-    return result
+    return result, mbs
+
+
+def _probe_device() -> str:
+    return _probe_info()[0]
+
+
+def fast_batch_size() -> int:
+    """Device dispatch size from the measured link bandwidth.
+
+    The fused decode RISES through B=4096 on-chip (193M res/s at B=4096
+    vs 41M at B=512, tools/exp_fused_bench.py round 4), so healthy links
+    should dispatch big batches; a starved tunnel wants small ones so
+    the claimed backlog stays drainable (parallel/hybrid.py EndgameGuard).
+    FOLDCOMP_TPU_BATCH overrides."""
+    env = os.environ.get("FOLDCOMP_TPU_BATCH")
+    if env:
+        try:
+            return max(int(env), 1)
+        except ValueError:
+            pass
+    result, mbs = _probe_info()
+    if result != "ok":
+        return FAST_BATCH
+    if mbs >= 1000.0:
+        return 2048
+    if mbs >= 300.0:
+        return 512
+    return FAST_BATCH
 
 
 def _accelerator_present() -> bool:
@@ -1324,7 +1366,8 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return run_hybrid_db(mode, inputs[0], output, opts.threads,
                                  anchor_threshold=opts.anchor_threshold,
-                                 batch_size=FAST_BATCH,
+                                 batch_size=(fast_batch_size()
+                                             if use_device else FAST_BATCH),
                                  use_device=use_device)
         if opts.threads > 1:
             # No (usable) accelerator: same work-stealing scheduler with

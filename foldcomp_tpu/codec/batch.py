@@ -214,10 +214,9 @@ def pack_decode_batch_seg(fczs, s_bucket: int = 4, seg_bucket: int = 8):
         stream = np.concatenate(
             [np.asarray(f.sc_codes[:t], np.uint8)
              for f, t in zip(fczs, totals)])
-        res_of = np.repeat(np.arange(r_tot, dtype=np.int64), counts_sc)
+        res_of = np.repeat(_arange(r_tot), counts_sc)
         ends = np.cumsum(counts_sc)
-        within = np.arange(tot, dtype=np.int64) - \
-            np.repeat(ends - counts_sc, counts_sc)
+        within = _arange(tot) - np.repeat(ends - counts_sc, counts_sc)
         sc_res_all.reshape(-1)[res_of * 12 + within] = stream
 
     # all real lanes at once: global record-row window per (protein, seg)
@@ -251,7 +250,7 @@ def pack_decode_batch_seg(fczs, s_bucket: int = 4, seg_bucket: int = 8):
     # (foldcomp.cpp:849-857); starts_g is globally ascending, and every
     # protein's first start equals its rec_base, so ONE searchsorted
     # lands inside the right protein for every residue
-    r_g = np.arange(r_tot, dtype=np.int64)
+    r_g = _arange(r_tot)
     s_of_r = np.searchsorted(starts_g, r_g, side="right") - 1
     lane_of_g = lane_index[s_of_r]
     rec_of_g = np.clip(r_g - starts_g[s_of_r], 0, seg_pad - 1)
@@ -289,11 +288,24 @@ def pack_decode_batch_seg(fczs, s_bucket: int = 4, seg_bucket: int = 8):
     return arrays, metas
 
 
+_ARANGE = np.arange(0, dtype=np.int64)
+
+
+def _arange(n):
+    """Cached read-only arange view — on this VM a FRESH 2.8M-element
+    arange faults pages at ~15-25 MB/s (1.5 s!), so the big index
+    vectors reuse one growing buffer (PROFILE.md round 4)."""
+    global _ARANGE
+    if _ARANGE.size < n:
+        _ARANGE = np.arange(max(n, 2 * _ARANGE.size), dtype=np.int64)
+        _ARANGE.setflags(write=False)
+    return _ARANGE[:n]
+
+
 def _ragged_arange(counts):
     """[0..c0), [0..c1), ... concatenated."""
     total = int(counts.sum())
-    out = np.arange(total, dtype=np.int64)
-    out -= np.repeat(np.cumsum(counts) - counts, counts)
+    out = _arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
     return out
 
 
@@ -361,10 +373,9 @@ def pack_decode_batch_lanes(fczs, seg_bucket: int = 8):
         stream = np.concatenate(
             [np.asarray(f.sc_codes[:t], np.uint8)
              for f, t in zip(fczs, totals)])
-        res_of = np.repeat(np.arange(r_tot, dtype=np.int64), counts_sc)
+        res_of = np.repeat(_arange(r_tot), counts_sc)
         ends = np.cumsum(counts_sc)
-        within = np.arange(tot, dtype=np.int64) - \
-            np.repeat(ends - counts_sc, counts_sc)
+        within = _arange(tot) - np.repeat(ends - counts_sc, counts_sc)
         sc_res_all.reshape(-1)[res_of * 12 + within] = stream
 
     # dense ragged lanes: global record-row window per segment
@@ -396,7 +407,7 @@ def pack_decode_batch_lanes(fczs, seg_bucket: int = 8):
     is_first[:nl] = seg_ord == 0
 
     # stitch: residue r owned by the last segment starting <= r
-    r_g = np.arange(r_tot, dtype=np.int64)
+    r_g = _arange(r_tot)
     lane_of_g = np.searchsorted(starts_g, r_g, side="right") - 1
     rec_of_g = np.clip(r_g - starts_g[lane_of_g], 0, seg_pad - 1)
 

@@ -1,4 +1,7 @@
 """Sharded multi-host database processing (simulated shards on one host)."""
+import os
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -144,3 +147,43 @@ def test_sharded_compress_device_path(tmp_path, ref_test_dir):
         assert fa.get_data(pos) == ex.get_data(ex.position_of_key(key))
     fa.close()
     ex.close()
+
+
+def test_mesh_byte_parity_8dev():
+    """Sharded encode records byte-identical + sharded decode coords
+    bit-identical to the single-device core (VERDICT r3 #4); the psum'd
+    RMSD gate stays the secondary check (__graft_entry__.dryrun_multichip
+    asserts both on every driver run)."""
+    import sys
+    from importlib import util
+
+    spec = util.spec_from_file_location(
+        "graft_entry", str(pathlib.Path(__file__).parent.parent
+                           / "__graft_entry__.py"))
+    m = util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    m.dryrun_multichip(8)    # raises on any parity break
+
+
+def test_mesh_byte_parity_16dev_subprocess():
+    """Same parity on a 16-virtual-device mesh (fresh process: the
+    device count is fixed at backend init)."""
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).parent.parent
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=16",
+               PYTHONPATH=str(repo))
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from importlib import util\n"
+        "spec = util.spec_from_file_location('g', %r)\n"
+        "m = util.module_from_spec(spec); spec.loader.exec_module(m)\n"
+        "m.dryrun_multichip(16)\n"
+        "print('OK16')\n" % (str(repo), str(repo / '__graft_entry__.py')))
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK16" in r.stdout
