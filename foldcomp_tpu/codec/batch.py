@@ -434,7 +434,8 @@ def pack_decode_batch_lanes(fczs, seg_bucket: int = 8):
         seg_records=np.ascontiguousarray(seg_records.transpose(1, 0, 2)),
         mins_lane=mins_lane, cont_lane=cont_lane,
         sc_codes_seg=np.ascontiguousarray(sc_seg.transpose(2, 1, 0)),
-        fwd9=fwd9, rev9=rev9, is_first=is_first, seg_m=seg_m)
+        fwd9=fwd9, rev9=rev9, is_first=is_first, seg_m=seg_m,
+        nl_out=_round_up(nl, 512))   # static D2H lane-slice quantum
     return arrays, metas
 
 
@@ -455,20 +456,28 @@ def use_fused_decode() -> bool:
 
 def pack_decode_batch_auto(fczs):
     """Backend-matched pack: ragged lanes for the fused decode, the
-    [B, S] grid for the XLA cores."""
+    [B, S] grid for the XLA cores.
+
+    Falls back to the XLA path when any segment is wider than 64 records
+    (a user-raised --break): the fused backbone kernel's VMEM scratch
+    scales with 3*SEG and overflows the 16 MB scoped budget past ~96."""
     if use_fused_decode():
-        return pack_decode_batch_lanes(fczs)
+        seg_max = max(max(segments_of(f)[1]) for f in fczs)
+        if seg_max <= 64:
+            return pack_decode_batch_lanes(fczs)
     return pack_decode_batch_seg(fczs)
 
 
 def _seg_decode_arrays(arrays, refine_iters=2):
     if "fwd9" in arrays:          # ragged-lane pack -> fused Pallas path
         from ..kernels.pallas_decode import decode_seg_fused
+        nl_out = arrays.get("nl_out")
         return decode_seg_fused(
             arrays["seg_records"], arrays["mins_lane"],
             arrays["cont_lane"], arrays["sc_codes_seg"], arrays["fwd9"],
             arrays["rev9"], arrays["is_first"], arrays["seg_m"],
-            refine_iters=refine_iters)
+            refine_iters=refine_iters,
+            nl_out=int(nl_out) if nl_out is not None else None)
     from ..kernels.decode import decode_seg_batch_core
     return decode_seg_batch_core(
         arrays["seg_records"], arrays["mins_lane"], arrays["cont_lane"],

@@ -168,14 +168,19 @@ def _make_tails_kernel(seg):
 
         tat = tat_ref[0]
         tf = jnp.maximum(tat.astype(F32), F32(1.0))
-        acc = [jnp.zeros_like(tf) for _ in range(9)]
-        for r in range(t):
+        zero = jnp.minimum(tf, F32(0.0)) * F32(0.0)
+
+        def acc_body(r, acc):
             fxr, fyr, fzr = fx_ref[r], fy_ref[r], fz_ref[r]
+            out = list(acc)
             for kk in range(3):
                 m = r == (tat - 3 + kk)
-                acc[0 * 3 + kk] = jnp.where(m, fxr, acc[0 * 3 + kk])
-                acc[1 * 3 + kk] = jnp.where(m, fyr, acc[1 * 3 + kk])
-                acc[2 * 3 + kk] = jnp.where(m, fzr, acc[2 * 3 + kk])
+                out[0 * 3 + kk] = jnp.where(m, fxr, acc[0 * 3 + kk])
+                out[1 * 3 + kk] = jnp.where(m, fyr, acc[1 * 3 + kk])
+                out[2 * 3 + kk] = jnp.where(m, fzr, acc[2 * 3 + kk])
+            return tuple(out)
+
+        acc = jax.lax.fori_loop(0, t, acc_body, (zero,) * 9)
         # blend tail rows against the stored next-anchor (N, CA, C):
         # row t-3+kk has reverse weight w_r = t-3+kk (the reverse pass
         # holds the anchor verbatim there)
@@ -246,12 +251,16 @@ def _make_backbone_kernel(seg):
         jax.lax.fori_loop(0, t, rev_body, (zero,) * 9)
 
         tf = jnp.maximum(tat.astype(F32), F32(1.0))
-        for j in range(t):
-            w_r = F32(j)
+
+        def blend_body(j, _):
+            w_r = j.astype(F32)
             w_f = tat.astype(F32) - w_r
             ox_ref[j] = (fx_ref[j] * w_f + rx_ref[j] * w_r) / tf
             oy_ref[j] = (fy_ref[j] * w_f + ry_ref[j] * w_r) / tf
             oz_ref[j] = (fz_ref[j] * w_f + rz_ref[j] * w_r) / tf
+            return 0
+
+        jax.lax.fori_loop(0, t, blend_body, 0)
 
     return kernel
 
@@ -292,13 +301,22 @@ def _sel_pred(code, rows_x, rows_y, rows_z, col):
     return ax, ay, az
 
 
-def _make_sidechain_kernel(seg):
+_SB_SC = 8   # residues per sidechain grid step (seg_pad is 8-bucketed)
+
+
+def _make_sidechain_kernel():
     """Per-residue side-chain placement + compact int16 conversion.
 
-    Inputs: blended backbone rows [T, G, 128] x3, residue codes
-    [SEG, G, 128] i32, dequantized side-chain torsions [11*SEG, G, 128].
-    Outputs: off i16 [3*14*SEG, G, 128] (rows (c*14+k)*SEG+s) and
-    ca f32 [3*SEG, G, 128] (rows c*SEG+s)."""
+    Blocked over BOTH lanes and residues (2D grid) so VMEM use is
+    independent of the segment width — at SEG=48 (long-segment corpora)
+    a whole-SEG block OOM'd the 16 MB scoped vmem. Row layouts are
+    s-major so each s-block's rows are contiguous:
+
+    inputs:  backbone rows [3*SB, G, 128] x3 (rows 3*s+atom),
+             residue codes [SB, G, 128] i32,
+             side-chain torsions [11*SB, G, 128] (rows s*11 + j)
+    outputs: off i16 [42*SB, G, 128] (rows s*42 + k*3 + c),
+             ca f32 [3*SB, G, 128] (rows s*3 + c)."""
 
     def kernel(bx_ref, by_ref, bz_ref, code_ref, sct_ref, off_ref, ca_ref):
         def body(s, _):
@@ -312,16 +330,16 @@ def _make_sidechain_kernel(seg):
                 c = _sel_pred(code, rows_x, rows_y, rows_z, _PRED[:, k, 2])
                 bl = _chain_const(code, _BLEN[:, k])
                 ba = _chain_const(code, _BANG[:, k])
-                tor = sct_ref[(k - 3) * seg + s]
+                tor = sct_ref[s * 11 + (k - 3)]
                 ox, oy, oz = place_atom_c(a[0], a[1], a[2], b[0], b[1], b[2],
                                           c[0], c[1], c[2], bl, ba, tor)
                 rows_x.append(ox)
                 rows_y.append(oy)
                 rows_z.append(oz)
             cax, cay, caz = rows_x[1], rows_y[1], rows_z[1]
-            ca_ref[s] = cax
-            ca_ref[seg + s] = cay
-            ca_ref[2 * seg + s] = caz
+            ca_ref[s * 3] = cax
+            ca_ref[s * 3 + 1] = cay
+            ca_ref[s * 3 + 2] = caz
             # off rows in (k, c)-major order so the epilogue transpose
             # yields per-lane [SEG, 42] rows whose [42] reshape directly
             # to the host's [14, 3] atom block (no host transpose)
@@ -330,10 +348,10 @@ def _make_sidechain_kernel(seg):
                 for k in range(MAX_ATOM):
                     off = jnp.clip(jnp.round((rows[k] - cav) * F32(1000.0)),
                                    -32767.0, 32767.0).astype(jnp.int16)
-                    off_ref[(k * 3 + ci) * seg + s] = off
+                    off_ref[s * 42 + k * 3 + ci] = off
             return 0
 
-        jax.lax.fori_loop(0, seg, body, 0)
+        jax.lax.fori_loop(0, _SB_SC, body, 0)
 
     return kernel
 
@@ -342,10 +360,10 @@ def _blocked(x, rows, np_):
     return x.reshape(rows, np_ // 128, 128)
 
 
-@partial(jax.jit, static_argnames=("refine_iters", "interpret"))
+@partial(jax.jit, static_argnames=("refine_iters", "interpret", "nl_out"))
 def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
                      fwd9, rev9, is_first, seg_m, refine_iters: int = 2,
-                     interpret: bool = False):
+                     interpret: bool = False, nl_out: int | None = None):
     """Fused-kernel ragged-lane decode (pack_decode_batch_lanes arrays).
 
     Returns per-lane compact rows: (off i16 [NL, SEG, 42], ca f32
@@ -374,8 +392,10 @@ def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
                       cont(ncac_q, 3), cont(cacn_q, 4), cont(cnca_q, 5)],
                      axis=1).reshape(seg * 6, n)
     bl_ca = jnp.where(res_code == PRO_CODE, _PRO_N_TO_CA, _N_TO_CA)
-    sct = (sc_codes_seg.astype(F32) * _SC_CONT_F + _SC_MIN) \
-        .reshape(11 * seg, n)
+    # s-major torsion rows (s*11 + j) so the sidechain kernel's s-blocks
+    # read contiguous row ranges
+    sct = jnp.transpose(sc_codes_seg.astype(F32) * _SC_CONT_F + _SC_MIN,
+                        (1, 0, 2)).reshape(11 * seg, n)
     tat = (3 * seg_m).astype(I32)[None, :]                 # [1, N]
 
     ang6_p = _blocked(ang6, seg * 6, np_)
@@ -430,17 +450,24 @@ def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
         interpret=interpret,
     )(ang6_p, blca_p, seeds_p, rev9_p, tat_p)
 
-    # ---- kernel 3: side chains + compact int16 ----
-    grid_sc = (np_ // (128 * _G_SC),)
+    # ---- kernel 3: side chains + compact int16 (2D grid: lanes x
+    # residue blocks, so VMEM is independent of the segment width) ----
+    sb = _SB_SC
+
+    def _spec2(rows_per_s, g):
+        return pl.BlockSpec((rows_per_s * sb, g, 128),
+                            lambda i, j: (j, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_sc = (np_ // (128 * _G_SC), seg // sb)
     off, ca = pl.pallas_call(
-        _make_sidechain_kernel(seg),
+        _make_sidechain_kernel(),
         grid=grid_sc,
-        in_specs=[_spec(t, _G_SC), _spec(t, _G_SC), _spec(t, _G_SC),
-                  _spec(seg, _G_SC), _spec(11 * seg, _G_SC)],
-        out_specs=(_spec(3 * MAX_ATOM * seg, _G_SC), _spec(3 * seg, _G_SC)),
+        in_specs=[_spec2(3, _G_SC), _spec2(3, _G_SC), _spec2(3, _G_SC),
+                  _spec2(1, _G_SC), _spec2(11, _G_SC)],
+        out_specs=(_spec2(42, _G_SC), _spec2(3, _G_SC)),
         out_shape=(
-            jax.ShapeDtypeStruct((3 * MAX_ATOM * seg, np_ // 128, 128),
-                                 jnp.int16),
+            jax.ShapeDtypeStruct((42 * seg, np_ // 128, 128), jnp.int16),
             jax.ShapeDtypeStruct((3 * seg, np_ // 128, 128), F32),
         ),
         interpret=interpret,
@@ -449,7 +476,13 @@ def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
     # ---- XLA epilogue: transpose to per-lane rows (measured free — the
     # relayout hides in the fusion; a per-residue gather here would cost
     # ~10 ms at B=2048 regardless of formulation) ----
-    off_t = jnp.transpose(off.reshape(3 * MAX_ATOM, seg, np_),
-                          (2, 1, 0))                       # [NL, SEG, 42]
-    ca_t = jnp.transpose(ca.reshape(3, seg, np_), (2, 1, 0))
+    off_t = jnp.transpose(off.reshape(seg, 3 * MAX_ATOM, np_),
+                          (2, 0, 1))                       # [NL, SEG, 42]
+    ca_t = jnp.transpose(ca.reshape(seg, 3, np_), (2, 0, 1))
+    if nl_out is not None and nl_out < np_:
+        # D2H slice to a finer lane quantum than the kernel's 1024-lane
+        # block (the wire pads 33% on 128-entry uniform batches
+        # otherwise; the host<->device link is the e2e bound)
+        off_t = off_t[:nl_out]
+        ca_t = ca_t[:nl_out]
     return off_t, ca_t

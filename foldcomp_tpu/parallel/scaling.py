@@ -324,6 +324,103 @@ def measure_multiprocess_scaling(proc_counts, n_entries: int = 2000,
             "mixed": mixed, "pinned": pin, "trials": trials}
 
 
+def measure_hybrid_additivity(n_native: int = 4, n_entries: int = 4096,
+                              trials: int = 3, workdir: str = None):
+    """Hybrid-vs-parts additivity on db->db decompress (VERDICT r3 #7).
+
+    Three configurations over the SAME synthetic db, each in a FRESH
+    subprocess (bench.py round 4: in-process runs hand the parent's jax
+    runtime threads a share of the CPU the native workers should get):
+
+    - cpu_only:     `decompress --exact -t N` (hybrid scheduler, native
+                    workers only)
+    - device_alone: `decompress --fast` (device-only pipeline)
+    - hybrid:       `decompress -t N` with the link probe forced 'ok'
+                    (N native workers + the in-process device stream)
+
+    additivity = hybrid / (cpu_only + device_alone). On a host with
+    n_cores <= N the hybrid's device-stream host threads (parse, pack,
+    format) necessarily displace native-worker CPU, so rows where
+    N + 1 > n_cores are labeled out_of_gate — additivity there reports
+    the honest measured gap, not a failure. Trials are interleaved
+    across configurations; medians published with IQR."""
+    import os
+    import shutil
+    import statistics
+    import subprocess
+    import sys
+    import tempfile
+
+    own_workdir = workdir is None
+    if own_workdir:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        workdir = tempfile.mkdtemp(prefix="fc_hyb_", dir=base)
+    db = os.path.join(workdir, "syn_db")
+    total_res = build_synthetic_db(db, n_entries, mixed=True)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    n_cores = len(os.sched_getaffinity(0))
+
+    def run_cli(args, extra_env=None):
+        import time
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        env.update(extra_env or {})
+        out = os.path.join(workdir, "out_db")
+        shutil.rmtree(out, ignore_errors=True)
+        for f in os.listdir(workdir):
+            if f.startswith("out_db"):
+                try:
+                    os.unlink(os.path.join(workdir, f))
+                except OSError:
+                    pass
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, "-m", "foldcomp_tpu", "decompress", *args,
+             "-y", "-d", db, out], env=env, capture_output=True, cwd=repo)
+        wall = time.time() - t0
+        if r.returncode != 0:
+            raise RuntimeError(r.stderr[-2000:])
+        return total_res / wall
+
+    configs = {
+        "cpu_only": (["--exact", "-t", str(n_native)], {}),
+        "device_alone": (["--fast"], {}),
+        "hybrid": (["-t", str(n_native)], {"FOLDCOMP_TPU_LINK": "ok"}),
+    }
+    for name, (args, env) in configs.items():   # warmup (jit, page cache)
+        run_cli(args, env)
+    samples = {k: [] for k in configs}
+    for _ in range(trials):
+        for name, (args, env) in configs.items():
+            samples[name].append(run_cli(args, env))
+
+    def iqr(xs):
+        qs = statistics.quantiles(xs, n=4) if len(xs) >= 2 else [0, 0, 0]
+        return qs[2] - qs[0]
+
+    med = {k: statistics.median(v) for k, v in samples.items()}
+    if own_workdir:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "mode": "hybrid_additivity_decompress",
+        "n_native": n_native,
+        "n_cores": n_cores,
+        "n_entries": n_entries,
+        "total_residues": total_res,
+        "per_config": {k: {"median_res_s": round(med[k], 1),
+                           "iqr_res_s": round(iqr(v), 1),
+                           "trials": [round(x, 1) for x in v]}
+                       for k, v in samples.items()},
+        "additivity": round(med["hybrid"]
+                            / (med["cpu_only"] + med["device_alone"]), 3),
+        "hybrid_vs_cpu_only": round(med["hybrid"] / med["cpu_only"], 3),
+        # the hybrid's device stream adds host threads beyond the N
+        # native workers: with N+1 > n_cores the parts cannot add up
+        "out_of_gate": bool(n_native + 1 > n_cores),
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--devices", default="1,2,4,8")
@@ -339,7 +436,20 @@ def main(argv=None):
     p.add_argument("--no-pin", action="store_true")
     p.add_argument("--out", default=None, help="write JSON artifact here")
     p.add_argument("--fast", action="store_true")
+    p.add_argument("--hybrid-additivity", action="store_true",
+                   help="hybrid vs cpu-only + device-alone additivity")
+    p.add_argument("--native", type=int, default=4)
     args = p.parse_args(argv)
+    if args.hybrid_additivity:
+        summary = measure_hybrid_additivity(
+            n_native=args.native, n_entries=args.entries,
+            trials=args.trials)
+        text = json.dumps(summary, indent=1)
+        print(text)
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write(text + "\n")
+        return
     if args.multiprocess:
         counts = [int(x) for x in args.procs.split(",")]
         summary = measure_multiprocess_scaling(
