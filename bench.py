@@ -409,6 +409,29 @@ def bench_e2e_native(workdir, fcz_db, pdb_db, n_res_total, threads=4,
     return best_d, best_c
 
 
+def bench_host_rates(f, n=1024, iters=5):
+    """Single-thread host-side feed rates for the device pipeline:
+    fcz.parse and the batch pack (VERDICT r3 #5 visibility key). The
+    stream runs packs on a GIL-free worker pool (native fcz_pack_lanes),
+    so the aggregate feed scales with cores."""
+    from foldcomp_tpu.codec import fcz
+    from foldcomp_tpu.codec.batch import pack_decode_batch_auto
+
+    payload = fcz.serialize(f)
+    n_res = f.n_residue * n
+    best_parse = 0.0
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fs = [fcz.parse(payload) for _ in range(n)]
+        best_parse = max(best_parse, n_res / (time.perf_counter() - t0))
+    best_pack = 0.0
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        pack_decode_batch_auto(fs)
+        best_pack = max(best_pack, n_res / (time.perf_counter() - t0))
+    return best_parse, best_pack
+
+
 def bench_warm_start():
     """Fresh-process time to FIRST decoded output with a warm persistent
     compile cache (VERDICT r3 #6). The cache now verifiably covers the
@@ -462,6 +485,7 @@ def main():
     f = _load_fcz()
     frag, _ = _load_fragment()
     sync, sustained, roofline = bench_device_decode(jax, f)
+    parse_rate, pack_rate = bench_host_rates(f)
     warm_start = bench_warm_start()
     enc_rate = bench_device_encode(jax, frag)
     enc_sync, enc_sustained = bench_device_encode_resident(jax, frag)
@@ -521,6 +545,8 @@ def main():
         "hybrid_ge_native": bool(e2e_dec >= 0.95 * nat_dec
                                  and e2e_comp >= 0.95 * nat_comp),
         "warm_start_s": warm_start,
+        "host_parse_res_s": round(parse_rate, 1),
+        "host_pack_res_s": round(pack_rate, 1),
     }))
 
 

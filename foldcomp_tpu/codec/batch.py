@@ -312,7 +312,100 @@ def _ragged_arange(counts):
 LANE_PAD = 1024  # fused-kernel lane quantum (kernels/pallas_decode.py)
 
 
-def pack_decode_batch_lanes(fczs, seg_bucket: int = 8):
+def _pack_lanes_native(fczs, seg_bucket: int = 8,
+                       max_seg: int | None = None):
+    """One-pass C fill of the ragged-lane arrays (native/fccodec.c
+    fcz_pack_lanes) from per-entry FczData field pointers, GIL-free.
+    Byte-identical to the python pack (tests/test_pallas_fused.py);
+    returns None when the native library is unavailable or any entry's
+    field arrays are not plain contiguous numpy."""
+    import ctypes
+
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return NotImplemented   # python fallback
+    n = len(fczs)
+
+    def cptr(arrs, dtype):
+        ptrs = (ctypes.c_void_p * n)()
+        keep = []
+        for i, a in enumerate(arrs):
+            a = np.ascontiguousarray(a, dtype)
+            keep.append(a)
+            ptrs[i] = a.ctypes.data
+        return ptrs, keep
+
+    try:
+        nres = np.array([f.n_residue for f in fczs], np.int32)
+        na = np.array([f.n_anchor for f in fczs], np.int32)
+        n_scs = np.array([len(f.sc_codes) for f in fczs], np.int32)
+        tfmin = np.array([f.tf_min for f in fczs], F32)
+        tfcont = np.array([f.tf_cont for f in fczs], F32)
+        recs, k1 = cptr([f.records for f in fczs], np.uint8)
+        scs, k2 = cptr([f.sc_codes for f in fczs], np.uint8)
+        aidx, k3 = cptr([f.anchor_indices for f in fczs], np.int32)
+        axyz, k4 = cptr([f.anchor_coords for f in fczs], F32)
+        mins6, k5 = cptr([f.mins for f in fczs], F32)
+        cont6, k6 = cptr([f.cont_fs for f in fczs], F32)
+        tfc, k7 = cptr([f.tf_codes for f in fczs], np.uint8)
+    except (ValueError, TypeError):
+        return NotImplemented   # python fallback
+
+    r_tot = int(nres.sum(dtype=np.int64))
+    nl = int((na.astype(np.int64) - 1).sum())
+    nlp = _round_up(nl, LANE_PAD)
+    seg_max = int(lib.fcz_pack_seg_max(n, nres, na, aidx))
+    seg_pad = _round_up(seg_max, seg_bucket)
+
+    seg_records = np.empty((seg_pad, nlp, 8), np.uint8)
+    sc_seg = np.empty((11, seg_pad, nlp), np.uint8)
+    mins_lane = np.empty((nlp, 6), F32)
+    cont_lane = np.empty((nlp, 6), F32)
+    fwd9 = np.empty((9, nlp), F32)
+    rev9 = np.empty((9, nlp), F32)
+    is_first = np.empty(nlp, bool)
+    seg_m = np.empty(nlp, I32)
+    res_code = np.empty(r_tot, I32)
+    temp = np.empty(r_tot, F32)
+    lane_of = np.empty(r_tot, I32)
+    rec_of = np.empty(r_tot, I32)
+
+    if max_seg is not None and seg_max > max_seg:
+        return None             # caller falls back to the XLA-grid pack
+    got = lib.fcz_pack_lanes(
+        n, nres, na, recs, scs, n_scs, aidx, axyz, mins6, cont6,
+        tfmin, tfcont, tfc, nlp, seg_pad, r_tot,
+        seg_records.reshape(-1), sc_seg.reshape(-1),
+        mins_lane.reshape(-1), cont_lane.reshape(-1),
+        fwd9.reshape(-1), rev9.reshape(-1),
+        is_first.view(np.uint8), seg_m,
+        res_code, temp, lane_of, rec_of)
+    if got != nl:
+        return NotImplemented   # python fallback
+
+    metas = []
+    base = 0
+    for f in fczs:
+        lo, hi = base, base + f.n_residue
+        metas.append(SegDecodeMeta(
+            n_residue=f.n_residue, idx_residue=f.idx_residue,
+            idx_atom=f.idx_atom, chain=f.chain, title=f.title,
+            first_residue=f.first_residue, last_residue=f.last_residue,
+            has_oxt=f.has_oxt, oxt_coords=np.asarray(f.oxt_coords, F32),
+            res_code=res_code[lo:hi], temp=temp[lo:hi],
+            lane_of=lane_of[lo:hi], rec_of=rec_of[lo:hi], res_base=lo))
+        base = hi
+    arrays = dict(seg_records=seg_records, mins_lane=mins_lane,
+                  cont_lane=cont_lane, sc_codes_seg=sc_seg,
+                  fwd9=fwd9, rev9=rev9, is_first=is_first, seg_m=seg_m,
+                  nl_out=_round_up(nl, 512))
+    return arrays, metas
+
+
+def pack_decode_batch_lanes(fczs, seg_bucket: int = 8,
+                            native: bool = True,
+                            max_seg: int | None = None):
     """List[FczData] -> RAGGED-lane device arrays for the fused decode.
 
     Unlike pack_decode_batch_seg's [B, S_max] lane grid, lanes here exist
@@ -329,7 +422,16 @@ def pack_decode_batch_lanes(fczs, seg_bucket: int = 8):
     atom-major), and `is_first` marks each protein's first segment so the
     refine reseed can shift tails by ONE lane (segment s's seed is
     segment s-1's blended tail, foldcomp.cpp:849-857) with a plain roll.
+
+    When the native library is available the fill runs as ONE GIL-free
+    C call (native/fccodec.c fcz_pack_lanes) writing the device layouts
+    directly — the python pack's ~3.3 Mres/s/thread was the healthy-link
+    e2e ceiling (VERDICT r3 #5).
     """
+    if native:
+        got = _pack_lanes_native(fczs, seg_bucket, max_seg=max_seg)
+        if got is not NotImplemented:
+            return got
     b = len(fczs)
     nres = np.array([f.n_residue for f in fczs], np.int64)
     rec_base = np.zeros(b + 1, np.int64)
@@ -355,6 +457,8 @@ def pack_decode_batch_lanes(fczs, seg_bucket: int = 8):
                  np.minimum(a1 + 1, nres_rep - 1) - first), 1)
 
     nl = int(s_i.sum())
+    if max_seg is not None and int(counts_g.max()) > max_seg:
+        return None             # caller falls back to the XLA-grid pack
     nlp = _round_up(nl, LANE_PAD)
     seg_pad = _round_up(int(counts_g.max()), seg_bucket)
     ar = np.arange(seg_pad)
@@ -462,9 +566,9 @@ def pack_decode_batch_auto(fczs):
     (a user-raised --break): the fused backbone kernel's VMEM scratch
     scales with 3*SEG and overflows the 16 MB scoped budget past ~96."""
     if use_fused_decode():
-        seg_max = max(max(segments_of(f)[1]) for f in fczs)
-        if seg_max <= 64:
-            return pack_decode_batch_lanes(fczs)
+        got = pack_decode_batch_lanes(fczs, max_seg=64)
+        if got is not None:
+            return got
     return pack_decode_batch_seg(fczs)
 
 

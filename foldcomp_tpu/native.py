@@ -105,6 +105,18 @@ def _bind(lib):
     lib.fcz_db_extract_range.argtypes = [c.c_void_p, c.c_void_p, c.c_int,
                                          c.c_int64, c.c_int64, c.c_char_p,
                                          c.c_int, c.c_int, c.c_int]
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    vpp = c.POINTER(c.c_void_p)
+    lib.fcz_pack_seg_max.restype = c.c_int64
+    lib.fcz_pack_seg_max.argtypes = [c.c_int64, i32p, i32p,
+                                     c.POINTER(c.c_void_p)]
+    lib.fcz_pack_lanes.restype = c.c_int64
+    lib.fcz_pack_lanes.argtypes = [
+        c.c_int64, i32p, i32p, vpp, vpp, i32p, vpp, vpp, vpp, vpp,
+        f32p, f32p, vpp,
+        c.c_int64, c.c_int64, c.c_int64,
+        u8p, u8p, f32p, f32p, f32p, f32p, u8p, i32p,
+        i32p, f32p, i32p, i32p]
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.fcz_encode_atoms.restype = c.c_int64
     lib.fcz_encode_atoms.argtypes = [

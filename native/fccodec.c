@@ -1176,3 +1176,186 @@ int64_t fcz_db_extract_range(void* reader, void* writer, int out_fd,
     free(buf);
     return written;
 }
+
+/* ------------------------------------------------------------------ */
+/* Ragged-lane decode pack (codec/batch.py pack_decode_batch_lanes in
+ * C): fills the fused Pallas decode's device arrays directly in their
+ * transposed device layouts from per-entry FczData field pointers.
+ * The python pack peaks ~3.3 Mres/s/thread and is the healthy-link
+ * e2e ceiling (VERDICT r3 #5); this fill is one pass per output.
+ *
+ * Zeroed/preset outputs are the CALLER's job only where the C pass
+ * does not write every element: pad lanes beyond nl (all arrays) and
+ * clamped sc slots (sc_seg) are written explicitly here, so plain
+ * np.empty buffers are fine.
+ *
+ * Returns nl (real lanes) or <0 on inconsistent inputs. */
+int64_t fcz_pack_lanes(
+    int64_t n_entries,
+    const int32_t* nres, const int32_t* na,
+    const uint8_t** recs, const uint8_t** scs, const int32_t* n_scs,
+    const int32_t** aidx, const float** axyz,
+    const float** mins6, const float** cont6,
+    const float* tfmin, const float* tfcont, const uint8_t** tfcodes,
+    int64_t nlp, int64_t seg_pad, int64_t r_tot,
+    uint8_t* seg_records,   /* [seg_pad][nlp][8] */
+    uint8_t* sc_seg,        /* [11][seg_pad][nlp] */
+    float* mins_lane, float* cont_lane,      /* [nlp][6] */
+    float* fwd9, float* rev9,                /* [9][nlp] */
+    uint8_t* is_first, int32_t* seg_m,       /* [nlp] */
+    int32_t* res_code, float* temp,          /* [r_tot] */
+    int32_t* lane_of, int32_t* rec_of)       /* [r_tot] */
+{
+    /* per-lane tables */
+    int32_t* ent = (int32_t*)malloc((size_t)nlp * 4);
+    int32_t* fst = (int32_t*)malloc((size_t)nlp * 4);
+    int64_t* rbase = (int64_t*)malloc(((size_t)n_entries + 1) * 8);
+    int32_t* scoff = (int32_t*)malloc((size_t)r_tot * 4);
+    if (!ent || !fst || !rbase || !scoff) {
+        free(ent); free(fst); free(rbase); free(scoff);
+        return -12;
+    }
+    int64_t nl = 0, g = 0;
+    rbase[0] = 0;
+    for (int64_t e = 0; e < n_entries; e++) {
+        rbase[e + 1] = rbase[e] + nres[e];
+        int s_e = na[e] - 1;
+        if (s_e < 1 || nres[e] < 1) { nl = -2; break; }
+        for (int s = 0; s < s_e; s++) {
+            if (nl >= nlp) { nl = -3; break; }
+            int32_t first = aidx[e][s];
+            if (first > nres[e] - 1) first = nres[e] - 1;
+            int64_t count;
+            if (s == s_e - 1) {
+                count = nres[e] - first;
+            } else {
+                int32_t a1 = aidx[e][s + 1] + 1;
+                if (a1 > nres[e] - 1) a1 = nres[e] - 1;
+                count = (int64_t)a1 - first;
+            }
+            if (count < 1) count = 1;
+            if (count > seg_pad) { nl = -4; break; }
+            ent[nl] = (int32_t)e;
+            fst[nl] = first;
+            seg_m[nl] = (int32_t)count;
+            is_first[nl] = (s == 0);
+            memcpy(mins_lane + 6 * nl, mins6[e], 24);
+            memcpy(cont_lane + 6 * nl, cont6[e], 24);
+            for (int k = 0; k < 9; k++) {
+                fwd9[k * nlp + nl] = axyz[e][(int64_t)s * 9 + k];
+                rev9[k * nlp + nl] = axyz[e][((int64_t)s + 1) * 9 + k];
+            }
+            nl++;
+        }
+        if (nl < 0) break;
+    }
+    if (nl < 0 || rbase[n_entries] != r_tot) {
+        free(ent); free(fst); free(rbase); free(scoff);
+        return nl < 0 ? nl : -5;
+    }
+    /* pad lanes */
+    for (int64_t l = nl; l < nlp; l++) {
+        ent[l] = -1;
+        fst[l] = 0;
+        seg_m[l] = 1;
+        is_first[l] = 1;
+        memset(mins_lane + 6 * l, 0, 24);
+        memset(cont_lane + 6 * l, 0, 24);
+        for (int k = 0; k < 9; k++) {
+            fwd9[k * nlp + l] = 0.0f;
+            rev9[k * nlp + l] = 0.0f;
+        }
+    }
+
+    /* per-residue vectors + per-entry sc running offsets */
+    int64_t lane0 = 0;
+    for (int64_t e = 0; e < n_entries; e++) {
+        int s_e = na[e] - 1;
+        int s = 0;
+        int32_t off = 0;
+        const uint8_t* rr = recs[e];
+        const uint8_t* tc = tfcodes[e];
+        float tmin = tfmin[e], tcf = tfcont[e];
+        for (int32_t r = 0; r < nres[e]; r++, g++) {
+            int code = rr[(int64_t)r * 8] >> 3;
+            res_code[g] = code;
+            temp[g] = (float)tc[r] * tcf + tmin;
+            while (s + 1 < s_e && fst[lane0 + s + 1] <= r) s++;
+            lane_of[g] = (int32_t)(lane0 + s);
+            int32_t ro = r - fst[lane0 + s];
+            if (ro < 0) ro = 0;
+            if (ro > seg_pad - 1) ro = (int32_t)seg_pad - 1;
+            rec_of[g] = ro;
+            scoff[g] = off;
+            if (code < 20) {
+                int c = FC_N_ATOMS[code] - 3;
+                if (c > 0) off += c;
+            }
+        }
+        lane0 += s_e;
+    }
+
+    /* window-expanded records: sequential writes per j-row */
+    for (int64_t j = 0; j < seg_pad; j++) {
+        uint8_t* row = seg_records + j * nlp * 8;
+        for (int64_t l = 0; l < nl; l++) {
+            int32_t e = ent[l];
+            int64_t idx = fst[l] + j;
+            int64_t last = nres[e] - 1;
+            if (idx > last) idx = last;
+            memcpy(row + l * 8, recs[e] + idx * 8, 8);
+        }
+        if (nl < nlp) memset(row + nl * 8, 0, (size_t)(nlp - nl) * 8);
+    }
+
+    /* side-chain codes in [11][seg_pad][nlp] */
+    for (int k = 0; k < 11; k++) {
+        for (int64_t j = 0; j < seg_pad; j++) {
+            uint8_t* row = sc_seg + ((int64_t)k * seg_pad + j) * nlp;
+            for (int64_t l = 0; l < nl; l++) {
+                int32_t e = ent[l];
+                int64_t idx = fst[l] + j;
+                int64_t last = nres[e] - 1;
+                if (idx > last) idx = last;
+                int64_t gg = rbase[e] + idx;
+                int code = res_code[gg];
+                int cnt = (code < 20) ? FC_N_ATOMS[code] - 3 : 0;
+                uint8_t v = 0;
+                if (k < cnt) {
+                    int64_t so = (int64_t)scoff[gg] + k;
+                    if (so < n_scs[e]) v = scs[e][so];
+                }
+                row[l] = v;
+            }
+            if (nl < nlp) memset(row + nl, 0, (size_t)(nlp - nl));
+        }
+    }
+
+    free(ent); free(fst); free(rbase); free(scoff);
+    return nl;
+}
+
+/* Max records per segment across a batch (the pack's seg_pad sizing and
+ * the fused-path width guard) — the python segments_of loop costs ~15 ms
+ * per 2048-entry batch. */
+int64_t fcz_pack_seg_max(int64_t n_entries, const int32_t* nres,
+                         const int32_t* na, const int32_t** aidx) {
+    int64_t mx = 1;
+    for (int64_t e = 0; e < n_entries; e++) {
+        int s_e = na[e] - 1;
+        for (int s = 0; s < s_e; s++) {
+            int32_t first = aidx[e][s];
+            if (first > nres[e] - 1) first = nres[e] - 1;
+            int64_t count;
+            if (s == s_e - 1) {
+                count = nres[e] - first;
+            } else {
+                int32_t a1 = aidx[e][s + 1] + 1;
+                if (a1 > nres[e] - 1) a1 = nres[e] - 1;
+                count = (int64_t)a1 - first;
+            }
+            if (count > mx) mx = count;
+        }
+    }
+    return mx;
+}
