@@ -1177,6 +1177,17 @@ def run_warmup(inp: str) -> int:
     print(f"Warmed {plat} codec on {len(batch)}-entry batches: "
           f"decode {t_dec - t0:.1f}s, encode {t_enc - t_dec:.1f}s "
           f"(cached for future runs where the runtime supports it)")
+    # Seed the hybrid scheduler's cold horizon: time-to-first-decode here
+    # bounds the device stream's time-to-first-completion, so a host whose
+    # jobs are all too small for the device to ever join (and self-measure)
+    # still gets an estimate from one explicit `warmup` call.
+    try:
+        from .parallel.hybrid import EndgameGuard
+        guard = EndgameGuard.__new__(EndgameGuard)
+        guard._first_done_dt = t_dec - t0
+        guard.finalize()
+    except Exception:  # noqa: BLE001 — cache dir unwritable
+        pass
     return 0
 
 

@@ -106,12 +106,25 @@ class EndgameGuard:
     COMPLETED (entries written), not by claim cadence:
 
     - backlog cap: claimed-but-unfinished entries never exceed one batch
-      until the first completion, then two batches (wait, then retry);
-    - endgame: once the CPU workers' observed rate would finish every
-      remaining chunk before the device finishes one more, stop.
+      until the first completion, then ~four batches (wait, then retry);
+    - cold horizon: before the first completion the device's effective
+      rate is UNKNOWN and its warm-up (compile/trace/program upload) can
+      exceed a small job's whole native wall. The guard waits a short
+      grace for the CPU workers to establish a rate, then claims cold
+      only while the CPUs' remaining time exceeds the device's expected
+      warm-up — a PERSISTED measurement of time-to-first-completion from
+      previous runs on this host (default 5 s, override/force with
+      FOLDCOMP_TPU_WARMUP_EST);
+    - endgame: claim another chunk only if the device can drain its
+      current backlog PLUS that chunk before the CPU workers run out of
+      other work. (Round 4: the previous rule compared one chunk's time
+      against the remaining native time and ignored the backlog, so on a
+      starved link the already-claimed tail could extend the wall well
+      past native-only — observed 10x on a 2.3 s job.)
     """
 
     CLAIM, WAIT, STOP = "claim", "wait", "stop"
+    GRACE_S = 0.25
 
     def __init__(self, ctrl: ChunkController, chunk_entries: int,
                  batch_size: int, completed_fn):
@@ -124,6 +137,55 @@ class EndgameGuard:
         self.t0 = self._time()
         self.lo0 = ctrl.peek()[0]
         self.claimed_entries = 0
+        self.warmup_est = self._load_warmup_est()
+        self._first_done_dt = None
+
+    @staticmethod
+    def _warmup_path():
+        import os
+        cache = os.environ.get("FOLDCOMP_TPU_JAX_CACHE")
+        if cache == "0":                 # persistent cache disabled
+            return None
+        if not cache:
+            cache = os.path.join(os.path.expanduser("~"), ".cache",
+                                 "foldcomp_tpu_jax")
+        return os.path.join(cache, "device_warmup.json")
+
+    def _load_warmup_est(self) -> float:
+        import json
+        import os
+        env = os.environ.get("FOLDCOMP_TPU_WARMUP_EST")
+        if env is not None:
+            try:
+                return max(float(env), 0.0)
+            except ValueError:
+                pass
+        try:
+            path = self._warmup_path()
+            if path is None:
+                return 5.0
+            with open(path) as fh:
+                return max(float(json.load(fh)["warmup_s"]), 0.0)
+        except Exception:  # noqa: BLE001 — no cache yet / unreadable
+            return 5.0
+
+    def finalize(self):
+        """Persist the measured time-to-first-completion so the NEXT
+        run's cold horizon reflects this host/link, not the default."""
+        import json
+        import os
+        path = self._warmup_path()
+        if path is None or self._first_done_dt is None or \
+                os.environ.get("FOLDCOMP_TPU_WARMUP_EST") is not None:
+            return
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + f".{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump({"warmup_s": round(self._first_done_dt, 3)}, fh)
+            os.replace(tmp, path)
+        except OSError:
+            pass
 
     def note_claim(self, n_entries: int):
         self.claimed_entries += n_entries
@@ -133,6 +195,9 @@ class EndgameGuard:
         if hi - lo <= 0:
             return self.STOP
         completed = self.completed_fn()
+        dt = self._time() - self.t0
+        if completed and self._first_done_dt is None:
+            self._first_done_dt = dt
         # Backlog caps sized above the stream's maximum in-flight depth
         # (one batch queued + one dispatched + one awaiting drain), so a
         # WAIT can always be released by the consumer making progress —
@@ -142,21 +207,27 @@ class EndgameGuard:
             + self.chunk_entries
         if self.claimed_entries - completed >= cap:
             return self.WAIT
-        dt = self._time() - self.t0
         if dt <= 0:
-            return self.CLAIM
+            return self.WAIT
         native_rate = (lo - self.lo0) / dt          # chunks/s, all CPUs
-        if native_rate <= 0:
-            return self.CLAIM                       # CPUs idle or absent
         device_rate = completed / dt                # entries/s
+        eager = self.warmup_est == 0    # FOLDCOMP_TPU_WARMUP_EST=0: tests/
+        # benches that must exercise the device path claim unconditionally
+        if native_rate <= 0:
+            # CPUs have claimed nothing yet: give them a grace beat to
+            # establish a rate (protects tiny jobs from a cold grab);
+            # past the grace there are no effective CPU workers — run.
+            return self.CLAIM if eager or dt >= self.GRACE_S \
+                or device_rate > 0 else self.WAIT
+        remaining_s = (hi - lo) / native_rate
         if device_rate <= 0:
-            # nothing delivered yet (still compiling): claim only while
-            # the CPUs would not finish everything within a beat anyway
-            return self.CLAIM if (hi - lo) / native_rate > 1.0 \
-                else self.STOP
-        chunk_s = self.chunk_entries / device_rate
-        return self.CLAIM if (hi - lo) / native_rate > chunk_s \
-            else self.STOP
+            # nothing delivered yet (warming up): claim only while the
+            # CPUs alone would outlast the device's expected warm-up
+            return self.CLAIM if eager \
+                or remaining_s > max(self.warmup_est, 1.0) else self.STOP
+        backlog = max(self.claimed_entries - completed, 0)
+        drain_s = (backlog + self.chunk_entries) / device_rate
+        return self.CLAIM if remaining_s > drain_s else self.STOP
 
     def take_back(self):
         """Guarded claim: returns a chunk index or None (stop)."""
@@ -351,6 +422,8 @@ def _device_decompress(reader, writer, ctrl, chunk_entries, batch_size,
                                      prefetch=1, bucket_window=1):
         writer.append(text.encode() + b"\x00", f.entry_key, f.entry_name)
         done.add(f.entry_pos)
+    guard.next_action()   # record first-completion time if not yet seen
+    guard.finalize()
 
 
 def _device_compress(reader, writer, ctrl, chunk_entries, batch_size,

@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 # (tests exercising the decision logic monkeypatch the seams directly).
 os.environ.setdefault("FOLDCOMP_TPU_LINK", "none")
 
+# The hybrid scheduler's cold horizon would keep the device stream out of
+# the tiny test jobs (by design — see EndgameGuard); tests are about the
+# device path's CORRECTNESS, so force cold claims on. Guard-logic tests
+# override this locally.
+os.environ.setdefault("FOLDCOMP_TPU_WARMUP_EST", "0")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

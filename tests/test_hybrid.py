@@ -15,6 +15,112 @@ from foldcomp_tpu.io.db import DatabaseReader
 from foldcomp_tpu.parallel.hybrid import ChunkController, run_hybrid_db
 
 
+def _mk_guard(tmp_path, monkeypatch, n_chunks=100, chunk_entries=64,
+              batch_size=512, completed=lambda: 0, warmup_env=None):
+    from foldcomp_tpu.parallel.hybrid import EndgameGuard
+    if warmup_env is None:
+        monkeypatch.delenv("FOLDCOMP_TPU_WARMUP_EST", raising=False)
+        # point the persisted-estimate file somewhere empty
+        monkeypatch.setenv("FOLDCOMP_TPU_JAX_CACHE",
+                           str(tmp_path / "cache"))
+    else:
+        monkeypatch.setenv("FOLDCOMP_TPU_WARMUP_EST", warmup_env)
+    ctrl = ChunkController.create(str(tmp_path / "g_ctrl"), n_chunks)
+    g = EndgameGuard(ctrl, chunk_entries, batch_size, completed)
+    return ctrl, g
+
+
+def test_guard_small_job_cold_stop(tmp_path, monkeypatch):
+    """Cold device + CPUs that will finish before the device warm-up:
+    the guard STOPs without the device claiming anything (the round-3
+    regression: a 2.3 s job lost 10x to a cold-claimed backlog)."""
+    ctrl, g = _mk_guard(tmp_path, monkeypatch, n_chunks=100,
+                        warmup_env="5.0")
+    # simulate: 0.3 s in, CPUs have drained 30 chunks (rate 100/s ->
+    # remaining 0.7 s < 5 s warm-up horizon)
+    for _ in range(30):
+        ctrl.take_front()
+    t0 = g.t0
+    g._time = lambda: t0 + 0.3
+    assert g.next_action() == g.STOP
+    assert g.claimed_entries == 0
+
+
+def test_guard_large_job_cold_claims(tmp_path, monkeypatch):
+    """Cold device + a job big enough to outlast the warm-up: claim."""
+    ctrl, g = _mk_guard(tmp_path, monkeypatch, n_chunks=10000,
+                        warmup_env="5.0")
+    for _ in range(3):
+        ctrl.take_front()     # CPUs: 10 chunks/s -> ~1000 s remaining
+    t0 = g.t0
+    g._time = lambda: t0 + 0.3
+    assert g.next_action() == g.CLAIM
+
+
+def test_guard_grace_then_solo(tmp_path, monkeypatch):
+    """No CPU progress: WAIT inside the grace beat, CLAIM after it
+    (device-only job must still run)."""
+    ctrl, g = _mk_guard(tmp_path, monkeypatch, warmup_env="5.0")
+    t0 = g.t0
+    g._time = lambda: t0 + 0.1
+    assert g.next_action() == g.WAIT
+    g._time = lambda: t0 + 0.5
+    assert g.next_action() == g.CLAIM
+
+
+def test_guard_backlog_aware_endgame(tmp_path, monkeypatch):
+    """Warm device with a deep backlog: STOP when backlog drain time
+    exceeds the CPUs' remaining time, even though one chunk alone would
+    fit (the old rule ignored the backlog)."""
+    done = {"n": 0}
+    ctrl, g = _mk_guard(tmp_path, monkeypatch, n_chunks=1000,
+                        chunk_entries=64, batch_size=512,
+                        completed=lambda: done["n"], warmup_env="5.0")
+    t0 = g.t0
+    # device completed 200 entries in 10 s (20/s), claimed 1200 ->
+    # backlog 1000 entries = 50 s of drain; CPUs at 80 chunks/10s = 8/s
+    # with 920 chunks left = 115 s remaining > drain -> still CLAIM
+    g.note_claim(1200)
+    done["n"] = 200
+    for _ in range(80):
+        ctrl.take_front()
+    g._time = lambda: t0 + 10.0
+    assert g.next_action() == g.CLAIM
+    # CPUs nearly done (10 chunks left = 1.25 s) << 50 s drain -> STOP
+    for _ in range(910):
+        ctrl.take_front()
+    assert g.next_action() == g.STOP
+
+
+def test_guard_eager_mode_claims_cold(tmp_path, monkeypatch):
+    """FOLDCOMP_TPU_WARMUP_EST=0 (the suite default) claims cold even on
+    tiny jobs, keeping the device path exercised."""
+    ctrl, g = _mk_guard(tmp_path, monkeypatch, n_chunks=4,
+                        warmup_env="0")
+    for _ in range(2):
+        ctrl.take_front()
+    t0 = g.t0
+    g._time = lambda: t0 + 0.3
+    assert g.next_action() == g.CLAIM
+
+
+def test_guard_persists_measured_warmup(tmp_path, monkeypatch):
+    """finalize() writes the measured time-to-first-completion; a new
+    guard loads it as its cold horizon."""
+    done = {"n": 0}
+    ctrl, g = _mk_guard(tmp_path, monkeypatch,
+                        completed=lambda: done["n"])
+    assert g.warmup_est == 5.0          # default, nothing persisted yet
+    t0 = g.t0
+    done["n"] = 512
+    g._time = lambda: t0 + 2.5
+    g.next_action()
+    g.finalize()
+    from foldcomp_tpu.parallel.hybrid import EndgameGuard
+    g2 = EndgameGuard(ctrl, 64, 512, lambda: 0)
+    assert abs(g2.warmup_est - 2.5) < 0.2
+
+
 def test_chunk_controller_two_pointer(tmp_path):
     p = str(tmp_path / "ctrl")
     ctrl = ChunkController.create(p, 5)
