@@ -23,6 +23,13 @@ from .fcz import FczData, unpack_records
 F32 = np.float32
 I32 = np.int32
 
+# Flipped to True the first time a device batch completes IN THIS PROCESS.
+# The hybrid scheduler's EndgameGuard reads it: a warm in-process pipeline
+# reaches its first completion in one dispatch, so the persisted
+# cold-start estimate (trace + compile + program upload) would wrongly
+# sideline the device on short jobs that follow a warm one.
+DEVICE_WARMED = False
+
 
 def _round_up(x: int, m: int) -> int:
     return ((max(x, 1) + m - 1) // m) * m
@@ -591,10 +598,14 @@ def _seg_decode_arrays(arrays, refine_iters=2):
 
 def _outs_to_host(outs):
     """Device decode output -> host arrays (full or compact form)."""
+    global DEVICE_WARMED
     if isinstance(outs, tuple):
         off, ca = outs
-        return np.asarray(off), np.asarray(ca)
-    return np.asarray(outs)
+        res = (np.asarray(off), np.asarray(ca))
+    else:
+        res = np.asarray(outs)
+    DEVICE_WARMED = True
+    return res
 
 
 def _gather_a14(outs_np, m):
@@ -1693,7 +1704,9 @@ def encode_finish(handle):
     frag_meta = handle["frag_meta"]
     anchor_threshold = handle["anchor_threshold"]
     atom14, res_code = handle["atom14"], handle["res_code"]
+    global DEVICE_WARMED
     parts = {k: np.asarray(v) for k, v in handle["parts"].items()}
+    DEVICE_WARMED = True
     finish = finish_encode_device if handle["device_bb"] \
         else finish_encode_host
     out = finish(parts, atom14, res_code, handle["tf_ca"],

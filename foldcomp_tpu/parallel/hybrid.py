@@ -137,6 +137,12 @@ class EndgameGuard:
         self.t0 = self._time()
         self.lo0 = ctrl.peek()[0]
         self.claimed_entries = 0
+        try:
+            from ..codec import batch as _batch
+            self._in_process_warm = bool(getattr(_batch, "DEVICE_WARMED",
+                                                 False))
+        except Exception:  # noqa: BLE001
+            self._in_process_warm = False
         self.warmup_est = self._load_warmup_est()
         self._first_done_dt = None
 
@@ -160,6 +166,10 @@ class EndgameGuard:
                 return max(float(env), 0.0)
             except ValueError:
                 pass
+        if self._in_process_warm:
+            # pipeline already compiled + dispatched in this process:
+            # first completion is one dispatch away, not a cold start
+            return 0.5
         try:
             path = self._warmup_path()
             if path is None:
@@ -176,6 +186,7 @@ class EndgameGuard:
         import os
         path = self._warmup_path()
         if path is None or self._first_done_dt is None or \
+                getattr(self, "_in_process_warm", False) or \
                 os.environ.get("FOLDCOMP_TPU_WARMUP_EST") is not None:
             return
         try:

@@ -17,7 +17,11 @@ from foldcomp_tpu.parallel.hybrid import ChunkController, run_hybrid_db
 
 def _mk_guard(tmp_path, monkeypatch, n_chunks=100, chunk_entries=64,
               batch_size=512, completed=lambda: 0, warmup_env=None):
+    from foldcomp_tpu.codec import batch as _batch
     from foldcomp_tpu.parallel.hybrid import EndgameGuard
+    # earlier tests in this process may have completed device batches;
+    # guard tests model a FRESH process
+    monkeypatch.setattr(_batch, "DEVICE_WARMED", False)
     if warmup_env is None:
         monkeypatch.delenv("FOLDCOMP_TPU_WARMUP_EST", raising=False)
         # point the persisted-estimate file somewhere empty
@@ -102,6 +106,35 @@ def test_guard_eager_mode_claims_cold(tmp_path, monkeypatch):
     t0 = g.t0
     g._time = lambda: t0 + 0.3
     assert g.next_action() == g.CLAIM
+
+
+def test_guard_in_process_warm_overrides_cold_estimate(tmp_path,
+                                                       monkeypatch):
+    """A device pipeline that has already completed a batch in this
+    process gets a ~0.5 s horizon regardless of the persisted cold
+    estimate, and finalize() must NOT overwrite the cold estimate with
+    the warm measurement."""
+    import json
+
+    from foldcomp_tpu.codec import batch as _batch
+    from foldcomp_tpu.parallel.hybrid import EndgameGuard
+
+    monkeypatch.delenv("FOLDCOMP_TPU_WARMUP_EST", raising=False)
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    (cache / "device_warmup.json").write_text(
+        json.dumps({"warmup_s": 9.0}))
+    monkeypatch.setenv("FOLDCOMP_TPU_JAX_CACHE", str(cache))
+    monkeypatch.setattr(_batch, "DEVICE_WARMED", True)
+    ctrl = ChunkController.create(str(tmp_path / "w_ctrl"), 100)
+    g = EndgameGuard(ctrl, 64, 512, lambda: 64)
+    assert g.warmup_est == 0.5
+    t0 = g.t0
+    g._time = lambda: t0 + 0.1
+    g.next_action()
+    g.finalize()     # must not clobber the 9.0 cold estimate
+    assert json.loads(
+        (cache / "device_warmup.json").read_text())["warmup_s"] == 9.0
 
 
 def test_guard_persists_measured_warmup(tmp_path, monkeypatch):
