@@ -255,6 +255,42 @@ def test_hybrid_decompress_matches_direct(tmp_path, ref_test_dir,
     got.close()
 
 
+def test_hybrid_cold_horizon_routes_small_job_native(tmp_path,
+                                                     ref_test_dir,
+                                                     monkeypatch):
+    """With a warm-up estimate far above the job's native wall, the
+    device stream must claim nothing: every output entry is byte-exact
+    (device-decoded entries are quantization- but not byte-identical,
+    so one non-exact entry would prove a device claim)."""
+    require_fixture("example_db.dbtype")
+    monkeypatch.setenv("FOLDCOMP_TPU_WARMUP_EST", "1e9")
+    from foldcomp_tpu.codec import batch as _batch
+    monkeypatch.setattr(_batch, "DEVICE_WARMED", False)
+
+    db = str(ref_test_dir / "example_db")
+    out = str(tmp_path / "merged")
+    rc = run_hybrid_db("decompress", db, out, n_native=2, chunk_entries=3,
+                       batch_size=8, use_device=True)
+    assert rc == 0
+
+    from foldcomp_tpu.codec import fcz
+    from foldcomp_tpu.codec.decoder import decode
+    from foldcomp_tpu.io.pdb import format_pdb
+
+    ref = DatabaseReader(db, use_lookup=True)
+    got = DatabaseReader(out, use_lookup=True)
+    assert len(got) == len(ref) == 24
+    texts = {got.get_key(p): bytes(got.get_data(p)).rstrip(b"\x00")
+             for p in range(len(got))}
+    for pos in range(len(ref)):
+        key = ref.get_key(pos)
+        f = fcz.parse(bytes(ref.get_data(pos)).rstrip(b"\x00"))
+        want = format_pdb(decode(f), f.title).encode()
+        assert texts[key] == want, f"device stream claimed entry {key}"
+    ref.close()
+    got.close()
+
+
 def test_hybrid_compress_matches_native(tmp_path, ref_test_dir):
     """Hybrid compress output is byte-identical per key to the native
     sharded path (the device encode is bit-parity by construction)."""
