@@ -75,6 +75,30 @@ def _div1000_cr(xi):
     return refine(refine(xf * c))
 
 
+def _sc_quant_tail(cos_t, det_neg, bad):
+    """Side-chain quantization tail from the raw dihedral cosine.
+
+    cos_t [K, B] f32 = inner / sqrt(denom2-or-1), det_neg/bad bool masks.
+    Shared verbatim between the XLA path (_sc_q_flags) and the fused
+    Pallas path (pallas_encode) so the quantized code + rescue flag are
+    identical by construction. Returns (q u8, flag u8)."""
+    deg = F32(57.29577951308232)
+    ang = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0)) * deg
+    nan_like = bad | (jnp.abs(cos_t) > 1.0)
+    ang = jnp.where(nan_like,
+                    jnp.where(cos_t < 0, F32(180.0), F32(0.0)), ang)
+    ang = jnp.where(det_neg, -ang, ang)
+    t = (ang + F32(180.0)) * _SC_DISC_F
+    t = jnp.where(jnp.isnan(t) | (t < 0), F32(0.0), t)
+    q = jnp.clip(t.astype(I32), 0, 255).astype(jnp.uint8)
+    amp = jax.lax.rsqrt(jnp.maximum(F32(1.0) - cos_t * cos_t,
+                                    F32(1e-12)))
+    tol = _SC_DISC_F * deg * F32(1e-6) * (F32(1.0) + amp) + F32(2e-4)
+    dist = jnp.abs(t - jnp.round(t))
+    flag = ((dist < tol) | nan_like).astype(jnp.uint8)
+    return q, flag
+
+
 def _sc_q_flags(atom14, res_code):
     """Shared body: side-chain quantization + packed rescue flags.
 
@@ -115,7 +139,6 @@ def _sc_q_flags(atom14, res_code):
         return acc
 
     qs, flags = [], []
-    deg = F32(57.29577951308232)
     for k in range(3, MAX_ATOM):
         m = 3 * (k - 3)
         p0, p1, p2 = vals[m], vals[m + 1], vals[m + 2]
@@ -129,19 +152,8 @@ def _sc_q_flags(atom14, res_code):
             sxa[k], sya[k], sza[k])
         bad = denom2 <= 0.0
         cos_t = inner / jnp.sqrt(jnp.where(bad, F32(1.0), denom2))
-        ang = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0)) * deg
-        nan_like = bad | (jnp.abs(cos_t) > 1.0)
-        ang = jnp.where(nan_like,
-                        jnp.where(cos_t < 0, F32(180.0), F32(0.0)), ang)
-        ang = jnp.where(det < 0, -ang, ang)
-        t = (ang + F32(180.0)) * _SC_DISC_F
-        t = jnp.where(jnp.isnan(t) | (t < 0), F32(0.0), t)
-        q = jnp.clip(t.astype(I32), 0, 255).astype(jnp.uint8)
-        amp = jax.lax.rsqrt(jnp.maximum(F32(1.0) - cos_t * cos_t,
-                                        F32(1e-12)))
-        tol = _SC_DISC_F * deg * F32(1e-6) * (F32(1.0) + amp) + F32(2e-4)
-        dist = jnp.abs(t - jnp.round(t))
-        flags.append(((dist < tol) | nan_like).astype(jnp.uint8))
+        q, fl = _sc_quant_tail(cos_t, det < 0, bad)
+        flags.append(fl)
         qs.append(q)
     # pack the 11 flag planes into one u16 bitfield per residue (the
     # flags are ~1e-3 sparse: 11 bytes -> 2 bytes of D2H per residue);
@@ -404,7 +416,17 @@ def _backbone_q_flags(atom14, res_code, n_res, parts_eps: float):
         b_delta = None
         b_big = b_tie | b_bad | (jnp.abs(b_cos) > 1.0)
     b_err = jnp.where(b_big, _BIGERR, _ang_err_deg(b_delta, b_amp, b_ang))
+    return _records_from_streams(t_ang, t_err, b_ang, b_err, res_code,
+                                 n_res, l)
 
+
+def _records_from_streams(t_ang, t_err, b_ang, b_err, res_code, n_res, l):
+    """Backbone tail: stream split + quantization + flags + packing.
+
+    t_ang/t_err [3L-3, B], b_ang/b_err [3L-2, B]. Shared verbatim between
+    the XLA path (_backbone_q_flags) and the fused Pallas path
+    (pallas_encode) so records/flags/candidates are identical by
+    construction."""
     i = jnp.arange(l - 1, dtype=I32)
     amask = i[:, None] < (n_res[None, :] - 1)        # [L-1, B]
 

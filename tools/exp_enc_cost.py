@@ -40,6 +40,10 @@ def main():
 
     frag = decode_fcz_batch([_load_fcz()])[0]
     a14, rc, tf, meta = fragment_to_tensors(frag)
+    # decoded coords aren't milli-exact; snap to the 3-decimal PDB grid
+    # (the CLI encode path always starts from parsed PDB text, which is)
+    a14 = (np.rint(a14 * np.float32(1000.0)).astype(np.int32)
+           .astype(np.float32) / np.float32(1000.0)).astype(np.float32)
     l_pad = _round_up(len(rc), 32)
 
     for b in [int(x) for x in args.sizes.split(",")]:
