@@ -565,6 +565,27 @@ def use_fused_decode() -> bool:
     return jax.default_backend() != "cpu"
 
 
+def use_fused_encode() -> str:
+    """Fused Pallas encode mode: "" (off — XLA core), "compiled"
+    (accelerator backend), or "interpret" (forced via
+    FOLDCOMP_TPU_FUSED_ENC=interpret — CPU parity testing).
+
+    Mirrors use_fused_decode: active by default on an accelerator when
+    the compact integer wire is on (the fused prologue is defined on the
+    int millicoordinate form only)."""
+    import os
+
+    import jax
+    mode = os.environ.get("FOLDCOMP_TPU_FUSED_ENC", "1")
+    if mode == "0":
+        return ""
+    if os.environ.get("FOLDCOMP_TPU_COMPACT", "1") == "0":
+        return ""
+    if mode == "interpret":
+        return "interpret"
+    return "compiled" if jax.default_backend() != "cpu" else ""
+
+
 def pack_decode_batch_auto(fczs):
     """Backend-matched pack: ragged lanes for the fused decode, the
     [B, S] grid for the XLA cores.
@@ -1674,7 +1695,19 @@ def encode_submit(frag_tensors, frag_meta, anchor_threshold: int = 25,
     compact = _compact_coord_batch(atom14)
     if device_bb:
         if compact is not None:
-            parts = encode_parity_core_compact(*compact, res_code, n_res)
+            fused = use_fused_encode()
+            parts = None
+            if fused:
+                from ..kernels.pallas_encode import \
+                    encode_parity_fused_compact
+                # None when the padded length exceeds the fused kernel's
+                # VMEM budget (MAX_L_FUSED) -> XLA core below
+                parts = encode_parity_fused_compact(
+                    *compact, res_code, n_res,
+                    interpret=(fused == "interpret"))
+            if parts is None:
+                parts = encode_parity_core_compact(*compact, res_code,
+                                                   n_res)
             delta_buf = compact[1]
         else:
             parts = encode_parity_core(atom14, res_code, n_res)

@@ -1,35 +1,44 @@
-"""Fused Pallas encode: the window/dihedral math in VMEM.
+"""Fused Pallas encode: one merged kernel, residues on lanes.
 
 Round-4 cost analysis (tools/exp_enc_cost.py) gave the device encode the
 same diagnosis the decode had: XLA models 4.5-4.7 KB of HBM "bytes
-accessed" per residue against a ~126 B true I/O signature, and the wall
-is nearly flat from B=512 to B=4096 (~18-24 ms) — a fixed dispatch cost
-of many small fusions, the big [B,L,14,3]->[14,3,L,B] relayout
-transposes, and full-array round-trips between stages
-(tools/exp_enc_stages.py: the angle math alone costs as much as the
-whole backbone stage).
+accessed" per residue against a ~126 B true I/O signature. Round 5
+measured where it actually goes (in-jit repeated timing, dispatch floor
+amortized): the [B, L*42] -> [rows, B] mega-transpose of the integer
+wire alone is ~3 ms at B=2048 — more than half the whole XLA encode —
+because an i16 lane<->sublane relayout of ~50 MB runs at ~16 GB/s.
 
-This module keeps the expensive middle in VMEM with two Pallas kernels:
+This version never performs that transpose. Layout choice: PROTEINS on
+sublanes, RESIDUES on lanes, (atom-slot x component) plane-major:
 
-- kernel `backbone` — sliding 4-atom window over the N/CA/C rows
-  (dihedral + bond-angle parts, torsion_angle.cpp:46-96 / float3d.h
-  op order, then the Dekker double-f32 cos emulation of the reference's
-  f64 promotion) with the 3-atom carry held in VMEM scratch across
-  residue blocks. Emits one dihedral cosine, one bond cosine, and a
-  guard/tie bitfield per atom row.
-- kernel `sidechain` — per-residue side-chain dihedral cosines over the
-  AA dependency graph (sidechain.cpp:170), chemistry tables baked in as
-  static where-chains (same gather-free pattern as
-  pallas_decode._sel_pred). Emits 11 cosines + a bitfield per residue.
+- XLA mini-prologue: [B, L, 42] -> [42, B, L] batched minor-dims
+  transpose of the i16 wire (~1.3 ms true, vs ~3 ms for the mega
+  transpose) + [B, L] present/code passthrough.
+- ONE Pallas kernel, grid over protein blocks, FULL protein on lanes
+  (no cross-block carry): unpack + correctly-rounded /1000
+  (kernels/encode._div1000_cr), backbone dihedral/bond cosines as
+  whole-plane vector ops (the sliding 4-atom window becomes one
+  lane-roll: atoms of residue r+1 are the same rows shifted one lane),
+  Dekker double-f32 cos emulation (torsion_angle.cpp:46-96 op order,
+  float3d.h bond order), side-chain dihedral cosines over the AA
+  dependency graph (sidechain.cpp:170) via gather-free where-chains
+  (pallas_decode._sel_pred). Everything stays in VMEM; outputs are
+  cosine/guard planes [3|11, B, L].
+- XLA epilogue in the SAME lanes-layout: acos (no Mosaic lowering for
+  acos), per-protein masked min/max over lanes, quantization + rescue
+  flags + record packing — no transposes anywhere; outputs land
+  directly in the host-consumed [B, L, ...] layout.
 
-Everything numerically delicate AFTER the cosine — acos, the error
+Everything numerically delicate after the cosine — acos, the error
 budget, per-protein min/max candidates, quantization, rescue flags,
-record packing — stays in XLA and is shared VERBATIM with the XLA path
-(kernels/encode.py `_records_from_streams` / `_sc_quant_tail`), so the
-fused outputs are identical by construction wherever the cosines are
-bit-equal; where they are not, the Dekker tie detection is
-self-certifying (a value only escapes the rescue flag when its own
-exact residual proves it correctly rounded).
+record packing — mirrors kernels/encode.py `_backbone_q_flags` /
+`_stream_q_flags` / `_sc_quant_tail` operation-for-operation (the
+side-chain tail is shared verbatim), so the fused outputs are identical
+by construction wherever the cosines are bit-equal; where they are not,
+the Dekker tie detection is self-certifying and the parts_eps widening
+(per-backend, 0 on TPU) flags the rest for host rescue. Byte parity is
+gated in interpret mode (tests/test_pallas_encode.py) and compiled
+on-hardware (foldcomp_tpu/verify.py, bench device_parity_ok).
 
 Wire: the compact integer millicoordinate form (codec/batch.py
 _compact_coord_batch); the correctly-rounded /1000 uses only IEEE-exact
@@ -44,8 +53,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.aatable import MAX_ATOM, PRED_IDX
+from .bitpack import pack_records
 from .encode import (_BIGERR, _DEG, _ang_err_deg, _cos_f64_emul,
-                     _div1000_cr, _records_from_streams, _sc_quant_tail)
+                     _div1000_cr, _sc_quant_tail, NBIN_BOND, NBIN_OMEGA,
+                     NBIN_PHI_PSI)
 from .pallas_decode import _sel_pred
 
 F32 = jnp.float32
@@ -53,149 +64,254 @@ I32 = jnp.int32
 
 _PRED = np.asarray(PRED_IDX, np.int32)   # [24, 14, 3]
 
-_G = 8                    # sublane groups per grid step (f32 tile = (8, 128))
-LANE_PAD = 128 * _G       # lane quantum of the fused encode
-_LB = 8                   # residues per backbone grid step
-_SB = 8                   # residues per sidechain grid step
+LANE_PAD = 128            # residue-lane quantum
+_PB = 16                  # proteins (sublanes) per grid step
+_BIGF = np.float32(3.4e38)
+
+# beyond this padded length the block VMEM footprint gets tight; the
+# caller falls back to the XLA core (encode_parity_core_compact)
+MAX_L_FUSED = 1536
 
 
-def _spec(rows, g):
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    return pl.BlockSpec((rows, g, 128), lambda i, j: (j, i, 0),
-                        memory_space=pltpu.VMEM)
+def _roll1(v):
+    """v[:, r] -> v[:, r+1] (next residue's value at this lane); the
+    wrap row lands in masked padding (full protein per block)."""
+    return jnp.concatenate([v[:, 1:], v[:, :1]], axis=1)
 
 
-def _make_backbone_kernel(lb):
-    """Sliding-window backbone cosines.
+def _dihedral_cos(d1, d2, d3, eps):
+    """Dihedral cosine planes from three (x, y, z) difference tuples.
 
-    in:  bbf [9*LB, G, 128] f32 rows 3*a + c (a = local atom, c = comp)
-    out: tcos/bcos [3*LB, G, 128] f32, bits [3*LB, G, 128] i32.
+    Exact op order of the XLA core (kernels/encode._backbone_q_flags,
+    mirroring torsion_angle.cpp:46-96): cross products, inner/denom2,
+    det sign, NaN-guard sentinels (+-2.0), Dekker f64-emulated division.
+    Returns (cos, bits, rel) — bits: 1 tie, 2 guard, 4 det<0,
+    32 det-within-noise (eps>0); rel = abs_inner*rsqrt(denom2) or None.
+    """
+    d1x, d1y, d1z = d1
+    d2x, d2y, d2z = d2
+    d3x, d3y, d3z = d3
+    u1x = d1y * d2z - d2y * d1z
+    u1y = d1z * d2x - d2z * d1x
+    u1z = d1x * d2y - d2x * d1y
+    u2x = d2y * d3z - d3y * d2z
+    u2y = d2z * d3x - d3z * d2x
+    u2z = d2x * d3y - d3x * d2y
+    inner = u1x * u2x + u1y * u2y + u1z * u2z
+    denom2 = (u1x * u1x + u1y * u1y + u1z * u1z) * \
+        (u2x * u2x + u2y * u2y + u2z * u2z)
+    pbx = u2y * d2z - d2y * u2z
+    pby = u2z * d2x - d2z * u2x
+    pbz = u2x * d2y - d2x * u2y
+    det = u1x * pbx + u1y * pby + u1z * pbz
+    bad = denom2 <= 0.0
+    cos_t, tie = _cos_f64_emul(inner, jnp.where(bad, F32(1.0), denom2))
+    guard_neg = bad & (denom2 == 0.0) & (inner < 0)
+    cos_t = jnp.where(bad, jnp.where(guard_neg, F32(-2.0), F32(2.0)),
+                      cos_t)
+    bits = (tie.astype(I32)
+            | (bad.astype(I32) << 1)
+            | ((det < 0).astype(I32) << 2))
+    rel = None
+    if eps > 0.0:
+        abs_inner = (jnp.abs(u1x * u2x) + jnp.abs(u1y * u2y)
+                     + jnp.abs(u1z * u2z))
+        abs_det = (jnp.abs(u1x * pbx) + jnp.abs(u1y * pby)
+                   + jnp.abs(u1z * pbz))
+        rel = abs_inner * jax.lax.rsqrt(jnp.maximum(denom2, F32(1e-30)))
+        bits = bits | ((jnp.abs(det) <= F32(eps) * abs_det)
+                       .astype(I32) << 5)
+    return cos_t, bits, rel
 
-    Out row a holds the dihedral over atoms (a-3..a) and the bond angle
-    over (a-2..a); rows whose window starts before the chain (the first
-    3 rows of the whole array, fed from stale carry scratch) are sliced
-    off by the epilogue. bits: 1 dihedral-tie, 2 dihedral-guard,
-    4 det<0, 8 bond-tie, 16 bond-guard."""
 
-    def kernel(bbf_ref, tcos_ref, bcos_ref, bits_ref, carry_ref):
-        init = tuple(carry_ref[i] for i in range(9))
+def _bond_cos(e1, e2, eps):
+    """Bond-angle cosine planes (float3d angle order, NO NaN guard —
+    matching the XLA core). bits: 8 tie, 16 guard; rel as above."""
+    e1x, e1y, e1z = e1
+    e2x, e2y, e2z = e2
+    b_inner = e1x * e2x + e1y * e2y + e1z * e2z
+    b_denom2 = (e1x * e1x + e1y * e1y + e1z * e1z) * \
+        (e2x * e2x + e2y * e2y + e2z * e2z)
+    b_bad = b_denom2 <= 0.0
+    b_cos, b_tie = _cos_f64_emul(b_inner, jnp.where(b_bad, F32(1.0),
+                                                    b_denom2))
+    bits = (b_tie.astype(I32) << 3) | (b_bad.astype(I32) << 4)
+    rel = None
+    if eps > 0.0:
+        abs_b = (jnp.abs(e1x * e2x) + jnp.abs(e1y * e2y)
+                 + jnp.abs(e1z * e2z))
+        rel = abs_b * jax.lax.rsqrt(jnp.maximum(b_denom2, F32(1e-30)))
+    return b_cos, bits, rel
 
-        def body(ra, carry):
-            ax, ay, az, bx, by, bz, cx, cy, cz = carry
-            px = bbf_ref[3 * ra]
-            py = bbf_ref[3 * ra + 1]
-            pz = bbf_ref[3 * ra + 2]
-            # dihedral over (A,B,C,P): dihedral_parts_c op order
-            d1x, d1y, d1z = bx - ax, by - ay, bz - az
-            d2x, d2y, d2z = cx - bx, cy - by, cz - bz
-            d3x, d3y, d3z = px - cx, py - cy, pz - cz
-            u1x = d1y * d2z - d2y * d1z
-            u1y = d1z * d2x - d2z * d1x
-            u1z = d1x * d2y - d2x * d1y
-            u2x = d2y * d3z - d3y * d2z
-            u2y = d2z * d3x - d3z * d2x
-            u2z = d2x * d3y - d3x * d2y
+
+def _make_merged_kernel(eps: float):
+    """Whole encode math for a block of _PB proteins, full length.
+
+    in:  dT [42, PB, L] i16, bT [3, PB, L] i32, pres/code [PB, L] i32
+    out: tcos/bcos [3, PB, L] f32 (planes: idx p at residue r =
+         torsion/bond window starting at backbone atom 3r+p),
+         tbits [3, PB, L] i32, scc [11, PB, L] f32, scb [PB, L] i32,
+         (eps>0) relt/relb [3, PB, L] f32."""
+
+    def kernel(dT_ref, bT_ref, pres_ref, code_ref,
+               tcos_ref, bcos_ref, tbits_ref, scc_ref, scb_ref, *rest):
+        if eps > 0.0:
+            relt_ref, relb_ref = rest
+        pres = pres_ref[...]
+        code = code_ref[...]
+        bx = [bT_ref[c] for c in range(3)]
+        # unpack + correctly-rounded /1000 per (slot, comp) plane
+        xs, ys, zs = [], [], []
+        for k in range(MAX_ATOM):
+            bit = (pres >> k) & 1
+            cols = []
+            for c in range(3):
+                xi = dT_ref[k * 3 + c].astype(I32) + bx[c]
+                xi = jnp.where(bit == 1, xi, 0)
+                cols.append(_div1000_cr(xi))
+            xs.append(cols[0])
+            ys.append(cols[1])
+            zs.append(cols[2])
+
+        # backbone chain differences d[a] = x[a+1] - x[a]; the three
+        # per-residue d-vectors, each computed ONCE (host parity)
+        dN = (xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0])   # N->CA
+        dCA = (xs[2] - xs[1], ys[2] - ys[1], zs[2] - zs[1])  # CA->C
+        dC = (_roll1(xs[0]) - xs[2], _roll1(ys[0]) - ys[2],
+              _roll1(zs[0]) - zs[2])                         # C->N'
+        rdN = tuple(_roll1(v) for v in dN)
+        rdCA = tuple(_roll1(v) for v in dCA)
+
+        # torsion planes: window at atom 3r+p over (d[a], d[a+1], d[a+2])
+        planes_t = ((dN, dCA, dC), (dCA, dC, rdN), (dC, rdN, rdCA))
+        # bond planes: center atom 3r+p+1, e1 = -d[a], e2 = d[a+1]
+        planes_b = ((dN, dCA), (dCA, dC), (dC, rdN))
+        for p in range(3):
+            cos_t, bits_t, rel_t = _dihedral_cos(*planes_t[p], eps)
+            e1 = tuple(-v for v in planes_b[p][0])
+            cos_b, bits_b, rel_b = _bond_cos(e1, planes_b[p][1], eps)
+            tcos_ref[p] = cos_t
+            bcos_ref[p] = cos_b
+            tbits_ref[p] = bits_t | bits_b
+            if eps > 0.0:
+                relt_ref[p] = rel_t
+                relb_ref[p] = rel_b
+
+        # side chains: slots 3..13 over the AA dependency graph
+        scb = jnp.zeros(code.shape, I32)
+        for k in range(3, MAX_ATOM):
+            p0 = _sel_pred(code, xs, ys, zs, _PRED[:, k, 0])
+            p1 = _sel_pred(code, xs, ys, zs, _PRED[:, k, 1])
+            p2 = _sel_pred(code, xs, ys, zs, _PRED[:, k, 2])
+            d1 = (p1[0] - p0[0], p1[1] - p0[1], p1[2] - p0[2])
+            d2 = (p2[0] - p1[0], p2[1] - p1[1], p2[2] - p1[2])
+            d3 = (xs[k] - p2[0], ys[k] - p2[1], zs[k] - p2[2])
+            u1x = d1[1] * d2[2] - d2[1] * d1[2]
+            u1y = d1[2] * d2[0] - d2[2] * d1[0]
+            u1z = d1[0] * d2[1] - d2[0] * d1[1]
+            u2x = d2[1] * d3[2] - d3[1] * d2[2]
+            u2y = d2[2] * d3[0] - d3[2] * d2[0]
+            u2z = d2[0] * d3[1] - d3[0] * d2[1]
             inner = u1x * u2x + u1y * u2y + u1z * u2z
             denom2 = (u1x * u1x + u1y * u1y + u1z * u1z) * \
                 (u2x * u2x + u2y * u2y + u2z * u2z)
-            pbx = u2y * d2z - d2y * u2z
-            pby = u2z * d2x - d2z * u2x
-            pbz = u2x * d2y - d2x * u2y
+            pbx = u2y * d2[2] - d2[1] * u2z
+            pby = u2z * d2[0] - d2[2] * u2x
+            pbz = u2x * d2[1] - d2[0] * u2y
             det = u1x * pbx + u1y * pby + u1z * pbz
             bad = denom2 <= 0.0
-            cos_t, tie = _cos_f64_emul(inner,
-                                       jnp.where(bad, F32(1.0), denom2))
-            guard_neg = bad & (denom2 == 0.0) & (inner < 0)
-            cos_t = jnp.where(bad, jnp.where(guard_neg, F32(-2.0),
-                                             F32(2.0)), cos_t)
-            # bond over (B,C,P): e1 = B - C, e2 = P - C (the XLA path's
-            # -d[:-1] / d[1:]; negation of an f32 subtraction is exact)
-            e1x, e1y, e1z = bx - cx, by - cy, bz - cz
-            e2x, e2y, e2z = px - cx, py - cy, pz - cz
-            b_inner = e1x * e2x + e1y * e2y + e1z * e2z
-            b_denom2 = (e1x * e1x + e1y * e1y + e1z * e1z) * \
-                (e2x * e2x + e2y * e2y + e2z * e2z)
-            b_bad = b_denom2 <= 0.0
-            b_cos, b_tie = _cos_f64_emul(b_inner,
-                                         jnp.where(b_bad, F32(1.0),
-                                                   b_denom2))
-            tcos_ref[ra] = cos_t
-            bcos_ref[ra] = b_cos
-            bits_ref[ra] = (tie.astype(I32)
-                            | (bad.astype(I32) << 1)
-                            | ((det < 0).astype(I32) << 2)
-                            | (b_tie.astype(I32) << 3)
-                            | (b_bad.astype(I32) << 4))
-            return (bx, by, bz, cx, cy, cz, px, py, pz)
-
-        fin = jax.lax.fori_loop(0, 3 * lb, body, init)
-        for i in range(9):
-            carry_ref[i] = fin[i]
+            cos_t = inner / jnp.sqrt(jnp.where(bad, F32(1.0), denom2))
+            j = k - 3
+            scc_ref[j] = cos_t
+            scb = scb | (bad.astype(I32) << j) \
+                | ((det < 0).astype(I32) << (11 + j))
+        scb_ref[...] = scb
 
     return kernel
 
 
-def _make_sidechain_kernel(sb):
-    """Per-residue side-chain dihedral cosines.
+def _stream_q_flags_lanes(ang, err, amask, nbin):
+    """kernels/encode._stream_q_flags with residues on LANES.
 
-    in:  a14f [42*SB, G, 128] f32 rows s*42 + k*3 + c,
-         code [SB, G, 128] i32
-    out: scc [11*SB, G, 128] f32 (rows s*11 + j),
-         scb [SB, G, 128] i32 (bit j = guard, bit 11+j = det<0)."""
+    ang/err/amask: [B, L]. Identical arithmetic (min/max are
+    order-independent; everything else elementwise), reductions over
+    axis -1 instead of 0. Returns (q i32, flag, cand_min, cand_max)."""
+    lo = jnp.where(amask, ang - err, _BIGF)
+    hi = jnp.where(amask, ang + err, _BIGF)
+    c_min = jnp.min(hi, axis=-1, keepdims=True)
+    cand_min = amask & (lo <= c_min)
+    lo2 = jnp.where(amask, ang - err, -_BIGF)
+    hi2 = jnp.where(amask, ang + err, -_BIGF)
+    c_max = jnp.max(lo2, axis=-1, keepdims=True)
+    cand_max = amask & (hi2 >= c_max)
 
-    def kernel(a14f_ref, code_ref, scc_ref, scb_ref):
-        def body(s, _):
-            xs = [a14f_ref[s * 42 + k * 3] for k in range(MAX_ATOM)]
-            ys = [a14f_ref[s * 42 + k * 3 + 1] for k in range(MAX_ATOM)]
-            zs = [a14f_ref[s * 42 + k * 3 + 2] for k in range(MAX_ATOM)]
-            code = code_ref[s]
-            bits = jnp.zeros(code.shape, I32)
-            for k in range(3, MAX_ATOM):
-                p0x, p0y, p0z = _sel_pred(code, xs, ys, zs, _PRED[:, k, 0])
-                p1x, p1y, p1z = _sel_pred(code, xs, ys, zs, _PRED[:, k, 1])
-                p2x, p2y, p2z = _sel_pred(code, xs, ys, zs, _PRED[:, k, 2])
-                # dihedral_parts_c op order over (p0, p1, p2, slot k)
-                d1x, d1y, d1z = p1x - p0x, p1y - p0y, p1z - p0z
-                d2x, d2y, d2z = p2x - p1x, p2y - p1y, p2z - p1z
-                d3x, d3y, d3z = xs[k] - p2x, ys[k] - p2y, zs[k] - p2z
-                u1x = d1y * d2z - d2y * d1z
-                u1y = d1z * d2x - d2z * d1x
-                u1z = d1x * d2y - d2x * d1y
-                u2x = d2y * d3z - d3y * d2z
-                u2y = d2z * d3x - d3z * d2x
-                u2z = d2x * d3y - d3x * d2y
-                inner = u1x * u2x + u1y * u2y + u1z * u2z
-                denom2 = (u1x * u1x + u1y * u1y + u1z * u1z) * \
-                    (u2x * u2x + u2y * u2y + u2z * u2z)
-                pbx = u2y * d2z - d2y * u2z
-                pby = u2z * d2x - d2z * u2x
-                pbz = u2x * d2y - d2x * u2y
-                det = u1x * pbx + u1y * pby + u1z * pbz
-                bad = denom2 <= 0.0
-                cos_t = inner / jnp.sqrt(jnp.where(bad, F32(1.0), denom2))
-                scc_ref[s * 11 + (k - 3)] = cos_t
-                j = k - 3
-                bits = bits | (bad.astype(I32) << j) \
-                    | ((det < 0).astype(I32) << (11 + j))
-            scb_ref[s] = bits
-            return 0
+    vmin = jnp.min(jnp.where(amask, ang, _BIGF), axis=-1, keepdims=True)
+    vmax = jnp.max(jnp.where(amask, ang, -_BIGF), axis=-1, keepdims=True)
+    disc_f = nbin / (vmax - vmin)
+    t = (ang - vmin) * disc_f
+    q = jnp.floor(t + F32(0.5)).astype(I32)
+    q = jnp.where(jnp.isnan(t) | (t < 0), 0, q)
 
-        jax.lax.fori_loop(0, sb, body, 0)
-
-    return kernel
+    err_min = jnp.max(jnp.where(cand_min, err, F32(0.0)), axis=-1,
+                      keepdims=True)
+    err_max = jnp.max(jnp.where(cand_max, err, F32(0.0)), axis=-1,
+                      keepdims=True)
+    tol = disc_f * (err + err_min) \
+        + (jnp.abs(t) / nbin) * (disc_f * (err_min + err_max)) \
+        + jnp.abs(t) * F32(5e-7) + F32(1e-4)
+    half = t + F32(0.5)
+    dist = jnp.abs(half - jnp.round(half))
+    flag = (dist <= tol) | ~jnp.isfinite(t) | ~jnp.isfinite(tol)
+    return q, flag & amask, cand_min, cand_max
 
 
-def _blocked(x, rows, np_):
-    return x.reshape(rows, np_ // 128, 128)
+def _tors_tail(tc, tb, rel, parts_eps):
+    """Cosine plane -> (angle, err) [B, L], mirroring the XLA core."""
+    tie = (tb & 1) > 0
+    bad = (tb & 2) > 0
+    detneg = (tb & 4) > 0
+    cos_c = jnp.clip(tc, -1.0, 1.0)
+    ang = jnp.arccos(cos_c) * _DEG
+    nan_like = jnp.abs(tc) > 1.0
+    ang = jnp.where(nan_like, jnp.where(tc < 0, F32(180.0), F32(0.0)),
+                    ang)
+    ang = jnp.where(detneg, -ang, ang)
+    amp = jax.lax.rsqrt(jnp.maximum(F32(1.0) - cos_c * cos_c, F32(1e-12)))
+    if parts_eps > 0.0:
+        delta = F32(parts_eps) * (rel + jnp.abs(cos_c))
+        big = tie | bad | ((tb & 32) > 0) \
+            | (jnp.abs(tc) >= F32(1.0) - delta)
+    else:
+        delta = None
+        big = tie | bad
+    err = jnp.where(big, _BIGERR, _ang_err_deg(delta, amp, ang))
+    return ang, err
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+def _bond_tail(bc, tb, rel, parts_eps):
+    b_tie = (tb & 8) > 0
+    b_bad = (tb & 16) > 0
+    b_cosc = jnp.clip(bc, -1.0, 1.0)
+    ang = jnp.arccos(b_cosc) * _DEG
+    amp = jax.lax.rsqrt(jnp.maximum(F32(1.0) - b_cosc * b_cosc,
+                                    F32(1e-12)))
+    if parts_eps > 0.0:
+        delta = F32(parts_eps) * (rel + jnp.abs(b_cosc))
+        big = b_tie | b_bad | (jnp.abs(bc) >= F32(1.0) - delta)
+    else:
+        delta = None
+        big = b_tie | b_bad | (jnp.abs(bc) > 1.0)
+    err = jnp.where(big, _BIGERR, _ang_err_deg(delta, amp, ang))
+    return ang, err
+
+
+@partial(jax.jit, static_argnames=("pb", "parts_eps", "interpret"))
 def _fused_parity_jit(base, delta, present, res_code, n_res,
+                      pb: int = _PB, parts_eps: float = 0.0,
                       interpret: bool = False):
-    """Prologue + two Pallas kernels + shared XLA tail, one dispatch.
+    """Mini-prologue + ONE Pallas kernel + lanes-layout XLA tail.
 
-    Inputs are lane-padded (B % LANE_PAD == 0, L % 8 == 0); see
+    Inputs padded (B % pb == 0, L % LANE_PAD == 0); see
     encode_parity_fused_compact. Output contract == _parity_jit_compact:
     records u8 [B,L,8], bb_flags u8 [B,L], cand_bits u16 [B,L],
     sc_q u8 [B,L,11], sc_flag_bits u16 [B,L]."""
@@ -203,103 +319,109 @@ def _fused_parity_jit(base, delta, present, res_code, n_res,
     from jax.experimental.pallas import tpu as pltpu
 
     b, l = res_code.shape
-    assert b % LANE_PAD == 0 and l % _LB == 0 and l % _SB == 0
+    assert b % pb == 0 and l % LANE_PAD == 0
 
-    # ---- XLA prologue: transpose the NARROW integer wire first (2D,
-    # lane-efficient on both sides), then unpack in [rows, B] layout.
-    # Doing the arithmetic in [B, L, 14, 3] costs 12.5 ms of a 20 ms
-    # dispatch at B=4096: every elementwise op on a (...,14,3)-minor
-    # shape runs at 3/128 lane utilization. ----
-    d42 = delta.reshape(b, l * 42).T.astype(I32)        # [42L, B]
-    b3 = base.reshape(b, l * 3).T                       # [3L, B] i32
-    pr = present.T.astype(I32)                          # [L, B]
-    code_r = jnp.clip(res_code, 0, 23).T                # [L, B]
-    xi = d42.reshape(l, 14, 3, b) + b3.reshape(l, 1, 3, b)
-    bitz = (pr[:, None, :] >> jnp.arange(14, dtype=I32)[None, :, None]) & 1
-    xi = jnp.where(bitz[:, :, None, :] == 1, xi, 0)
-    a14f = _div1000_cr(xi.reshape(42 * l, b))           # [42L, B] f32
-    bbf = a14f.reshape(l, 42, b)[:, :9].reshape(9 * l, b)   # [9L, B]
+    # ---- XLA mini-prologue: batched minor-dims transposes of the
+    # narrow integer wire into plane-major [42|3, B, L] ----
+    dT = jnp.transpose(delta.reshape(b, l, 42), (2, 0, 1))
+    bT = jnp.transpose(base, (2, 0, 1))
+    pr = present.astype(I32)
+    code = jnp.clip(res_code, 0, 23)
 
-    nlg = b // LANE_PAD
     vmem = pltpu.VMEM
+    n_extra = 2 if parts_eps > 0.0 else 0
 
-    # ---- backbone kernel ----
-    tcos, bcos, tbits = pl.pallas_call(
-        _make_backbone_kernel(_LB),
-        grid=(nlg, l // _LB),
-        in_specs=[_spec(9 * _LB, _G)],
-        out_specs=(_spec(3 * _LB, _G),) * 3,
-        out_shape=(
-            jax.ShapeDtypeStruct((3 * l, b // 128, 128), F32),
-            jax.ShapeDtypeStruct((3 * l, b // 128, 128), F32),
-            jax.ShapeDtypeStruct((3 * l, b // 128, 128), I32),
-        ),
-        scratch_shapes=[vmem((9, _G, 128), F32)],
+    def spec3(rows):
+        return pl.BlockSpec((rows, pb, l), lambda i: (0, i, 0),
+                            memory_space=vmem)
+
+    def spec2():
+        return pl.BlockSpec((pb, l), lambda i: (i, 0), memory_space=vmem)
+
+    out_specs = [spec3(3), spec3(3), spec3(3), spec3(11), spec2()] + \
+        [spec3(3)] * n_extra
+    out_shape = [
+        jax.ShapeDtypeStruct((3, b, l), F32),
+        jax.ShapeDtypeStruct((3, b, l), F32),
+        jax.ShapeDtypeStruct((3, b, l), I32),
+        jax.ShapeDtypeStruct((11, b, l), F32),
+        jax.ShapeDtypeStruct((b, l), I32),
+    ] + [jax.ShapeDtypeStruct((3, b, l), F32)] * n_extra
+
+    outs = pl.pallas_call(
+        _make_merged_kernel(parts_eps),
+        grid=(b // pb,),
+        in_specs=[spec3(42), spec3(3), spec2(), spec2()],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
-    )(_blocked(bbf, 9 * l, b))
+    )(dT, bT, pr, code)
+    tcos, bcos, tbits, scc, scb = outs[:5]
+    relt, relb = (outs[5], outs[6]) if parts_eps > 0.0 else (None, None)
 
-    # ---- sidechain kernel ----
-    scc, scb = pl.pallas_call(
-        _make_sidechain_kernel(_SB),
-        grid=(nlg, l // _SB),
-        in_specs=[_spec(42 * _SB, _G), _spec(_SB, _G)],
-        out_specs=(_spec(11 * _SB, _G), _spec(_SB, _G)),
-        out_shape=(
-            jax.ShapeDtypeStruct((11 * l, b // 128, 128), F32),
-            jax.ShapeDtypeStruct((l, b // 128, 128), I32),
-        ),
-        interpret=interpret,
-    )(_blocked(a14f, 42 * l, b), _blocked(code_r, l, b))
+    # ---- XLA epilogue, residues on lanes throughout ----
+    def shift1(v):
+        return jnp.concatenate([v[:, 1:], v[:, :1]], axis=1)
 
-    # ---- XLA epilogue: shared tails (kernels/encode.py) ----
-    tcos = tcos.reshape(3 * l, b)
-    bcos = bcos.reshape(3 * l, b)
-    tbits = tbits.reshape(3 * l, b)
+    def rel_of(r, p):
+        return r[p] if r is not None else None
 
-    tc = tcos[3:]                                       # [3L-3, B]
-    tb = tbits[3:]
-    tie = (tb & 1) > 0
-    bad = (tb & 2) > 0
-    detneg = (tb & 4) > 0
-    cos_c = jnp.clip(tc, -1.0, 1.0)
-    t_ang = jnp.arccos(cos_c) * _DEG
-    nan_like = jnp.abs(tc) > 1.0
-    t_ang = jnp.where(nan_like,
-                      jnp.where(tc < 0, F32(180.0), F32(0.0)), t_ang)
-    t_ang = jnp.where(detneg, -t_ang, t_ang)
-    amp = jax.lax.rsqrt(jnp.maximum(F32(1.0) - cos_c * cos_c, F32(1e-12)))
-    t_err = jnp.where(tie | bad, _BIGERR, _ang_err_deg(None, amp, t_ang))
+    # stream s value at residue-lane i (kernels/encode stream order):
+    # phi_i = torsion plane 2 @ i, psi = plane 0, omega = plane 1;
+    # n_ca_c_i = bond plane 0 @ i+1, ca_c_n = plane 1, c_n_ca = plane 2
+    t_angs, t_errs = {}, {}
+    for p in range(3):
+        t_angs[p], t_errs[p] = _tors_tail(tcos[p], tbits[p],
+                                          rel_of(relt, p), parts_eps)
+    b_angs, b_errs = {}, {}
+    for p in range(3):
+        b_angs[p], b_errs[p] = _bond_tail(bcos[p], tbits[p],
+                                          rel_of(relb, p), parts_eps)
 
-    bc = bcos[2:]                                       # [3L-2, B]
-    bb_ = tbits[2:]
-    b_tie = (bb_ & 8) > 0
-    b_bad = (bb_ & 16) > 0
-    b_cosc = jnp.clip(bc, -1.0, 1.0)
-    b_ang = jnp.arccos(b_cosc) * _DEG
-    b_amp = jax.lax.rsqrt(jnp.maximum(F32(1.0) - b_cosc * b_cosc,
-                                      F32(1e-12)))
-    b_big = b_tie | b_bad | (jnp.abs(bc) > 1.0)
-    b_err = jnp.where(b_big, _BIGERR, _ang_err_deg(None, b_amp, b_ang))
+    iota_l = jax.lax.iota(I32, l)[None, :]
+    amask = iota_l < (n_res[:, None] - 1)            # [B, L]
+    streams = [
+        (t_angs[2], t_errs[2], NBIN_PHI_PSI),                  # phi
+        (t_angs[0], t_errs[0], NBIN_PHI_PSI),                  # psi
+        (t_angs[1], t_errs[1], NBIN_OMEGA),                    # omega
+        (shift1(b_angs[0]), shift1(b_errs[0]), NBIN_BOND),     # n_ca_c
+        (b_angs[1], b_errs[1], NBIN_BOND),                     # ca_c_n
+        (b_angs[2], b_errs[2], NBIN_BOND),                     # c_n_ca
+    ]
+    qs, flags, cmins, cmaxs = [], [], [], []
+    for ang_s, err_s, nbin in streams:
+        q, fl, cmn, cmx = _stream_q_flags_lanes(ang_s, err_s, amask, nbin)
+        qs.append(jnp.where(amask, q, 0))
+        flags.append(fl)
+        cmins.append(cmn)
+        cmaxs.append(cmx)
 
-    records, bb_flags, cand_bits = _records_from_streams(
-        t_ang, t_err, b_ang, b_err, res_code, n_res, l)
+    res_mask = iota_l < n_res[:, None]
+    records = pack_records(jnp.where(res_mask, res_code, 0), *qs)
 
-    scc3 = scc.reshape(l, 11, b)
-    scb = scb.reshape(l, b)
-    qs, flags = [], []
+    def to_bits(planes, dtype, shift=0):
+        acc = None
+        for s, p in enumerate(planes):
+            bit = p.astype(dtype) << (s + shift)
+            acc = bit if acc is None else acc | bit
+        return acc
+    bb_flags = to_bits(flags, jnp.uint8)
+    cand_bits = to_bits(cmins, jnp.uint16) | to_bits(cmaxs, jnp.uint16, 8)
+
+    sc_qs, sc_flags = [], []
     for j in range(11):
         sc_bad = ((scb >> j) & 1) > 0
         sc_detneg = ((scb >> (11 + j)) & 1) > 0
-        q, fl = _sc_quant_tail(scc3[:, j], sc_detneg, sc_bad)
-        qs.append(q)
-        flags.append(fl)
-    flag_bits = flags[0].astype(jnp.uint16)
-    for j, fl in enumerate(flags[1:], start=1):
+        q, fl = _sc_quant_tail(scc[j], sc_detneg, sc_bad)
+        sc_qs.append(q)
+        sc_flags.append(fl)
+    flag_bits = sc_flags[0].astype(jnp.uint16)
+    for j, fl in enumerate(sc_flags[1:], start=1):
         flag_bits = flag_bits | (fl.astype(jnp.uint16) << j)
-    sc_q = jnp.transpose(jnp.stack(qs), (2, 1, 0))      # [B, L, 11]
+    sc_q = jnp.stack(sc_qs, axis=-1)                 # [B, L, 11]
 
     return dict(records=records, bb_flags=bb_flags, cand_bits=cand_bits,
-                sc_q=sc_q, sc_flag_bits=flag_bits.T)
+                sc_q=sc_q, sc_flag_bits=flag_bits)
 
 
 def encode_parity_fused_compact(base, delta, present, res_code, n_res,
@@ -307,18 +429,23 @@ def encode_parity_fused_compact(base, delta, present, res_code, n_res,
     """Fused-kernel full-device parity encode from the compact wire.
 
     Same contract as kernels/encode.encode_parity_core_compact; pads the
-    protein lanes to LANE_PAD (zero lanes produce all-zero outputs and
-    are sliced off) and the residue axis to the kernel block quantum."""
+    residue axis to the 128-lane quantum and the protein axis to the
+    sublane block. Returns None when the padded length exceeds
+    MAX_L_FUSED (VMEM budget) — callers fall back to the XLA core."""
+    from .encode import _parts_eps
+
     b, l = np.shape(res_code)
-    bp = -(-b // LANE_PAD) * LANE_PAD
-    lp = -(-l // max(_LB, _SB)) * max(_LB, _SB)
+    lp = -(-l // LANE_PAD) * LANE_PAD
+    if lp > MAX_L_FUSED:
+        return None
+    pb = _PB if lp <= 768 else 8
+    bp = -(-b // pb) * pb
 
     def padb(x, dtype):
         x = np.asarray(x, dtype)
         if bp == b and lp == l:
             return x
-        pad = [(0, bp - b), (0, lp - l)] + \
-            [(0, 0)] * (x.ndim - 2) if x.ndim >= 2 else [(0, bp - b)]
+        pad = [(0, bp - b), (0, lp - l)] + [(0, 0)] * (x.ndim - 2)
         return np.pad(x, pad[:x.ndim])
 
     out = _fused_parity_jit(padb(base, np.int32), padb(delta, np.int16),
@@ -326,6 +453,7 @@ def encode_parity_fused_compact(base, delta, present, res_code, n_res,
                             padb(res_code, np.int32),
                             np.pad(np.asarray(n_res, np.int32),
                                    (0, bp - b)),
+                            pb=pb, parts_eps=_parts_eps(),
                             interpret=interpret)
     if bp == b and lp == l:
         return out
