@@ -62,8 +62,11 @@ def _force(out):
     import jax
     import numpy as np
     leaf = jax.tree.leaves(out)[0] if not hasattr(out, "shape") else out
-    while leaf.ndim:
-        leaf = leaf[0]
+    if leaf.ndim:
+        # ONE indexing op (not one per rank): each distinct-rank [0]
+        # spawns a jit(dynamic_slice)+jit(squeeze) pair, ~0.5 s each to
+        # compile through the remote tunnel on a cold process
+        leaf = leaf[(0,) * leaf.ndim]
     np.asarray(leaf)
 
 
@@ -512,7 +515,7 @@ def main():
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/tmp/foldcomp_tpu_jaxcache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
     from foldcomp_tpu.backend import ensure_backend

@@ -30,7 +30,11 @@ def enable_persistent_cache() -> None:
     try:
         os.makedirs(CACHE_DIR, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache EVERYTHING: through a remote-compile tunnel even a
+        # trivial jit(dynamic_slice) pays a ~0.5 s round trip, and a
+        # cold CLI start triggers dozens of them — a cache hit is
+        # ~0.05 s (measured; see PROFILE.md round-5 cold-start section)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # noqa: BLE001 — older jax or read-only home
         pass
 
