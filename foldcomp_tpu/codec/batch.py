@@ -565,6 +565,23 @@ def use_fused_decode() -> bool:
     return jax.default_backend() != "cpu"
 
 
+def seg_sort_key(f):
+    """Decode-batch sort key: (segment-width bucket, residue count).
+
+    The reference's anchor spacing (_setAnchor, foldcomp.cpp:745-761)
+    floors the interval, so the LAST segment absorbs the remainder and
+    can be up to 2*interval-1 (47) records wide while every other
+    segment is ~25 — and the batch window width is the max over all
+    lanes. Sorting by length alone mixes 24-wide and 48-wide proteins
+    in one batch, padding every lane to 48 (measured 2.0x lane-residue
+    overhead on an AFDB-like corpus); grouping by width bucket first
+    recovers ~23% mixed-corpus decode throughput (87 -> 107M res/s,
+    bench_device_decode_mixed)."""
+    a = np.asarray(f.anchor_indices)
+    w = int((a[1:] - a[:-1]).max()) + 1 if len(a) > 1 else f.n_residue
+    return ((w + 7) // 8 * 8, f.n_residue)
+
+
 def use_fused_encode() -> str:
     """Fused Pallas encode mode: "" (off — XLA core), "compiled"
     (accelerator backend), or "interpret" (forced via
@@ -590,11 +607,14 @@ def pack_decode_batch_auto(fczs):
     """Backend-matched pack: ragged lanes for the fused decode, the
     [B, S] grid for the XLA cores.
 
-    Falls back to the XLA path when any segment is wider than 64 records
-    (a user-raised --break): the fused backbone kernel's VMEM scratch
-    scales with 3*SEG and overflows the 16 MB scoped budget past ~96."""
+    Falls back to the XLA path when any segment is wider than 96 records
+    (a user-raised --break past ~88): the fused backbone kernel's VMEM
+    scratch scales with 3*SEG and overflows the 16 MB scoped budget past
+    ~96. A/B at --break 80 (seg width 72, round 5): fused compiles,
+    holds the 5 mA parity gate, and runs 2x the XLA grid core — the
+    fallback only covers the extreme tail of the --break range."""
     if use_fused_decode():
-        got = pack_decode_batch_lanes(fczs, max_seg=64)
+        got = pack_decode_batch_lanes(fczs, max_seg=96)
         if got is not None:
             return got
     return pack_decode_batch_seg(fczs)
@@ -824,7 +844,8 @@ def decode_fcz_stream(payload_iter, batch_size: int = 128,
 
     def emit_window(window, base):
         order = range(len(window)) if bucket_window == 0 else \
-            sorted(range(len(window)), key=lambda i: window[i].n_residue)
+            sorted(range(len(window)),
+                   key=lambda i: seg_sort_key(window[i]))
         for i0 in range(0, len(window), batch_size):
             sel = list(order)[i0:i0 + batch_size]
             batch = [window[j] for j in sel]
