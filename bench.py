@@ -116,7 +116,7 @@ def _scan_depth_levels(t, chunk=8):
     return d
 
 
-def bench_device_decode(jax_, f, batch_size=2048, iters=10):
+def bench_device_decode(jax_, f, batch_sizes=(2048, 8192), iters=10):
     """Returns (sync res/s, sustained res/s, roofline dict).
 
     The roofline models the decode's UNAVOIDABLE memory traffic: every
@@ -126,49 +126,95 @@ def bench_device_decode(jax_, f, batch_size=2048, iters=10):
     Intermediates, scan levels and gather inefficiency all show up as the
     gap below 100%, so regressions are visible without a profiler.
 
-    batch_size=2048 (was 512): the fused Pallas decode RISES through
-    B=4096 (tools/exp_fused_bench.py round 4), and healthy links now
-    dispatch 2048 via the adaptive fast_batch_size()."""
+    Round 5 (VERDICT r4 #7): B=8192 joins the sweep (the fused decode
+    keeps rising — the 2048-dispatch was floor-bound), and the
+    per-dispatch tunnel floor is MEASURED, not inferred: kernel-only
+    time comes from K independent applications inside ONE jit (distinct
+    input buffers so XLA cannot CSE), floor = sustained-dispatch wall
+    minus kernel time. Headline = best sustained over the sweep; the
+    roofline keys use the largest batch's medians."""
+    import statistics
+
     import numpy as np
 
     from foldcomp_tpu.codec.batch import (_seg_decode_arrays,
                                           pack_decode_batch_auto)
 
-    arrays, metas = pack_decode_batch_auto([f] * batch_size)
-    n_res_total = sum(m.n_residue for m in metas)
-    dev = {k: jax_.device_put(v) for k, v in arrays.items()}
+    sweep = {}
+    sync = None
+    for batch_size in batch_sizes:
+        arrays, metas = pack_decode_batch_auto([f] * batch_size)
+        n_res_total = sum(m.n_residue for m in metas)
+        nl_out = arrays.pop("nl_out", None)
+        dev = {k: jax_.device_put(v) for k, v in arrays.items()}
 
-    def run():
-        return _seg_decode_arrays(dev, refine_iters=2)
+        def run():
+            return _seg_decode_arrays(dict(dev, nl_out=nl_out),
+                                      refine_iters=2)
 
-    out = run()
-    _force(out)
-    in_bytes = sum(np.asarray(v).nbytes for v in arrays.values()
-                   if v is not None)
-    out_bytes = sum(l.nbytes for l in jax_.tree.leaves(out))
-    _force(run())
-    t0 = time.perf_counter()
-    for _ in range(iters):
+        out = run()
+        _force(out)
+        in_bytes = sum(np.asarray(v).nbytes for v in arrays.values()
+                       if v is not None)
+        out_bytes = sum(l.nbytes for l in jax_.tree.leaves(out))
         _force(run())
-    sync = n_res_total * iters / (time.perf_counter() - t0)
-    # best-of-3 sustained groups: the tunnel's per-dispatch launch floor
-    # drifts 1.3-2.9 ms between phases (PROFILE.md round 3), which would
-    # otherwise dominate round-to-round headline jitter
-    import statistics
-    sus_vals = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [run() for _ in range(iters)]
-        _force(outs[-1])
-        sus_vals.append(n_res_total * iters / (time.perf_counter() - t0))
-    sustained = max(sus_vals)
-    sustained_med = statistics.median(sus_vals)
+        if sync is None:            # sync rate once, smallest batch
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                _force(run())
+            sync = n_res_total * iters / (time.perf_counter() - t0)
+        # best-of-3 sustained groups: the tunnel's per-dispatch launch
+        # floor drifts 1.3-2.9 ms between phases (PROFILE.md round 3)
+        sus_vals = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [run() for _ in range(iters)]
+            _force(outs[-1])
+            sus_vals.append(n_res_total * iters
+                            / (time.perf_counter() - t0))
+        # kernel-only: K independent applications inside one jit
+        K = 4
+        devs = []
+        for _ in range(K):
+            d2 = dict(dev)
+            d2["seg_records"] = jax_.device_put(
+                np.ascontiguousarray(arrays["seg_records"]))
+            devs.append(d2)
+        import jax.numpy as jnp
 
+        @jax_.jit
+        def many(ds):
+            acc = np.float32(0)
+            for d in ds:
+                o = _seg_decode_arrays(dict(d, nl_out=nl_out),
+                                       refine_iters=2)
+                acc = acc + sum(jnp.sum(v[:8].astype(jnp.float32))
+                                for v in jax_.tree.leaves(o))
+            return acc
+
+        _force(many(devs))
+        _force(many(devs))
+        kj_vals = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [many(devs) for _ in range(3)]
+            _force(outs[-1])
+            kj_vals.append((time.perf_counter() - t0) / 3 / K)
+        sweep[batch_size] = dict(
+            n_res=n_res_total,
+            sustained=max(sus_vals),
+            sustained_med=statistics.median(sus_vals),
+            kernel_s=statistics.median(kj_vals),
+            in_bytes=in_bytes, out_bytes=out_bytes,
+            seg=int(arrays["seg_records"].shape[0]))
+
+    big = sweep[max(batch_sizes)]
+    sustained = max(v["sustained"] for v in sweep.values())
+    sustained_med = big["sustained_med"]
     bw_best, bw_med = bench_device_bandwidth(jax_)
-    bytes_per_res = (in_bytes + out_bytes) / n_res_total
-    # pct_roofline from MEDIANS of both quantities (ADVICE r3): a
-    # best/best ratio taken at different moments of the drifting tunnel
-    # floor swings round-to-round while looking like a kernel change
+    bytes_per_res = (big["in_bytes"] + big["out_bytes"]) / big["n_res"]
+    floor_ms = (big["n_res"] / big["sustained_med"]
+                - big["kernel_s"]) * 1e3
     roofline = {
         "device_copy_bw_gb_s": round(bw_best / 1e9, 1),
         "device_copy_bw_med_gb_s": round(bw_med / 1e9, 1),
@@ -176,8 +222,14 @@ def bench_device_decode(jax_, f, batch_size=2048, iters=10):
         "decode_io_bytes_per_res": round(bytes_per_res, 1),
         "pct_roofline": round(100.0 * sustained_med * bytes_per_res
                               / bw_med, 2),
-        "scan_depth_levels": _scan_depth_levels(
-            3 * arrays["seg_records"].shape[0]),
+        "decode_kernel_res_s": round(big["n_res"] / big["kernel_s"], 1),
+        "pct_roofline_kernel": round(
+            100.0 * (big["n_res"] / big["kernel_s"]) * bytes_per_res
+            / bw_med, 2),
+        "dispatch_floor_ms": round(floor_ms, 2),
+        "decode_bsweep_res_s": {str(b): round(v["sustained"], 1)
+                                for b, v in sweep.items()},
+        "scan_depth_levels": _scan_depth_levels(3 * big["seg"]),
     }
     return sync, sustained, roofline
 
