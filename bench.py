@@ -251,7 +251,7 @@ def bench_device_encode_resident(jax_, frag, batch_size=2048, iters=10):
     from foldcomp_tpu.kernels.encode import _parity_jit_compact
 
     a14, rc, tf, meta = fragment_to_tensors(frag)
-    l_pad = _round_up(len(rc), 128)   # fused lane quantum (XLA: any)
+    l_pad = _round_up(len(rc), 32)    # production l_bucket
     atom14 = np.zeros((batch_size, l_pad, 14, 3), np.float32)
     res_code = np.zeros((batch_size, l_pad), np.int32)
     n_res = np.full(batch_size, len(rc), np.int32)

@@ -319,7 +319,7 @@ def _fused_parity_jit(base, delta, present, res_code, n_res,
     from jax.experimental.pallas import tpu as pltpu
 
     b, l = res_code.shape
-    assert b % pb == 0 and l % LANE_PAD == 0
+    assert b % pb == 0
 
     # ---- XLA mini-prologue: batched minor-dims transposes of the
     # narrow integer wire into plane-major [42|3, B, L] ----
@@ -428,25 +428,26 @@ def encode_parity_fused_compact(base, delta, present, res_code, n_res,
                                 interpret: bool = False):
     """Fused-kernel full-device parity encode from the compact wire.
 
-    Same contract as kernels/encode.encode_parity_core_compact; pads the
-    residue axis to the 128-lane quantum and the protein axis to the
-    sublane block. Returns None when the padded length exceeds
-    MAX_L_FUSED (VMEM budget) — callers fall back to the XLA core."""
+    Same contract as kernels/encode.encode_parity_core_compact; pads
+    only the protein axis to the sublane block (residue lanes pass
+    through at their natural length — Pallas full-dimension blocks
+    accept any lane count, and padding the wire to a 128 quantum cost
+    the host a full np.pad copy plus ~33% extra H2D on the pipelined
+    path). Returns None when the length exceeds MAX_L_FUSED (VMEM
+    budget) — callers fall back to the XLA core."""
     from .encode import _parts_eps
 
     b, l = np.shape(res_code)
-    lp = -(-l // LANE_PAD) * LANE_PAD
-    if lp > MAX_L_FUSED:
+    if l > MAX_L_FUSED:
         return None
-    pb = _PB if lp <= 768 else 8
+    pb = _PB if l <= 768 else 8
     bp = -(-b // pb) * pb
 
     def padb(x, dtype):
         x = np.asarray(x, dtype)
-        if bp == b and lp == l:
+        if bp == b:
             return x
-        pad = [(0, bp - b), (0, lp - l)] + [(0, 0)] * (x.ndim - 2)
-        return np.pad(x, pad[:x.ndim])
+        return np.pad(x, [(0, bp - b)] + [(0, 0)] * (x.ndim - 1))
 
     out = _fused_parity_jit(padb(base, np.int32), padb(delta, np.int16),
                             padb(present, np.uint16),
@@ -455,6 +456,6 @@ def encode_parity_fused_compact(base, delta, present, res_code, n_res,
                                    (0, bp - b)),
                             pb=pb, parts_eps=_parts_eps(),
                             interpret=interpret)
-    if bp == b and lp == l:
+    if bp == b:
         return out
-    return {k: v[:b, :l] for k, v in out.items()}
+    return {k: v[:b] for k, v in out.items()}
