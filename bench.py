@@ -70,35 +70,37 @@ def _force(out):
     np.asarray(leaf)
 
 
-def bench_device_bandwidth(jax_, mib=256, passes=64, iters=3, trials=3):
-    """Measured on-device memory stream bandwidth: `passes` elementwise
-    multiplies over a `mib`-MiB f32 array inside ONE jitted dispatch,
-    separated by optimization_barrier so each pass materializes to HBM
-    (one read + one write per element per pass — XLA would otherwise fuse
-    the chain into a single kernel). Chaining amortizes the per-dispatch
-    graph-launch latency (~ms through the axon tunnel) that would
-    otherwise dominate a single 0.3 ms copy. This is the empirical
-    roofline denominator — chip-achievable, not datasheet."""
-    import numpy as np
-    from jax import lax
-    n = mib * (1 << 20) // 4
+def bench_device_bandwidth(jax_, mib=256, k=6, iters=3, trials=3):
+    """Measured on-device memory stream bandwidth: out-of-place
+    elementwise traversals of `k` DISTINCT `mib`-MiB f32 arrays inside
+    ONE jitted dispatch (read + write per element, launch latency
+    amortized over k, distinct buffers so XLA cannot fuse or reuse).
 
-    def body(a):
-        for _ in range(passes):
-            a = lax.optimization_barrier(a * np.float32(1.0000001))
-        return a
-
+    Round 5 correction: the previous methodology (a 64-pass
+    optimization_barrier chain over ONE buffer) reported 551 GB/s where
+    honest distinct-buffer streams measure 227 GB/s and a Pallas
+    read-loop peaks ~100 GB/s read — the chain overlapped same-buffer
+    traffic in a way no real kernel can reproduce, quietly inflating
+    the roofline denominator 2.4x (and understating pct_roofline).
+    This is the empirical chip-achievable stream rate."""
     import statistics
-    x = jax_.device_put(np.ones(n, np.float32))
-    f = jax_.jit(body)
-    _force(f(x))
-    _force(f(x))
+
+    import numpy as np
+    n = mib * (1 << 20) // 4
+    bufs = [jax_.device_put(np.ones(n, np.float32)) for _ in range(k)]
+
+    @jax_.jit
+    def many(bs):
+        return [b * np.float32(1.0000001) for b in bs]
+
+    _force(many(bufs))
+    _force(many(bufs))
     vals = []
     for _ in range(trials):        # tunnel swing is ~2x trial to trial
         t0 = time.perf_counter()
-        outs = [f(x) for _ in range(iters)]
-        _force(outs[-1])
-        vals.append(2.0 * x.nbytes * passes * iters
+        outs = [many(bufs) for _ in range(iters)]
+        _force(outs[-1][0])
+        vals.append(2.0 * bufs[0].nbytes * k * iters
                     / (time.perf_counter() - t0))
     # (best, median): best for the headline denominator's upper bound,
     # median for the round-over-round-stable pct_roofline (ADVICE r3:

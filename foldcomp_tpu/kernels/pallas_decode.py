@@ -314,7 +314,10 @@ def _make_sidechain_kernel():
 
     inputs:  backbone rows [3*SB, G, 128] x3 (rows 3*s+atom),
              residue codes [SB, G, 128] i32,
-             side-chain torsions [11*SB, G, 128] (rows s*11 + j)
+             side-chain torsion CODES u8 [11*SB, G, 128] (rows s*11+j;
+             dequantized here — FixedAngleDiscretizer continuize,
+             foldcomp.cpp:350,361 — in the same cast*cont+min op order
+             as the XLA core, so torsions are bit-identical)
     outputs: off i16 [42*SB, G, 128] (rows s*42 + k*3 + c),
              ca f32 [3*SB, G, 128] (rows s*3 + c)."""
 
@@ -330,7 +333,10 @@ def _make_sidechain_kernel():
                 c = _sel_pred(code, rows_x, rows_y, rows_z, _PRED[:, k, 2])
                 bl = _chain_const(code, _BLEN[:, k])
                 ba = _chain_const(code, _BANG[:, k])
-                tor = sct_ref[s * 11 + (k - 3)]
+                # u8 -> i32 -> f32 (Mosaic has no u8->f32 cast; exact
+                # for 0..255, same value chain as the XLA core's cast)
+                tor = sct_ref[s * 11 + (k - 3)].astype(I32).astype(F32) \
+                    * _SC_CONT_F + _SC_MIN
                 ox, oy, oz = place_atom_c(a[0], a[1], a[2], b[0], b[1], b[2],
                                           c[0], c[1], c[2], bl, ba, tor)
                 rows_x.append(ox)
@@ -392,10 +398,12 @@ def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
                       cont(ncac_q, 3), cont(cacn_q, 4), cont(cnca_q, 5)],
                      axis=1).reshape(seg * 6, n)
     bl_ca = jnp.where(res_code == PRO_CODE, _PRO_N_TO_CA, _N_TO_CA)
-    # s-major torsion rows (s*11 + j) so the sidechain kernel's s-blocks
-    # read contiguous row ranges
-    sct = jnp.transpose(sc_codes_seg.astype(F32) * _SC_CONT_F + _SC_MIN,
-                        (1, 0, 2)).reshape(11 * seg, n)
+    # s-major u8 torsion rows (s*11 + j) straight from the pack's
+    # [SEG, 11, NL] layout; the sidechain kernel dequantizes in VMEM
+    # (round 5: the f32 dequant+transpose here cost 44 B/res of HBM
+    # round-trip — 4x the u8 codes — in a kernel set that is not
+    # bandwidth-bound but pays every avoidable pass)
+    sct = sc_codes_seg.reshape(11 * seg, n)
     tat = (3 * seg_m).astype(I32)[None, :]                 # [1, N]
 
     ang6_p = _blocked(ang6, seg * 6, np_)

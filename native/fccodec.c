@@ -1199,7 +1199,7 @@ int64_t fcz_pack_lanes(
     const float* tfmin, const float* tfcont, const uint8_t** tfcodes,
     int64_t nlp, int64_t seg_pad, int64_t r_tot,
     uint8_t* seg_records,   /* [seg_pad][nlp][8] */
-    uint8_t* sc_seg,        /* [11][seg_pad][nlp] */
+    uint8_t* sc_seg,        /* [seg_pad][11][nlp] */
     float* mins_lane, float* cont_lane,      /* [nlp][6] */
     float* fwd9, float* rev9,                /* [9][nlp] */
     uint8_t* is_first, int32_t* seg_m,       /* [nlp] */
@@ -1308,10 +1308,12 @@ int64_t fcz_pack_lanes(
         if (nl < nlp) memset(row + nl * 8, 0, (size_t)(nlp - nl) * 8);
     }
 
-    /* side-chain codes in [11][seg_pad][nlp] */
-    for (int k = 0; k < 11; k++) {
-        for (int64_t j = 0; j < seg_pad; j++) {
-            uint8_t* row = sc_seg + ((int64_t)k * seg_pad + j) * nlp;
+    /* side-chain codes in [seg_pad][11][nlp] (s-major u8: the fused
+     * decode kernel reads the rows directly and dequantizes in VMEM —
+     * no [11,S,N] f32 transpose on device) */
+    for (int64_t j = 0; j < seg_pad; j++) {
+        for (int k = 0; k < 11; k++) {
+            uint8_t* row = sc_seg + (j * 11 + k) * nlp;
             for (int64_t l = 0; l < nl; l++) {
                 int32_t e = ent[l];
                 int64_t idx = fst[l] + j;
