@@ -208,7 +208,7 @@ def bench_device_decode(jax_, f, batch_sizes=(2048, 8192), iters=10):
             sustained_med=statistics.median(sus_vals),
             kernel_s=statistics.median(kj_vals),
             in_bytes=in_bytes, out_bytes=out_bytes,
-            seg=int(arrays["seg_records"].shape[0]))
+            seg=int(arrays["seg_records"].shape[1]))
 
     big = sweep[max(batch_sizes)]
     sustained = max(v["sustained"] for v in sweep.values())
@@ -357,8 +357,8 @@ def bench_device_decode_mixed(jax, n_entries=512, batch_size=128, iters=5):
         batches, pad_res = [], 0
         for g in groups:
             arrays, _ = pack_decode_batch_auto(g)
-            if "fwd9" in arrays:     # ragged-lane pack: [SEG, NL, 8]
-                seg_w, nl = arrays["seg_records"].shape[:2]
+            if "fwd9" in arrays:     # ragged-lane pack: [8, SEG, NL]
+                seg_w, nl = arrays["seg_records"].shape[1:]
                 pad_res += seg_w * nl
             else:                    # [B, S] grid pack
                 s, blw = arrays["seg_records"].shape[:2]

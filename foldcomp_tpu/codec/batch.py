@@ -365,7 +365,7 @@ def _pack_lanes_native(fczs, seg_bucket: int = 8,
     seg_max = int(lib.fcz_pack_seg_max(n, nres, na, aidx))
     seg_pad = _round_up(seg_max, seg_bucket)
 
-    seg_records = np.empty((seg_pad, nlp, 8), np.uint8)
+    seg_records = np.empty((8, seg_pad, nlp), np.uint8)
     sc_seg = np.empty((seg_pad, 11, nlp), np.uint8)
     mins_lane = np.empty((nlp, 6), F32)
     cont_lane = np.empty((nlp, 6), F32)
@@ -542,7 +542,7 @@ def pack_decode_batch_lanes(fczs, seg_bucket: int = 8,
             res_base=lo))
 
     arrays = dict(
-        seg_records=np.ascontiguousarray(seg_records.transpose(1, 0, 2)),
+        seg_records=np.ascontiguousarray(seg_records.transpose(2, 1, 0)),
         mins_lane=mins_lane, cont_lane=cont_lane,
         sc_codes_seg=np.ascontiguousarray(sc_seg.transpose(1, 2, 0)),
         fwd9=fwd9, rev9=rev9, is_first=is_first, seg_m=seg_m,

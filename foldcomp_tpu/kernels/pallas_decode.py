@@ -124,23 +124,50 @@ def _spec(rows, g):
                         memory_space=pltpu.VMEM)
 
 
+def _unpack_ang6_into(recs_ref, mins6_ref, cont6_ref, ang_ref, seg):
+    """Vectorized in-VMEM record unpack + per-lane dequant into the
+    FIELD-major angle scratch (row f*seg + k = stream f of residue k;
+    field order psi, omega, phi, n_ca_c, ca_c_n, c_n_ca).
+
+    recs_ref: [8*seg, G, 128] u8 byte planes (row b*seg + k = byte b of
+    residue k's record, convertBytesToBackboneChain bit layout,
+    foldcomp.cpp:60-77); mins6/cont6: [6, G, 128] per-lane quantizer
+    rows in the SAME field order. Runs once per grid step as whole-slab
+    vector ops — the angles never round-trip through HBM (round 5: the
+    XLA-prologue ang6 cost 24 B/res to write and 24 B/res to read in
+    EACH of the two backbone kernels)."""
+    recs = recs_ref[...].astype(I32)          # (8*seg, G, 128)
+    b = [recs[i * seg:(i + 1) * seg] for i in range(8)]
+    qs = (
+        (b[2] << 4) | (b[3] >> 4),            # psi (12 bit)
+        ((b[0] & 0x7) << 8) | b[1],           # omega (11 bit)
+        ((b[3] & 0xF) << 8) | b[4],           # phi (12 bit)
+        b[7],                                  # n_ca_c
+        b[5],                                  # ca_c_n
+        b[6],                                  # c_n_ca
+    )
+    for f, q in enumerate(qs):
+        ang_ref[f * seg:(f + 1) * seg] = \
+            q.astype(F32) * cont6_ref[f][None] + mins6_ref[f][None]
+
+
 def _fwd_scan_into(ang6_ref, blca_ref, seed, fx_ref, fy_ref, fz_ref, seg):
     """Forward NeRF recurrence (nerf.py _forward_scan_c parity) writing
     atom rows into the [T, G, 128] scratch refs. seed = 9 (G, 128) tiles
-    in (ax..az, bx..bz, cx..cz) order."""
+    in (ax..az, bx..bz, cx..cz) order. ang6_ref is the FIELD-major
+    angle scratch filled by _unpack_ang6_into."""
     fx_ref[0], fx_ref[1], fx_ref[2] = seed[0], seed[3], seed[6]
     fy_ref[0], fy_ref[1], fy_ref[2] = seed[1], seed[4], seed[7]
     fz_ref[0], fz_ref[1], fz_ref[2] = seed[2], seed[5], seed[8]
 
     def body(k, carry):
         ax, ay, az, bx, by, bz, cx, cy, cz = carry
-        base = 6 * k
-        psi = ang6_ref[base]
-        omega = ang6_ref[base + 1]
-        phi = ang6_ref[base + 2]
-        ncac = ang6_ref[base + 3]
-        cacn = ang6_ref[base + 4]
-        cnca = ang6_ref[base + 5]
+        psi = ang6_ref[k]
+        omega = ang6_ref[seg + k]
+        phi = ang6_ref[2 * seg + k]
+        ncac = ang6_ref[3 * seg + k]
+        cacn = ang6_ref[4 * seg + k]
+        cnca = ang6_ref[5 * seg + k]
         nx, ny, nz = place_atom_c(ax, ay, az, bx, by, bz, cx, cy, cz,
                                   _C_TO_N, cacn, psi)
         cax, cay, caz = place_atom_c(bx, by, bz, cx, cy, cz, nx, ny, nz,
@@ -161,10 +188,12 @@ def _make_tails_kernel(seg):
     comp*3 + kk = blended row (t-3+kk) component comp."""
     t = 3 * seg
 
-    def kernel(ang6_ref, blca_ref, seed_ref, ranc_ref, tat_ref, out_ref,
-               fx_ref, fy_ref, fz_ref):
+    def kernel(recs_ref, blca_ref, seed_ref, ranc_ref, tat_ref,
+               mins6_ref, cont6_ref, out_ref,
+               fx_ref, fy_ref, fz_ref, ang_ref):
+        _unpack_ang6_into(recs_ref, mins6_ref, cont6_ref, ang_ref, seg)
         seed = tuple(seed_ref[i] for i in range(9))
-        _fwd_scan_into(ang6_ref, blca_ref, seed, fx_ref, fy_ref, fz_ref, seg)
+        _fwd_scan_into(ang_ref, blca_ref, seed, fx_ref, fy_ref, fz_ref, seg)
 
         tat = tat_ref[0]
         tf = jnp.maximum(tat.astype(F32), F32(1.0))
@@ -200,9 +229,11 @@ def _make_backbone_kernel(seg):
     (_blend_pass_sweep parity). Outputs blended rows [T, G, 128] x3."""
     t = 3 * seg
 
-    def kernel(ang6_ref, blca_ref, seed_ref, ranc_ref, tat_ref,
+    def kernel(recs_ref, blca_ref, seed_ref, ranc_ref, tat_ref,
+               mins6_ref, cont6_ref,
                ox_ref, oy_ref, oz_ref, fx_ref, fy_ref, fz_ref,
-               rx_ref, ry_ref, rz_ref):
+               rx_ref, ry_ref, rz_ref, ang6_ref):
+        _unpack_ang6_into(recs_ref, mins6_ref, cont6_ref, ang6_ref, seg)
         seed = tuple(seed_ref[i] for i in range(9))
         _fwd_scan_into(ang6_ref, blca_ref, seed, fx_ref, fy_ref, fz_ref, seg)
 
@@ -223,7 +254,7 @@ def _make_backbone_kernel(seg):
             im3 = i % 3
             bl = jnp.where(im3 == 0, _C_TO_N,
                            jnp.where(im3 == 1, _CA_TO_C, _N_TO_CA))
-            tor = ang6_ref[6 * (r // 3) + (r % 3)]
+            tor = ang6_ref[(r % 3) * seg + r // 3]
             rc = jnp.minimum(r, t - 3)
             cos_a, sin_a = _bond_angle_cs(
                 fx_ref[rc], fy_ref[rc], fz_ref[rc],
@@ -381,23 +412,23 @@ def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    seg, n, _ = seg_records.shape
+    _, seg, n = seg_records.shape
     t = 3 * seg
     assert n % _LANE_PAD == 0, "pack_decode_batch_lanes pads lanes"
     np_ = n
 
-    # ---- XLA prologue: unpack + dequant ----
-    res_code, phi_q, psi_q, omega_q, ncac_q, cacn_q, cnca_q = \
-        unpack_records(seg_records)
-
-    def cont(q, idx):
-        return q.astype(F32) * cont_lane[None, :, idx] \
-            + mins_lane[None, :, idx]
-
-    ang6 = jnp.stack([cont(psi_q, 1), cont(omega_q, 2), cont(phi_q, 0),
-                      cont(ncac_q, 3), cont(cacn_q, 4), cont(cnca_q, 5)],
-                     axis=1).reshape(seg * 6, n)
+    # ---- XLA prologue: the records stay PACKED (byte-plane-major
+    # [8, SEG, N] u8 from the pack); the backbone kernels unpack +
+    # dequant in VMEM (_unpack_ang6_into). Here: just the residue-code
+    # plane (k3's chemistry selects + proline bond length) and the
+    # per-lane quantizer rows reordered to the kernel field order ----
+    res_code = (seg_records[0].astype(I32) >> 3)           # [SEG, N]
     bl_ca = jnp.where(res_code == PRO_CODE, _PRO_N_TO_CA, _N_TO_CA)
+    # field order (psi, omega, phi, n_ca_c, ca_c_n, c_n_ca) — header
+    # column order is (phi, psi, omega, ...) (foldcomp.h:131)
+    _FIELD_COLS = np.asarray([1, 2, 0, 3, 4, 5])
+    mins6 = mins_lane.T[_FIELD_COLS]                       # [6, N]
+    cont6 = cont_lane.T[_FIELD_COLS]
     # s-major u8 torsion rows (s*11 + j) straight from the pack's
     # [SEG, 11, NL] layout; the sidechain kernel dequantizes in VMEM
     # (round 5: the f32 dequant+transpose here cost 44 B/res of HBM
@@ -406,29 +437,34 @@ def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
     sct = sc_codes_seg.reshape(11 * seg, n)
     tat = (3 * seg_m).astype(I32)[None, :]                 # [1, N]
 
-    ang6_p = _blocked(ang6, seg * 6, np_)
+    recs_p = _blocked(seg_records.reshape(8 * seg, np_), 8 * seg, np_)
     blca_p = _blocked(bl_ca, seg, np_)
     sct_p = _blocked(sct, 11 * seg, np_)
     code_p = _blocked(res_code, seg, np_)
     fwd9_p = _blocked(fwd9, 9, np_)
     rev9_p = _blocked(rev9, 9, np_)
     tat_p = _blocked(tat, 1, np_)
+    mins6_p = _blocked(mins6, 6, np_)
+    cont6_p = _blocked(cont6, 6, np_)
 
     grid_bb = (np_ // (128 * _G_BB),)
     vmem = pltpu.VMEM
+    bb_in_specs = [_spec(8 * seg, _G_BB), _spec(seg, _G_BB),
+                   _spec(9, _G_BB), _spec(9, _G_BB), _spec(1, _G_BB),
+                   _spec(6, _G_BB), _spec(6, _G_BB)]
 
     if refine_iters >= 2:
         # ---- kernel 1: forward tails from anchor seeds ----
         tails = pl.pallas_call(
             _make_tails_kernel(seg),
             grid=grid_bb,
-            in_specs=[_spec(seg * 6, _G_BB), _spec(seg, _G_BB),
-                      _spec(9, _G_BB), _spec(9, _G_BB), _spec(1, _G_BB)],
+            in_specs=bb_in_specs,
             out_specs=_spec(9, _G_BB),
             out_shape=jax.ShapeDtypeStruct((9, np_ // 128, 128), F32),
-            scratch_shapes=[vmem((t, _G_BB, 128), F32) for _ in range(3)],
+            scratch_shapes=[vmem((t, _G_BB, 128), F32) for _ in range(3)]
+            + [vmem((6 * seg, _G_BB, 128), F32)],
             interpret=interpret,
-        )(ang6_p, blca_p, fwd9_p, rev9_p, tat_p)
+        )(recs_p, blca_p, fwd9_p, rev9_p, tat_p, mins6_p, cont6_p)
 
         # ---- XLA middle: segment s re-seeded by segment s-1's tail ----
         # Ragged lanes are protein-contiguous, so the shift is a roll by
@@ -450,13 +486,13 @@ def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
     bbx, bby, bbz = pl.pallas_call(
         _make_backbone_kernel(seg),
         grid=grid_bb,
-        in_specs=[_spec(seg * 6, _G_BB), _spec(seg, _G_BB),
-                  _spec(9, _G_BB), _spec(9, _G_BB), _spec(1, _G_BB)],
+        in_specs=bb_in_specs,
         out_specs=(_spec(t, _G_BB),) * 3,
         out_shape=(bb_shape,) * 3,
-        scratch_shapes=[vmem((t, _G_BB, 128), F32) for _ in range(6)],
+        scratch_shapes=[vmem((t, _G_BB, 128), F32) for _ in range(6)]
+        + [vmem((6 * seg, _G_BB, 128), F32)],
         interpret=interpret,
-    )(ang6_p, blca_p, seeds_p, rev9_p, tat_p)
+    )(recs_p, blca_p, seeds_p, rev9_p, tat_p, mins6_p, cont6_p)
 
     # ---- kernel 3: side chains + compact int16 (2D grid: lanes x
     # residue blocks, so VMEM is independent of the segment width) ----

@@ -1198,7 +1198,7 @@ int64_t fcz_pack_lanes(
     const float** mins6, const float** cont6,
     const float* tfmin, const float* tfcont, const uint8_t** tfcodes,
     int64_t nlp, int64_t seg_pad, int64_t r_tot,
-    uint8_t* seg_records,   /* [seg_pad][nlp][8] */
+    uint8_t* seg_records,   /* [8][seg_pad][nlp] */
     uint8_t* sc_seg,        /* [seg_pad][11][nlp] */
     float* mins_lane, float* cont_lane,      /* [nlp][6] */
     float* fwd9, float* rev9,                /* [9][nlp] */
@@ -1295,17 +1295,25 @@ int64_t fcz_pack_lanes(
         lane0 += s_e;
     }
 
-    /* window-expanded records: sequential writes per j-row */
+    /* window-expanded records, BYTE-PLANE-major [8][seg_pad][nlp]: the
+     * fused decode kernels read the planes directly and unpack+dequant
+     * in VMEM (a [.,.,8] minor dim is tiling-pathological on device);
+     * 8 sequential write streams per j-row */
     for (int64_t j = 0; j < seg_pad; j++) {
-        uint8_t* row = seg_records + j * nlp * 8;
+        uint8_t* rowp[8];
+        for (int b = 0; b < 8; b++)
+            rowp[b] = seg_records + ((int64_t)b * seg_pad + j) * nlp;
         for (int64_t l = 0; l < nl; l++) {
             int32_t e = ent[l];
             int64_t idx = fst[l] + j;
             int64_t last = nres[e] - 1;
             if (idx > last) idx = last;
-            memcpy(row + l * 8, recs[e] + idx * 8, 8);
+            const uint8_t* src = recs[e] + idx * 8;
+            for (int b = 0; b < 8; b++) rowp[b][l] = src[b];
         }
-        if (nl < nlp) memset(row + nl * 8, 0, (size_t)(nlp - nl) * 8);
+        if (nl < nlp)
+            for (int b = 0; b < 8; b++)
+                memset(rowp[b] + nl, 0, (size_t)(nlp - nl));
     }
 
     /* side-chain codes in [seg_pad][11][nlp] (s-major u8: the fused

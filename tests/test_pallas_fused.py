@@ -113,10 +113,13 @@ def test_lanes_pack_matches_seg_pack_metadata(fcz_pair):
         assert np.array_equal(a.rec_of, b.rec_of)
         assert np.array_equal(a.res_code, b.res_code)
         assert np.allclose(a.temp, b.temp)
-    # lane window contents agree lane-for-lane (ragged vs grid ids)
-    segw = al["seg_records"].shape[0]
+    # lane window contents agree lane-for-lane (ragged vs grid ids);
+    # the lanes pack is byte-plane-major [8, SEG, NL] (round 5: the
+    # kernels unpack in VMEM), the grid pack stays [SEG, N, 8]
+    segw = al["seg_records"].shape[1]
     assert segw == as_["seg_records"].shape[0]
     for a, b in zip(ml, ms):
-        recs_l = al["seg_records"][:, a.lane_of, :]
+        recs_l = np.transpose(al["seg_records"][:, :, a.lane_of],
+                              (1, 2, 0))
         recs_s = as_["seg_records"][:, b.lane_of, :]
         assert np.array_equal(recs_l, recs_s)
