@@ -1674,6 +1674,52 @@ def _compact_coord_batch(atom14):
     return base, delta, bits
 
 
+def _pack_encode_wire_native(live, atom14):
+    """One-pass C fill of the padded atom14 batch AND the plane-major
+    compact wire (native/fccodec.c fcz_pack_encode_wire): baseT i32
+    [3, bp, l], deltaT i16 [42, bp, l], present u16 [bp, l], protein-
+    padded to the fused kernel's sublane block — the layout
+    encode_parity_fused_planar consumes with zero transposes on either
+    side. Bit-identical valid/invalid decision to _compact_coord_batch
+    (same IEEE f32 op order in C).
+
+    Returns (baseT, deltaT, present) on success, the string "f32" when
+    the batch fell out of the compact integer form (atom14 is still
+    fully filled — callers go straight to the f32 core without a second
+    fill pass), or None when the native library is unavailable/disabled
+    (callers run the numpy fill + compact pass)."""
+    import ctypes
+    import os
+
+    from ..kernels.pallas_encode import fused_pb
+    from ..native import get_lib
+    if os.environ.get("FOLDCOMP_TPU_PLANAR_WIRE", "1") == "0":
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    b, l = atom14.shape[0], atom14.shape[1]
+    ptrs = (ctypes.c_void_p * b)()
+    ms = np.empty(b, np.int32)
+    keep = []
+    for k, (_, (a14, _rc, _tf)) in enumerate(live):
+        a = np.ascontiguousarray(a14, np.float32)
+        keep.append(a)
+        ptrs[k] = a.ctypes.data
+        ms[k] = a.shape[0]
+    pb = fused_pb(l)
+    bp = -(-b // pb) * pb
+    baseT = _POOL.take((3, bp, l), np.int32)
+    deltaT = _POOL.take((42, bp, l), np.int16)
+    present = _POOL.take((bp, l), np.uint16)
+    got = lib.fcz_pack_encode_wire(b, ptrs, ms, bp, l, atom14,
+                                   baseT, deltaT, present)
+    if got == 1:
+        return baseT, deltaT, present
+    _POOL.give(baseT, deltaT, present)
+    return "f32" if got == 0 else None
+
+
 def encode_submit(frag_tensors, frag_meta, anchor_threshold: int = 25,
                   l_bucket: int = 32):
     """Stage 1 of the batched device encode: pad, ship, dispatch.
@@ -1697,14 +1743,12 @@ def encode_submit(frag_tensors, frag_meta, anchor_threshold: int = 25,
     b = len(live)
     l_pad = _round_up(max(t[0].shape[0] for _, t in live), l_bucket)
     atom14 = _POOL.take((b, l_pad, 14, 3), F32)
-    atom14.fill(0)
     res_code = np.zeros((b, l_pad), I32)
     tf_ca = np.zeros((b, l_pad), F32)
     res_mask = np.zeros((b, l_pad), bool)
     n_res = np.zeros(b, I32)
     for k, (_, (a14, rc, tf)) in enumerate(live):
         m = a14.shape[0]
-        atom14[k, :m] = a14
         res_code[k, :m] = rc
         tf_ca[k, :m] = tf
         res_mask[k, :m] = True
@@ -1713,10 +1757,36 @@ def encode_submit(frag_tensors, frag_meta, anchor_threshold: int = 25,
     # metadata) unless FOLDCOMP_TPU_ENC=host keeps the backbone streams
     # on host (round-2 behavior, kept for A/B)
     device_bb = os.environ.get("FOLDCOMP_TPU_ENC", "device") != "host"
-    compact = _compact_coord_batch(atom14)
-    if device_bb:
+    fused = use_fused_encode() if device_bb else ""
+    # the fused path's wire rides plane-major straight from the native
+    # one-pass pack when available (fills atom14 too)
+    wire = None
+    if fused:
+        from ..kernels.pallas_encode import MAX_L_FUSED
+        if l_pad <= MAX_L_FUSED:
+            wire = _pack_encode_wire_native(live, atom14)
+    if wire is None:
+        atom14.fill(0)
+        for k, (_, (a14, _rc, _tf)) in enumerate(live):
+            atom14[k, :a14.shape[0]] = a14
+    wire_bufs = ()
+    delta_buf = None
+    if isinstance(wire, tuple):
+        from ..kernels.pallas_encode import encode_parity_fused_planar
+        baseT, deltaT, present = wire
+        bp = present.shape[0]
+        code_p = res_code if bp == b else \
+            np.pad(res_code, ((0, bp - b), (0, 0)))
+        nres_p = n_res if bp == b else np.pad(n_res, (0, bp - b))
+        parts = encode_parity_fused_planar(
+            baseT, deltaT, present, code_p, nres_p, n_out=b,
+            interpret=(fused == "interpret"))
+        wire_bufs = wire
+    elif device_bb:
+        # wire == "f32": the C pack proved the batch non-compact, skip
+        # the numpy compact pass entirely
+        compact = None if wire == "f32" else _compact_coord_batch(atom14)
         if compact is not None:
-            fused = use_fused_encode()
             parts = None
             if fused:
                 from ..kernels.pallas_encode import \
@@ -1732,21 +1802,22 @@ def encode_submit(frag_tensors, frag_meta, anchor_threshold: int = 25,
             delta_buf = compact[1]
         else:
             parts = encode_parity_core(atom14, res_code, n_res)
-            delta_buf = None
-    elif compact is not None:
-        sc_q, flag_bits = encode_sc_q_core_compact(*compact, res_code)
-        parts = dict(sc_q=sc_q, sc_flag_bits=flag_bits)
-        delta_buf = compact[1]
     else:
-        sc_q, flag_bits = encode_sc_q_core(atom14, res_code)
-        parts = dict(sc_q=sc_q, sc_flag_bits=flag_bits)
-        delta_buf = None
+        compact = _compact_coord_batch(atom14)
+        if compact is not None:
+            sc_q, flag_bits = encode_sc_q_core_compact(*compact, res_code)
+            parts = dict(sc_q=sc_q, sc_flag_bits=flag_bits)
+            delta_buf = compact[1]
+        else:
+            sc_q, flag_bits = encode_sc_q_core(atom14, res_code)
+            parts = dict(sc_q=sc_q, sc_flag_bits=flag_bits)
     # copy frag_meta: callers may clear/reuse their list while the
     # handle is in flight (the live tensors are captured pairwise above)
     return dict(n=len(frag_tensors), live=live, frag_meta=list(frag_meta),
                 anchor_threshold=anchor_threshold, atom14=atom14,
                 res_code=res_code, tf_ca=tf_ca, res_mask=res_mask,
-                parts=parts, device_bb=device_bb, delta_buf=delta_buf)
+                parts=parts, device_bb=device_bb, delta_buf=delta_buf,
+                wire_bufs=wire_bufs)
 
 
 def encode_finish(handle):
@@ -1768,7 +1839,8 @@ def encode_finish(handle):
     # the device outputs are materialized, so the H2D transfer consumed
     # the pooled input buffers: recycle them for the next submit (pop so
     # a double-finish cannot hand the same buffer out twice)
-    _POOL.give(handle.pop("atom14"), handle.pop("delta_buf", None))
+    _POOL.give(handle.pop("atom14"), handle.pop("delta_buf", None),
+               *handle.pop("wire_bufs", ()))
     # side-chain stream compaction for the whole batch in one masked
     # fancy-index: sc_q is [B, L, 11] row-major, so selecting slot j of
     # residue r where j < n_sc_torsion(residue r) preserves the per-entry

@@ -305,16 +305,20 @@ def _bond_tail(bc, tb, rel, parts_eps):
     return ang, err
 
 
-@partial(jax.jit, static_argnames=("pb", "parts_eps", "interpret"))
+@partial(jax.jit, static_argnames=("pb", "parts_eps", "interpret",
+                                   "planar"))
 def _fused_parity_jit(base, delta, present, res_code, n_res,
                       pb: int = _PB, parts_eps: float = 0.0,
-                      interpret: bool = False):
+                      interpret: bool = False, planar: bool = False):
     """Mini-prologue + ONE Pallas kernel + lanes-layout XLA tail.
 
     Inputs padded (B % pb == 0, L % LANE_PAD == 0); see
-    encode_parity_fused_compact. Output contract == _parity_jit_compact:
-    records u8 [B,L,8], bb_flags u8 [B,L], cand_bits u16 [B,L],
-    sc_q u8 [B,L,11], sc_flag_bits u16 [B,L]."""
+    encode_parity_fused_compact. With planar=True, base/delta arrive
+    already in the plane-major device layout ([3|42, B, L] — the native
+    host pack fcz_pack_encode_wire emits it directly) and the
+    mini-prologue transposes disappear. Output contract ==
+    _parity_jit_compact: records u8 [B,L,8], bb_flags u8 [B,L],
+    cand_bits u16 [B,L], sc_q u8 [B,L,11], sc_flag_bits u16 [B,L]."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -322,9 +326,13 @@ def _fused_parity_jit(base, delta, present, res_code, n_res,
     assert b % pb == 0
 
     # ---- XLA mini-prologue: batched minor-dims transposes of the
-    # narrow integer wire into plane-major [42|3, B, L] ----
-    dT = jnp.transpose(delta.reshape(b, l, 42), (2, 0, 1))
-    bT = jnp.transpose(base, (2, 0, 1))
+    # narrow integer wire into plane-major [42|3, B, L] (skipped when
+    # the host pack shipped the wire plane-major already) ----
+    if planar:
+        dT, bT = delta, base
+    else:
+        dT = jnp.transpose(delta.reshape(b, l, 42), (2, 0, 1))
+        bT = jnp.transpose(base, (2, 0, 1))
     pr = present.astype(I32)
     code = jnp.clip(res_code, 0, 23)
 
@@ -440,7 +448,7 @@ def encode_parity_fused_compact(base, delta, present, res_code, n_res,
     b, l = np.shape(res_code)
     if l > MAX_L_FUSED:
         return None
-    pb = _PB if l <= 768 else 8
+    pb = fused_pb(l)
     bp = -(-b // pb) * pb
 
     def padb(x, dtype):
@@ -459,3 +467,37 @@ def encode_parity_fused_compact(base, delta, present, res_code, n_res,
     if bp == b:
         return out
     return {k: v[:b] for k, v in out.items()}
+
+
+def fused_pb(l: int) -> int:
+    """Protein-sublane block size for a padded length l (VMEM budget:
+    halve the block once the per-protein lane footprint doubles)."""
+    return _PB if l <= 768 else 8
+
+
+def encode_parity_fused_planar(baseT, deltaT, present, res_code, n_res,
+                               n_out: int, interpret: bool = False):
+    """Fused parity encode from the PLANE-MAJOR wire.
+
+    baseT i32 [3, bp, l] / deltaT i16 [42, bp, l] / present u16 [bp, l]
+    arrive already transposed and protein-padded (bp a multiple of
+    fused_pb(l)) — the native host pack (native/fccodec.c
+    fcz_pack_encode_wire) emits this layout in one pass, so neither the
+    host nor the device pays a transpose. res_code/n_res are padded to
+    bp by the caller; outputs are sliced back to the live batch n_out.
+    Same output contract as encode_parity_fused_compact; returns None
+    when l exceeds the fused VMEM budget (callers fall back to the XLA
+    core on the [B, L] wire)."""
+    from .encode import _parts_eps
+
+    bp, l = np.shape(res_code)
+    if l > MAX_L_FUSED:
+        return None
+    pb = fused_pb(l)
+    assert bp % pb == 0 and np.shape(deltaT) == (42, bp, l)
+    out = _fused_parity_jit(baseT, deltaT, present, res_code, n_res,
+                            pb=pb, parts_eps=_parts_eps(),
+                            interpret=interpret, planar=True)
+    if bp == n_out:
+        return out
+    return {k: v[:n_out] for k, v in out.items()}

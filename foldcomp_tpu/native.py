@@ -117,6 +117,12 @@ def _bind(lib):
         c.c_int64, c.c_int64, c.c_int64,
         u8p, u8p, f32p, f32p, f32p, f32p, u8p, i32p,
         i32p, f32p, i32p, i32p]
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.fcz_pack_encode_wire.restype = c.c_int64
+    lib.fcz_pack_encode_wire.argtypes = [
+        c.c_int64, vpp, i32p, c.c_int64, c.c_int64,
+        f32p, i32p, i16p, u16p]
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.fcz_encode_atoms.restype = c.c_int64
     lib.fcz_encode_atoms.argtypes = [

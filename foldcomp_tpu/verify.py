@@ -156,21 +156,28 @@ def device_parity_check() -> dict:
     # XLA core forced — both must serialize byte-identical --
     golden = [fczmod.serialize(f) for f in fczs]
     modes = [("encode_" + ("fused" if use_fused_encode() else "xla"),
-              None)]
+              {})]
     if use_fused_encode():
-        modes.append(("encode_xla", "0"))
+        from .native import get_lib
+
+        # the default fused run rides the native plane-major wire when
+        # the library is present; force the numpy wire (+ its device
+        # transpose prologue) as a separate checked path
+        if get_lib() is not None:
+            modes.append(("encode_fused_npwire",
+                          {"FOLDCOMP_TPU_PLANAR_WIRE": "0"}))
+        modes.append(("encode_xla", {"FOLDCOMP_TPU_FUSED_ENC": "0"}))
     for label, forced in modes:
-        prev = os.environ.get("FOLDCOMP_TPU_FUSED_ENC")
+        prev = {k: os.environ.get(k) for k in forced}
         try:
-            if forced is not None:
-                os.environ["FOLDCOMP_TPU_FUSED_ENC"] = forced
+            os.environ.update(forced)
             got = encode_fragment_batch([f for _, f in frags])
         finally:
-            if forced is not None:
-                if prev is None:
-                    os.environ.pop("FOLDCOMP_TPU_FUSED_ENC", None)
+            for k, v in prev.items():
+                if v is None:
+                    os.environ.pop(k, None)
                 else:
-                    os.environ["FOLDCOMP_TPU_FUSED_ENC"] = prev
+                    os.environ[k] = v
         out["checked"].append(label)
         bad = [i for i, (g, want) in enumerate(zip(got, golden))
                if g is None or fczmod.serialize(g) != want]

@@ -149,3 +149,117 @@ def test_fused_end_to_end_fixture(monkeypatch, ref_test_dir):
     d = encode_fragment_batch([frag])[0]
     assert d is not None
     assert fcz.serialize(e) == fcz.serialize(d)
+
+
+def _live_of(frames, l_bucket=32):
+    tensors = [fragment_to_tensors(a) for a in frames]
+    live = [(i, (t[0], t[1], t[2])) for i, t in enumerate(tensors)]
+    l_pad = -(-max(t[0].shape[0] for t in tensors) // l_bucket) * l_bucket
+    return live, l_pad
+
+
+def test_native_planar_wire_matches_numpy():
+    """fcz_pack_encode_wire (C, one pass, plane-major) vs the numpy
+    fill + _compact_coord_batch + transpose chain: atom14 fill, baseT,
+    deltaT, present all bit-identical, pad proteins/lanes zeroed."""
+    from foldcomp_tpu.codec.batch import _pack_encode_wire_native
+    from foldcomp_tpu.kernels.pallas_encode import fused_pb
+    from foldcomp_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    frames = [_milli(synthesize(n, s)) for n, s in
+              ((40, 3), (12, 4), (65, 6), (24, 7), (33, 8))]
+    live, l = _live_of(frames)
+    b = len(live)
+    atom14 = np.empty((b, l, 14, 3), np.float32)
+    wire = _pack_encode_wire_native(live, atom14)
+    assert isinstance(wire, tuple)
+    baseT, deltaT, present = wire
+
+    ref = np.zeros((b, l, 14, 3), np.float32)
+    for k, (_, (a14, _rc, _tf)) in enumerate(live):
+        ref[k, :a14.shape[0]] = a14
+    assert np.array_equal(atom14, ref)
+    nb, nd, npres = _compact_coord_batch(ref)
+    pb = fused_pb(l)
+    bp = -(-b // pb) * pb
+    refB = np.zeros((3, bp, l), np.int32)
+    refB[:, :b] = np.transpose(nb, (2, 0, 1))
+    refD = np.zeros((42, bp, l), np.int16)
+    refD[:, :b] = np.transpose(np.asarray(nd).reshape(b, l, 42),
+                               (2, 0, 1))
+    refP = np.zeros((bp, l), np.uint16)
+    refP[:b] = npres
+    assert np.array_equal(np.asarray(baseT), refB)
+    assert np.array_equal(np.asarray(deltaT), refD)
+    assert np.array_equal(np.asarray(present), refP)
+
+
+def test_native_planar_wire_f32_fallback():
+    """A single non-milli-exact coordinate drops the C pack to the f32
+    verdict — exactly when the numpy pass returns None — with the
+    atom14 fill still complete (no second fill pass needed)."""
+    from foldcomp_tpu.codec.batch import _pack_encode_wire_native
+    from foldcomp_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    frames = [_milli(synthesize(20, 9)), _milli(synthesize(9, 10))]
+    frames[1].coords[3, 1] = np.float32(0.00012345)   # not on the grid
+    live, l = _live_of(frames)
+    b = len(live)
+    atom14 = np.empty((b, l, 14, 3), np.float32)
+    assert _pack_encode_wire_native(live, atom14) == "f32"
+    ref = np.zeros((b, l, 14, 3), np.float32)
+    for k, (_, (a14, _rc, _tf)) in enumerate(live):
+        ref[k, :a14.shape[0]] = a14
+    assert np.array_equal(atom14, ref)
+    assert _compact_coord_batch(ref) is None
+
+
+def test_planar_parts_match_compact():
+    """encode_parity_fused_planar on the C wire == the same fused
+    kernel fed through the [B, L] wire + device transpose (identical
+    jit graph past the prologue, so outputs must be bit-equal)."""
+    from foldcomp_tpu.codec.batch import _pack_encode_wire_native
+    from foldcomp_tpu.kernels.pallas_encode import (
+        encode_parity_fused_compact, encode_parity_fused_planar)
+    from foldcomp_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    frames = [_milli(synthesize(n, s))
+              for n, s in ((5, 0), (24, 1), (60, 2))]
+    atom14, res_code, n_res = _tensor_batch(frames)
+    live = [(i, (np.ascontiguousarray(atom14[i, :n_res[i]]), None, None))
+            for i in range(len(frames))]
+    scratch = np.empty_like(atom14)
+    wire = _pack_encode_wire_native(live, scratch)
+    assert isinstance(wire, tuple)
+    baseT, deltaT, present = wire
+    b = len(frames)
+    bp = present.shape[0]
+    code_p = np.pad(res_code, ((0, bp - b), (0, 0)))
+    nres_p = np.pad(n_res, (0, bp - b))
+    planar = encode_parity_fused_planar(baseT, deltaT, present, code_p,
+                                        nres_p, n_out=b, interpret=True)
+    compact = encode_parity_fused_compact(
+        *_compact_coord_batch(atom14), res_code, n_res, interpret=True)
+    for k in ("records", "bb_flags", "cand_bits", "sc_q",
+              "sc_flag_bits"):
+        assert np.array_equal(np.asarray(planar[k]),
+                              np.asarray(compact[k])), k
+
+
+def test_fused_end_to_end_without_planar_wire(monkeypatch):
+    """The numpy-wire fused path (FOLDCOMP_TPU_PLANAR_WIRE=0) stays
+    byte-exact — the fallback when the native library is absent."""
+    monkeypatch.setenv("FOLDCOMP_TPU_FUSED_ENC", "interpret")
+    monkeypatch.setenv("FOLDCOMP_TPU_PLANAR_WIRE", "0")
+    frames = [_milli(synthesize(n, s)) for n, s in ((26, 3), (7, 4))]
+    exact = [encode_exact(a) for a in frames]
+    dev = encode_fragment_batch(frames)
+    for i, (e, d) in enumerate(zip(exact, dev)):
+        assert d is not None, i
+        assert fcz.serialize(e) == fcz.serialize(d), i
