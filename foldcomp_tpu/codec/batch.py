@@ -1712,12 +1712,32 @@ def _pack_encode_wire_native(live, atom14):
     baseT = _POOL.take((3, bp, l), np.int32)
     deltaT = _POOL.take((42, bp, l), np.int16)
     present = _POOL.take((bp, l), np.uint16)
-    got = lib.fcz_pack_encode_wire(b, ptrs, ms, bp, l, atom14,
-                                   baseT, deltaT, present)
-    if got == 1:
+    # the C pass releases the GIL; chunk the batch across a few threads
+    # when it is big enough to amortize the pool (the pack bursts are
+    # short — same total CPU work, shorter wall)
+    nt = int(os.environ.get("FOLDCOMP_TPU_PACK_THREADS", "0")) or \
+        (min(4, os.cpu_count() or 1) if b >= 256 else 1)
+    nt = max(1, min(nt, b))
+    if nt == 1:
+        got = lib.fcz_pack_encode_wire(b, ptrs, ms, bp, l, atom14,
+                                       baseT, deltaT, present)
+        gots = [got]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        bounds = [(b * t // nt, b * (t + 1) // nt) for t in range(nt)]
+
+        def run(t):
+            k0, k1 = bounds[t]
+            sub = (ctypes.c_void_p * (k1 - k0))(*ptrs[k0:k1])
+            return lib.fcz_pack_encode_wire_range(
+                k0, k1 - k0, sub, ms[k0:k1], bp, l, atom14,
+                baseT, deltaT, present, b if t == nt - 1 else -1)
+        with ThreadPoolExecutor(nt) as ex:
+            gots = list(ex.map(run, range(nt)))
+    if all(g == 1 for g in gots):
         return baseT, deltaT, present
     _POOL.give(baseT, deltaT, present)
-    return "f32" if got == 0 else None
+    return "f32" if all(g >= 0 for g in gots) else None
 
 
 def encode_submit(frag_tensors, frag_meta, anchor_threshold: int = 25,

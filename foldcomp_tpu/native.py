@@ -123,6 +123,10 @@ def _bind(lib):
     lib.fcz_pack_encode_wire.argtypes = [
         c.c_int64, vpp, i32p, c.c_int64, c.c_int64,
         f32p, i32p, i16p, u16p]
+    lib.fcz_pack_encode_wire_range.restype = c.c_int64
+    lib.fcz_pack_encode_wire_range.argtypes = [
+        c.c_int64, c.c_int64, vpp, i32p, c.c_int64, c.c_int64,
+        f32p, i32p, i16p, u16p, c.c_int64]
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.fcz_encode_atoms.restype = c.c_int64
     lib.fcz_encode_atoms.argtypes = [

@@ -1394,20 +1394,22 @@ int64_t fcz_pack_seg_max(int64_t n_entries, const int32_t* nres,
  * proceeds on the f32 path without a second fill pass), <0 on bad
  * arguments. Buffers may be dirty (np.empty / recycled pool): every
  * element of every output this function owns is written. */
-int64_t fcz_pack_encode_wire(
-    int64_t n_live, const float** a14s, const int32_t* ms,
+int64_t fcz_pack_encode_wire_range(
+    int64_t k0, int64_t n_chunk, const float** a14s, const int32_t* ms,
     int64_t bp, int64_t l,
-    float* atom14,      /* [n_live][l][14][3] */
+    float* atom14,      /* [.][l][14][3], full-batch base pointer */
     int32_t* baseT,     /* [3][bp][l] */
     int16_t* deltaT,    /* [42][bp][l] */
-    uint16_t* present)  /* [bp][l] */
+    uint16_t* present,  /* [bp][l] */
+    int64_t pad_from)   /* zero wire rows [pad_from, bp) when >= 0 */
 {
-    if (n_live < 1 || bp < n_live || l < 1) return -1;
+    if (n_chunk < 1 || bp < k0 + n_chunk || l < 1) return -1;
     int64_t plane = bp * l;
     int ok = 1;
-    for (int64_t k = 0; k < n_live; k++) {
-        const float* src = a14s[k];
-        int32_t m = ms[k];
+    for (int64_t kk = 0; kk < n_chunk; kk++) {
+        int64_t k = k0 + kk;
+        const float* src = a14s[kk];
+        int32_t m = ms[kk];
         if (m < 0 || m > l) return -1;
         float* dst = atom14 + k * l * 42;
         memcpy(dst, src, (size_t)m * 42 * 4);
@@ -1473,12 +1475,24 @@ int64_t fcz_pack_encode_wire(
     }
     if (!ok) return 0;
     /* pad proteins beyond the live batch: zero wire rows */
-    for (int64_t k = n_live; k < bp; k++) {
-        memset(present + k * l, 0, (size_t)l * 2);
-        for (int p = 0; p < 3; p++)
-            memset(baseT + p * plane + k * l, 0, (size_t)l * 4);
-        for (int p = 0; p < 42; p++)
-            memset(deltaT + p * plane + k * l, 0, (size_t)l * 2);
+    if (pad_from >= 0) {
+        for (int64_t k = pad_from; k < bp; k++) {
+            memset(present + k * l, 0, (size_t)l * 2);
+            for (int p = 0; p < 3; p++)
+                memset(baseT + p * plane + k * l, 0, (size_t)l * 4);
+            for (int p = 0; p < 42; p++)
+                memset(deltaT + p * plane + k * l, 0, (size_t)l * 2);
+        }
     }
     return 1;
+}
+
+int64_t fcz_pack_encode_wire(
+    int64_t n_live, const float** a14s, const int32_t* ms,
+    int64_t bp, int64_t l,
+    float* atom14, int32_t* baseT, int16_t* deltaT, uint16_t* present)
+{
+    return fcz_pack_encode_wire_range(0, n_live, a14s, ms, bp, l,
+                                      atom14, baseT, deltaT, present,
+                                      n_live);
 }
