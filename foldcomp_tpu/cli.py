@@ -754,6 +754,7 @@ except Exception:
 """
 
 _PROBE_TTL_S = 600.0
+_PROBE_NONE_TTL_S = 120.0
 
 
 def _probe_info() -> tuple:
@@ -778,7 +779,12 @@ def _probe_info() -> tuple:
     try:
         with open(cache) as fh:
             d = json.load(fh)
-        if time.time() - d["ts"] < _PROBE_TTL_S and \
+        # 'none' can be a transient axon-registration flake under
+        # concurrent tunnel load (observed): let it heal on a short TTL
+        # instead of silently benching the device stream for 10 min
+        ttl = _PROBE_TTL_S if d["result"] in ("ok", "slow") \
+            else _PROBE_NONE_TTL_S
+        if time.time() - d["ts"] < ttl and \
                 d["result"] in ("ok", "slow", "none"):
             return d["result"], float(d.get("mbs", 0.0))
     except Exception:
@@ -1177,6 +1183,13 @@ def run_warmup(inp: str) -> int:
     print(f"Warmed {plat} codec on {len(batch)}-entry batches: "
           f"decode {t_dec - t0:.1f}s, encode {t_enc - t_dec:.1f}s "
           f"(cached for future runs where the runtime supports it)")
+    # make sure the background AOT exports (kernels/aot.py) hit disk
+    # before this short-lived process exits
+    try:
+        from .kernels.aot import wait_pending
+        wait_pending()
+    except Exception:  # noqa: BLE001
+        pass
     # Seed the hybrid scheduler's cold horizon: time-to-first-decode here
     # bounds the device stream's time-to-first-completion, so a host whose
     # jobs are all too small for the device to ever join (and self-measure)

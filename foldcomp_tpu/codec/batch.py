@@ -622,14 +622,24 @@ def pack_decode_batch_auto(fczs):
 
 def _seg_decode_arrays(arrays, refine_iters=2):
     if "fwd9" in arrays:          # ragged-lane pack -> fused Pallas path
+        from ..kernels import aot
         from ..kernels.pallas_decode import decode_seg_fused
         nl_out = arrays.get("nl_out")
-        return decode_seg_fused(
+        nl_out = int(nl_out) if nl_out is not None else None
+        # AOT artifact for this exact signature: skip the ~1.5 s jit
+        # trace on fresh processes (kernels/aot.py)
+        call = aot.try_decode_call(arrays, refine_iters, nl_out)
+        if call is not None:
+            return call(*aot._decode_args(arrays))
+        out = decode_seg_fused(
             arrays["seg_records"], arrays["mins_lane"],
             arrays["cont_lane"], arrays["sc_codes_seg"], arrays["fwd9"],
             arrays["rev9"], arrays["is_first"], arrays["seg_m"],
-            refine_iters=refine_iters,
-            nl_out=int(nl_out) if nl_out is not None else None)
+            refine_iters=refine_iters, nl_out=nl_out)
+        # best-effort background export so the NEXT fresh process can
+        # skip the trace too
+        aot.save_decode_aot(arrays, refine_iters, nl_out)
+        return out
     from ..kernels.decode import decode_seg_batch_core
     return decode_seg_batch_core(
         arrays["seg_records"], arrays["mins_lane"], arrays["cont_lane"],

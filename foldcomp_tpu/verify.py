@@ -132,6 +132,37 @@ def device_parity_check() -> dict:
             out["failures"].append(
                 f"decode_fused: dev={dev:.2e} rmsd={r}")
 
+        # -- decode: the PRODUCTION resolution (_seg_decode_arrays),
+        # which may pick a deserialized AOT artifact (kernels/aot.py)
+        # over the jit — whatever actually serves the next job must
+        # hold the same gate --
+        from .codec.batch import _seg_decode_arrays
+        from .kernels.aot import _aot_dir, _decode_key
+
+        def run_default(arrays):
+            nl = arrays.pop("nl_out", None)
+            off, ca = _seg_decode_arrays(
+                dict(arrays, nl_out=nl), refine_iters=2)
+            return np.asarray(off), np.asarray(ca)
+
+        ok, dev, r = _check_decode(batch, batch_coords, orig0,
+                                   pack_decode_batch_lanes, run_default)
+        try:
+            d = _aot_dir()
+            arrays, _ = pack_decode_batch_lanes(batch)
+            nl = arrays.pop("nl_out", None)
+            key = _decode_key(arrays, 2, int(nl) if nl is not None
+                              else None)
+            aot_hit = d is not None and os.path.exists(
+                os.path.join(d, f"decode_{key}.jaxexp"))
+        except Exception:  # noqa: BLE001
+            aot_hit = False
+        label = "decode_aot" if aot_hit else "decode_default"
+        out["checked"].append(label)
+        out[label + "_max_dev_A"] = round(dev, 6)
+        if not ok:
+            out["failures"].append(f"{label}: dev={dev:.2e} rmsd={r}")
+
     # -- decode: XLA core (compiled on the live backend) --
     def run_xla(arrays):
         off, ca = decode_seg_core(

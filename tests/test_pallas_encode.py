@@ -263,3 +263,43 @@ def test_fused_end_to_end_without_planar_wire(monkeypatch):
     for i, (e, d) in enumerate(zip(exact, dev)):
         assert d is not None, i
         assert fcz.serialize(e) == fcz.serialize(d), i
+
+
+def test_native_planar_wire_threaded_chunks():
+    """Chunk-threaded pack (fcz_pack_encode_wire_range over uneven
+    protein ranges) is bit-identical to the single-call pack, and a
+    poisoned protein in ANY chunk drops the whole batch to the f32
+    verdict."""
+    import os
+
+    from foldcomp_tpu.codec.batch import _pack_encode_wire_native
+    from foldcomp_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    frames = [_milli(synthesize(6 + 5 * i, 20 + i)) for i in range(7)]
+    live, l = _live_of(frames)
+    b = len(live)
+    prev = os.environ.get("FOLDCOMP_TPU_PACK_THREADS")
+    try:
+        os.environ["FOLDCOMP_TPU_PACK_THREADS"] = "1"
+        a1 = np.empty((b, l, 14, 3), np.float32)
+        w1 = _pack_encode_wire_native(live, a1)
+        os.environ["FOLDCOMP_TPU_PACK_THREADS"] = "3"
+        a3 = np.empty((b, l, 14, 3), np.float32)
+        w3 = _pack_encode_wire_native(live, a3)
+        assert isinstance(w1, tuple) and isinstance(w3, tuple)
+        assert np.array_equal(a1, a3)
+        for x, y in zip(w1, w3):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+        # poison one protein in the middle chunk
+        bad = frames[3]
+        bad.coords[2, 0] = np.float32(0.00012345)
+        live_bad, l2 = _live_of(frames)
+        ab = np.empty((b, l2, 14, 3), np.float32)
+        assert _pack_encode_wire_native(live_bad, ab) == "f32"
+    finally:
+        if prev is None:
+            os.environ.pop("FOLDCOMP_TPU_PACK_THREADS", None)
+        else:
+            os.environ["FOLDCOMP_TPU_PACK_THREADS"] = prev
