@@ -652,9 +652,13 @@ from foldcomp_tpu.kernels.aot import wait_pending
 wait_pending()   # persist the AOT export before this process exits
 """
     try:
-        # prime the cache (the main process usually has already)
-        subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
-                       capture_output=True, timeout=600)
+        # prime TWICE: the first run jits + saves the AOT artifact
+        # (kernels/aot.py), the second pays the artifact's own one-time
+        # compile into the persistent cache — the measured third run is
+        # the steady-state fresh-process wall every later process pays
+        for _ in range(2):
+            subprocess.run([sys.executable, "-c", code], env=env,
+                           cwd=repo, capture_output=True, timeout=600)
         r = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
                            capture_output=True, text=True, timeout=600)
         for line in r.stdout.splitlines():

@@ -53,10 +53,12 @@ def _decode_key(arrays: dict, refine_iters: int, nl_out) -> str:
            str(refine_iters), str(nl_out)]
     for name in sorted(arrays):
         v = arrays[name]
-        if v is None:
+        # skip non-array entries (e.g. the int nl_out rides in the dict
+        # on some call paths and as the explicit argument on others —
+        # the key must not depend on which)
+        if v is None or not hasattr(v, "dtype"):
             continue
-        sig.append(f"{name}:{getattr(v, 'dtype', '?')}:"
-                   f"{tuple(getattr(v, 'shape', ()))}")
+        sig.append(f"{name}:{v.dtype}:{tuple(v.shape)}")
     return hashlib.sha1("|".join(sig).encode()).hexdigest()[:24]
 
 
@@ -142,7 +144,9 @@ def save_decode_aot(arrays: dict, refine_iters: int, nl_out,
                 fh.write(blob)
             os.replace(tmp, path)
         except Exception:  # noqa: BLE001 — AOT is best-effort
-            pass
+            if os.environ.get("FOLDCOMP_TPU_AOT_DEBUG"):
+                import traceback
+                traceback.print_exc()
 
     if background:
         t = threading.Thread(target=work, daemon=True)
