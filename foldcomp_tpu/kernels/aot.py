@@ -32,6 +32,14 @@ _CALLS: dict = {}          # key -> jitted exported.call
 _SAVING: set = set()       # keys with an export attempt in flight/done
 _THREADS: list = []        # in-flight background export threads
 
+# Each export costs one extra trace (~2-4 s of host CPU). A mixed-
+# length stream dispatches many shapes per job; cap the background
+# spend so saves never become a meaningful fraction of a job's host
+# budget (the hottest shapes recur first and win the slots).
+_MAX_SAVES_PER_PROCESS = 4
+# Keep the artifact dir bounded: newest-N by mtime survive a save.
+_MAX_ARTIFACTS = 32
+
 
 def _enabled() -> bool:
     return os.environ.get("FOLDCOMP_TPU_AOT", "1") != "0"
@@ -120,7 +128,7 @@ def save_decode_aot(arrays: dict, refine_iters: int, nl_out,
     key = _decode_key(arrays, refine_iters, nl_out)
     path = os.path.join(d, f"decode_{key}.jaxexp")
     with _LOCK:
-        if key in _SAVING:
+        if key in _SAVING or len(_SAVING) >= _MAX_SAVES_PER_PROCESS:
             return
         _SAVING.add(key)
     if os.path.exists(path):
@@ -143,6 +151,16 @@ def save_decode_aot(arrays: dict, refine_iters: int, nl_out,
             with open(tmp, "wb") as fh:
                 fh.write(blob)
             os.replace(tmp, path)
+            # bound the artifact dir (oldest-by-mtime beyond the cap)
+            files = sorted(
+                (os.path.join(d, f) for f in os.listdir(d)
+                 if f.endswith(".jaxexp")),
+                key=lambda p: os.path.getmtime(p), reverse=True)
+            for old in files[_MAX_ARTIFACTS:]:
+                try:
+                    os.unlink(old)
+                except OSError:
+                    pass
         except Exception:  # noqa: BLE001 — AOT is best-effort
             if os.environ.get("FOLDCOMP_TPU_AOT_DEBUG"):
                 import traceback
