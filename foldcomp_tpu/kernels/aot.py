@@ -1,4 +1,4 @@
-"""AOT-exported decode executables: fresh processes skip the jit trace.
+"""AOT-exported codec executables: fresh processes skip the jit trace.
 
 A fresh CLI process pays ~3 s to its first decoded batch even with a
 warm persistent compile cache: ~1.5 s of jit TRACING/lowering (three
@@ -8,14 +8,19 @@ before lowering ever reaches XLA. jax.export can: the traced+lowered
 StableHLO (with the Mosaic kernels embedded as serialized custom
 calls) is written to disk once per (platform, shape signature), and a
 fresh process deserializes it and goes straight to the (cached)
-compile.
+compile. Measured on this tunnel: time to first decoded 512-batch
+2.9-5.7 s -> 1.26 s steady-state.
 
-Artifacts are keyed by jax version + platform + the full input
-shape/dtype signature + the static config, so a mismatch simply misses
-and the normal jit path runs. Export costs one extra trace; it happens
-in a background thread after the first jitted decode (or synchronously
-in `foldcomp_tpu warmup`), so no production dispatch ever waits on it.
-Set FOLDCOMP_TPU_AOT=0 to disable both sides.
+Covered paths: the fused Pallas decode (decode_seg_fused) and the
+fused planar encode (_fused_parity_jit, planar wire). Artifacts are
+keyed by jax version + platform + the full input shape/dtype signature
++ the static config, so a mismatch simply misses and the normal jit
+path runs. Export costs one extra trace; it happens in a background
+thread after the first jitted call (or synchronously via
+`foldcomp_tpu warmup`, which joins the threads), capped at
+_MAX_SAVES_PER_PROCESS so mixed-shape streams never spend a
+meaningful fraction of their host budget exporting. Set
+FOLDCOMP_TPU_AOT=0 to disable both sides.
 
 The reference has no analog (a C++ binary's first touch is free); this
 is the TPU-native replacement for that property, same as the persistent
@@ -28,8 +33,8 @@ import os
 import threading
 
 _LOCK = threading.Lock()
-_CALLS: dict = {}          # key -> jitted exported.call
-_SAVING: set = set()       # keys with an export attempt in flight/done
+_CALLS: dict = {}          # (kind, key) -> jitted exported.call
+_SAVING: set = set()       # (kind, key) with an export attempt made
 _THREADS: list = []        # in-flight background export threads
 
 # Each export costs one extra trace (~2-4 s of host CPU). A mixed-
@@ -55,42 +60,38 @@ def _aot_dir():
     return os.path.join(cache, "aot")
 
 
-def _decode_key(arrays: dict, refine_iters: int, nl_out) -> str:
+def _sig_key(static_parts, arrays) -> str:
+    """sha1 over jax version + backend + statics + array signatures.
+
+    Non-array entries are skipped (e.g. the int nl_out rides the
+    arrays dict on some call paths and as an explicit argument on
+    others — the key must not depend on which)."""
     import jax
-    sig = [jax.__version__, jax.default_backend(),
-           str(refine_iters), str(nl_out)]
-    for name in sorted(arrays):
-        v = arrays[name]
-        # skip non-array entries (e.g. the int nl_out rides in the dict
-        # on some call paths and as the explicit argument on others —
-        # the key must not depend on which)
+    sig = [jax.__version__, jax.default_backend()]
+    sig += [str(p) for p in static_parts]
+    for name, v in arrays:
         if v is None or not hasattr(v, "dtype"):
             continue
         sig.append(f"{name}:{v.dtype}:{tuple(v.shape)}")
     return hashlib.sha1("|".join(sig).encode()).hexdigest()[:24]
 
 
-def _decode_args(arrays: dict):
-    return (arrays["seg_records"], arrays["mins_lane"],
-            arrays["cont_lane"], arrays["sc_codes_seg"], arrays["fwd9"],
-            arrays["rev9"], arrays["is_first"], arrays["seg_m"])
-
-
-def try_decode_call(arrays: dict, refine_iters: int, nl_out):
-    """Jitted exported-call for this exact signature, or None.
+def _try_call(kind: str, key: str):
+    """Jitted exported-call for (kind, key), or None.
 
     First hit deserializes from disk (skipping the trace); subsequent
-    calls reuse the in-process jit wrapper like any warm jit."""
+    calls reuse the in-process jit wrapper like any warm jit. A stale
+    or incompatible artifact is deleted and the caller falls through to
+    the normal jit path."""
     if not _enabled():
         return None
     d = _aot_dir()
     if d is None:
         return None
-    key = _decode_key(arrays, refine_iters, nl_out)
     with _LOCK:
-        if key in _CALLS:
-            return _CALLS[key]
-    path = os.path.join(d, f"decode_{key}.jaxexp")
+        if (kind, key) in _CALLS:
+            return _CALLS[(kind, key)]
+    path = os.path.join(d, f"{kind}_{key}.jaxexp")
     try:
         with open(path, "rb") as fh:
             blob = fh.read()
@@ -108,44 +109,35 @@ def try_decode_call(arrays: dict, refine_iters: int, nl_out):
             pass
         return None
     with _LOCK:
-        _CALLS.setdefault(key, call)
+        _CALLS.setdefault((kind, key), call)
     return call
 
 
-def save_decode_aot(arrays: dict, refine_iters: int, nl_out,
-                    background: bool = True):
-    """Export + serialize the fused decode for this signature.
+def _save(kind: str, key: str, export_thunk, background: bool):
+    """Run export_thunk() -> jax.export.Exported, serialize to disk.
 
     background=True runs the extra trace in a daemon thread so the
     caller's dispatch path never waits; one attempt per key per
-    process. No-op when disabled, already saved, or on any export
-    error (the normal jit path is always intact)."""
+    process. No-op when disabled, already saved, over the per-process
+    cap, or on any export error (the normal jit path is always
+    intact; FOLDCOMP_TPU_AOT_DEBUG=1 prints swallowed errors)."""
     if not _enabled():
         return
     d = _aot_dir()
     if d is None:
         return
-    key = _decode_key(arrays, refine_iters, nl_out)
-    path = os.path.join(d, f"decode_{key}.jaxexp")
+    path = os.path.join(d, f"{kind}_{key}.jaxexp")
     with _LOCK:
-        if key in _SAVING or len(_SAVING) >= _MAX_SAVES_PER_PROCESS:
+        if (kind, key) in _SAVING or \
+                len(_SAVING) >= _MAX_SAVES_PER_PROCESS:
             return
-        _SAVING.add(key)
+        _SAVING.add((kind, key))
     if os.path.exists(path):
         return
-    import jax.numpy as jnp
-    specs = {k: jnp.zeros(v.shape, v.dtype) if v is not None else None
-             for k, v in arrays.items() if k != "nl_out"}
 
     def work():
         try:
-            from jax import export as jexport
-
-            from .pallas_decode import decode_seg_fused
-            exp = jexport.export(decode_seg_fused)(
-                *_decode_args(specs), refine_iters=refine_iters,
-                nl_out=nl_out)
-            blob = exp.serialize()
+            blob = export_thunk().serialize()
             os.makedirs(d, exist_ok=True)
             tmp = path + f".{os.getpid()}"
             with open(tmp, "wb") as fh:
@@ -184,3 +176,76 @@ def wait_pending(timeout: float = 30.0):
         threads = list(_THREADS)
     for t in threads:
         t.join(max(deadline - time.monotonic(), 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Fused decode (kernels/pallas_decode.decode_seg_fused)
+# ---------------------------------------------------------------------------
+
+def _decode_key(arrays: dict, refine_iters: int, nl_out) -> str:
+    return _sig_key((refine_iters, nl_out), sorted(arrays.items()))
+
+
+def _decode_args(arrays: dict):
+    return (arrays["seg_records"], arrays["mins_lane"],
+            arrays["cont_lane"], arrays["sc_codes_seg"], arrays["fwd9"],
+            arrays["rev9"], arrays["is_first"], arrays["seg_m"])
+
+
+def try_decode_call(arrays: dict, refine_iters: int, nl_out):
+    return _try_call("decode", _decode_key(arrays, refine_iters, nl_out))
+
+
+def save_decode_aot(arrays: dict, refine_iters: int, nl_out,
+                    background: bool = True):
+    key = _decode_key(arrays, refine_iters, nl_out)
+    import jax.numpy as jnp
+    specs = {k: jnp.zeros(v.shape, v.dtype)
+             for k, v in arrays.items()
+             if v is not None and hasattr(v, "dtype")}
+
+    def export_thunk():
+        from jax import export as jexport
+
+        from .pallas_decode import decode_seg_fused
+        return jexport.export(decode_seg_fused)(
+            *_decode_args(specs), refine_iters=refine_iters,
+            nl_out=nl_out)
+
+    _save("decode", key, export_thunk, background)
+
+
+# ---------------------------------------------------------------------------
+# Fused planar encode (kernels/pallas_encode._fused_parity_jit)
+# ---------------------------------------------------------------------------
+
+def _encode_args_named(baseT, deltaT, present, res_code, n_res):
+    return (("baseT", baseT), ("deltaT", deltaT), ("present", present),
+            ("res_code", res_code), ("n_res", n_res))
+
+
+def _encode_key(args_named, pb: int, parts_eps: float) -> str:
+    return _sig_key((pb, parts_eps), args_named)
+
+
+def try_encode_call(baseT, deltaT, present, res_code, n_res,
+                    pb: int, parts_eps: float):
+    named = _encode_args_named(baseT, deltaT, present, res_code, n_res)
+    return _try_call("encode", _encode_key(named, pb, parts_eps))
+
+
+def save_encode_aot(baseT, deltaT, present, res_code, n_res,
+                    pb: int, parts_eps: float, background: bool = True):
+    named = _encode_args_named(baseT, deltaT, present, res_code, n_res)
+    key = _encode_key(named, pb, parts_eps)
+    import jax.numpy as jnp
+    specs = [jnp.zeros(v.shape, v.dtype) for _, v in named]
+
+    def export_thunk():
+        from jax import export as jexport
+
+        from .pallas_encode import _fused_parity_jit
+        return jexport.export(_fused_parity_jit)(
+            *specs, pb=pb, parts_eps=parts_eps, planar=True)
+
+    _save("encode", key, export_thunk, background)

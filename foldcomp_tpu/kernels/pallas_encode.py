@@ -495,9 +495,24 @@ def encode_parity_fused_planar(baseT, deltaT, present, res_code, n_res,
         return None
     pb = fused_pb(l)
     assert bp % pb == 0 and np.shape(deltaT) == (42, bp, l)
-    out = _fused_parity_jit(baseT, deltaT, present, res_code, n_res,
-                            pb=pb, parts_eps=_parts_eps(),
-                            interpret=interpret, planar=True)
+    eps = _parts_eps()
+    out = None
+    if not interpret:
+        # AOT artifact for this signature: skip the jit trace on fresh
+        # processes (kernels/aot.py), same treatment as the decode
+        from . import aot
+        call = aot.try_encode_call(baseT, deltaT, present, res_code,
+                                   n_res, pb, eps)
+        if call is not None:
+            out = call(baseT, deltaT, present, res_code, n_res)
+    if out is None:
+        out = _fused_parity_jit(baseT, deltaT, present, res_code, n_res,
+                                pb=pb, parts_eps=eps,
+                                interpret=interpret, planar=True)
+        if not interpret:
+            from . import aot
+            aot.save_encode_aot(baseT, deltaT, present, res_code, n_res,
+                                pb, eps)
     if bp == n_out:
         return out
     return {k: v[:n_out] for k, v in out.items()}
