@@ -160,6 +160,8 @@ def bench_device_decode(jax_, f, batch_sizes=(2048, 8192), iters=10):
                        if v is not None)
         out_bytes = sum(l.nbytes for l in jax_.tree.leaves(out))
         _force(run())
+        from foldcomp_tpu.kernels.aot import wait_pending
+        wait_pending(120.0)   # background AOT exports out of the timing
         if sync is None:            # sync rate once, smallest batch
             t0 = time.perf_counter()
             for _ in range(iters):
@@ -289,6 +291,8 @@ def bench_device_encode_resident(jax_, frag, batch_size=2048, iters=10):
 
     _force(run())
     _force(run())
+    from foldcomp_tpu.kernels.aot import wait_pending
+    wait_pending(120.0)       # background AOT exports out of the timing
     t0 = time.perf_counter()
     for _ in range(iters):
         _force(run())
@@ -313,6 +317,8 @@ def bench_device_encode(jax, frag, batch_size=512, iters=5):
     metas = [meta] * batch_size
     n_res_total = len(rc) * batch_size
     encode_finish(encode_submit(tensors, metas))  # compile + warm
+    from foldcomp_tpu.kernels.aot import wait_pending
+    wait_pending(120.0)       # background AOT exports out of the timing
     from concurrent.futures import ThreadPoolExecutor
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=1) as pool:
@@ -357,20 +363,26 @@ def bench_device_decode_mixed(jax, n_entries=512, batch_size=128, iters=5):
         batches, pad_res = [], 0
         for g in groups:
             arrays, _ = pack_decode_batch_auto(g)
-            if "fwd9" in arrays:     # ragged-lane pack: [8, SEG, NL]
+            if "classes" in arrays:  # width-classed ragged lanes
+                pad_res += sum(r.shape[1] * r.shape[2]
+                               for r in arrays["classes"]["recs"])
+            elif "fwd9" in arrays:   # ragged-lane pack: [8, SEG, NL]
                 seg_w, nl = arrays["seg_records"].shape[1:]
                 pad_res += seg_w * nl
             else:                    # [B, S] grid pack
                 s, blw = arrays["seg_records"].shape[:2]
                 pad_res += s * blw
-            batches.append({k: jax.device_put(v)
-                            for k, v in arrays.items()})
+            batches.append({
+                k: (v if k == "nl_outs" else jax.device_put(v))
+                for k, v in arrays.items()})
 
         def run(dev):
             return _seg_decode_arrays(dev, refine_iters=2)
 
         for dev in batches:                  # compile + warm all shapes
             _force(run(dev))
+        from foldcomp_tpu.kernels.aot import wait_pending
+        wait_pending(120.0)   # background AOT exports out of the timing
         t0 = time.perf_counter()
         outs = [run(dev) for _ in range(iters) for dev in batches]
         _force(outs[-1])
@@ -385,8 +397,17 @@ def bench_device_decode_mixed(jax, n_entries=512, batch_size=128, iters=5):
     by_w = {}
     for f in fczs:
         by_w.setdefault(seg_sort_key(f)[0], []).append(f)
-    full, pad_overhead = measure([by_w[w] for w in sorted(by_w)])
-    return small, full, pad_overhead
+    groups = [by_w[w] for w in sorted(by_w)]
+    full, pad_overhead = measure(groups)
+    # width-classed lanes (split_lanes_classes): the protein's wide
+    # tail segment no longer drags its normal-width lanes to the wide
+    # SEG — per-lane width classes, re-seed routed by index
+    os.environ["FOLDCOMP_TPU_WCLASS"] = "1"
+    try:
+        wc, wc_pad = measure(groups)
+    finally:
+        os.environ.pop("FOLDCOMP_TPU_WCLASS", None)
+    return small, full, pad_overhead, wc, wc_pad
 
 
 def encode_mixed(atoms, title):
@@ -695,7 +716,7 @@ def main():
     enc_rate = bench_device_encode(jax, frag)
     enc_sync, enc_sustained, enc_xla = bench_device_encode_resident(jax,
                                                                     frag)
-    mixed_rate, mixed_fused, mixed_pad = \
+    mixed_rate, mixed_fused, mixed_pad, mixed_wc, mixed_wc_pad = \
         bench_device_decode_mixed(jax, n_entries=2048)
 
     # e2e on tmpfs: the VM disk writes at 131 MB/s and would floor the
@@ -760,6 +781,11 @@ def main():
         "decode_mixed_device_res_s": round(mixed_rate, 1),
         "decode_mixed_fused_res_s": round(mixed_fused, 1),
         "decode_mixed_pad_overhead": round(mixed_pad, 3),
+        # width-classed lanes (split_lanes_classes, opt-in
+        # FOLDCOMP_TPU_WCLASS): interleaved A/B wins by the padding
+        # ratio (1.728 -> 1.456, +19% measured drift-cancelled)
+        "decode_mixed_wclass_res_s": round(mixed_wc, 1),
+        "decode_mixed_wclass_pad": round(mixed_wc_pad, 3),
         "e2e_decompress_db_res_s": round(e2e_dec, 1),
         "e2e_decompress_vs_baseline": round(e2e_dec / base_tmpfs, 3),
         "e2e_compress_db_res_s": round(e2e_comp, 1),

@@ -603,6 +603,132 @@ def use_fused_encode() -> str:
     return "compiled" if jax.default_backend() != "cpu" else ""
 
 
+def split_lanes_classes(arrays, metas, seg_bucket: int = 8,
+                        max_classes: int = 4, min_save: float = 0.15):
+    """Width-classed re-layout of the ragged-lane arrays.
+
+    The reference's floored anchor interval hands each protein ONE tail
+    segment up to 2x wider than its others (_setAnchor,
+    foldcomp.cpp:745-761); in a single rectangular lane array that tail
+    drags every normal-width lane of the batch to the widest SEG —
+    measured 1.7x lane-residue padding on an AFDB-like corpus even
+    with width-bucket batching. Here lanes are permuted into width
+    CLASSES (each a contiguous range, its own SEG); the re-seed
+    coupling becomes an explicit prev-lane index
+    (kernels/pallas_decode.decode_seg_fused_classes), and the host
+    stitch indices are rewritten to FLAT row numbers over the
+    concatenated class outputs (lane_of = row, rec_of = 0, so
+    _gather_a14's lane_of*segw+rec_of works verbatim with segw=1).
+    Per-lane math is identical — coordinates are bit-equal to the
+    single-class path.
+
+    Returns (class_arrays, new_metas) or None when classing buys less
+    than min_save of the padded lane-residues (single width class,
+    near-uniform corpus, tiny batch)."""
+    import dataclasses
+
+    seg_m = np.asarray(arrays["seg_m"])
+    real = [m for m in metas if m.n_residue]
+    if not real:
+        return None
+    nl = max(int(np.max(m.lane_of)) for m in real) + 1
+    w = seg_m[:nl]
+    segpad = int(arrays["seg_records"].shape[1])
+    bucket = seg_bucket
+    while True:
+        cw = np.minimum((w + bucket - 1) // bucket * bucket, segpad)
+        widths = np.unique(cw)
+        if len(widths) <= max_classes:
+            break
+        bucket *= 2
+    if len(widths) < 2:
+        return None
+    padded_single = segpad * _round_up(nl, LANE_PAD)
+    padded_cls = sum(
+        int(v) * _round_up(int((cw == v).sum()), LANE_PAD)
+        for v in widths)
+    if padded_cls > (1.0 - min_save) * padded_single:
+        return None
+
+    recs = np.asarray(arrays["seg_records"])
+    scs = np.asarray(arrays["sc_codes_seg"])
+    mins = np.asarray(arrays["mins_lane"])
+    cont = np.asarray(arrays["cont_lane"])
+    fwd = np.asarray(arrays["fwd9"])
+    rev = np.asarray(arrays["rev9"])
+    isf = np.asarray(arrays["is_first"])
+
+    cls_of = np.searchsorted(widths, cw)
+    order = np.argsort(cls_of, kind="stable")
+    newpos = np.empty(nl, np.int64)
+    cls = dict(recs=[], mins=[], cont=[], sct=[], fwd=[], rev=[],
+               isf=[], segm=[])
+    bases, rowbase, nl_outs, segws = [], [], [], []
+    base = rows = 0
+    for ci, v in enumerate(widths):
+        idx = order[cls_of[order] == ci]
+        n_c = len(idx)
+        nlp_c = _round_up(n_c, LANE_PAD)
+        segw = int(v)
+        r8 = np.zeros((8, segw, nlp_c), np.uint8)
+        r8[:, :, :n_c] = recs[:, :segw][:, :, idx]
+        sc = np.zeros((segw, 11, nlp_c), np.uint8)
+        sc[:, :, :n_c] = scs[:segw][:, :, idx]
+        mi = np.zeros((nlp_c, 6), F32)
+        mi[:n_c] = mins[idx]
+        co = np.zeros((nlp_c, 6), F32)
+        co[:n_c] = cont[idx]
+        f9 = np.zeros((9, nlp_c), F32)
+        f9[:, :n_c] = fwd[:, idx]
+        r9 = np.zeros((9, nlp_c), F32)
+        r9[:, :n_c] = rev[:, idx]
+        fi = np.ones(nlp_c, isf.dtype)
+        fi[:n_c] = isf[idx]
+        sm = np.ones(nlp_c, I32)
+        sm[:n_c] = seg_m[idx]
+        newpos[idx] = base + np.arange(n_c)
+        nl_out_c = min(_round_up(n_c, 512), nlp_c)
+        for k, a in (("recs", r8), ("mins", mi), ("cont", co),
+                     ("sct", sc), ("fwd", f9), ("rev", r9),
+                     ("isf", fi), ("segm", sm)):
+            cls[k].append(a)
+        bases.append(base)
+        rowbase.append(rows)
+        nl_outs.append(nl_out_c)
+        segws.append(segw)
+        base += nlp_c
+        rows += nl_out_c * segw
+
+    prev = np.arange(base, dtype=np.int32)
+    orig = np.arange(nl)
+    has_prev = (~isf[:nl].astype(bool)) & (orig > 0)
+    prev[newpos[has_prev]] = newpos[orig[has_prev] - 1]
+
+    base_a = np.asarray(bases)
+    rowb_a = np.asarray(rowbase)
+    segw_a = np.asarray(segws)
+    new_metas = []
+    for m in metas:
+        li = np.asarray(m.lane_of)
+        c = cls_of[li]
+        row = rowb_a[c] + (newpos[li] - base_a[c]) * segw_a[c] \
+            + np.asarray(m.rec_of)
+        new_metas.append(dataclasses.replace(
+            m, lane_of=row, rec_of=np.zeros_like(row)))
+    class_arrays = dict(
+        classes={k: tuple(v) for k, v in cls.items()},
+        prev_idx=prev, nl_outs=tuple(int(x) for x in nl_outs))
+    return class_arrays, new_metas
+
+
+def use_wclass() -> bool:
+    """Width-classed decode opt-in (FOLDCOMP_TPU_WCLASS=1): distinct
+    jit signatures per class composition make it a large-batch tool —
+    the bench's production-scale mixed measurement A/Bs it."""
+    import os
+    return os.environ.get("FOLDCOMP_TPU_WCLASS", "0") == "1"
+
+
 def pack_decode_batch_auto(fczs):
     """Backend-matched pack: ragged lanes for the fused decode, the
     [B, S] grid for the XLA cores.
@@ -616,11 +742,22 @@ def pack_decode_batch_auto(fczs):
     if use_fused_decode():
         got = pack_decode_batch_lanes(fczs, max_seg=96)
         if got is not None:
+            if use_wclass():
+                split = split_lanes_classes(*got)
+                if split is not None:
+                    return split
             return got
     return pack_decode_batch_seg(fczs)
 
 
 def _seg_decode_arrays(arrays, refine_iters=2):
+    if "classes" in arrays:       # width-classed ragged lanes
+        from ..kernels.pallas_decode import decode_seg_fused_classes
+        c = arrays["classes"]
+        return decode_seg_fused_classes(
+            c["recs"], c["mins"], c["cont"], c["sct"], c["fwd"],
+            c["rev"], c["isf"], c["segm"], arrays["prev_idx"],
+            refine_iters=refine_iters, nl_outs=arrays["nl_outs"])
     if "fwd9" in arrays:          # ragged-lane pack -> fused Pallas path
         from ..kernels import aot
         from ..kernels.pallas_decode import decode_seg_fused
@@ -650,6 +787,17 @@ def _seg_decode_arrays(arrays, refine_iters=2):
 def _outs_to_host(outs):
     """Device decode output -> host arrays (full or compact form)."""
     global DEVICE_WARMED
+    if isinstance(outs, tuple) and outs and isinstance(outs[0], tuple):
+        # width-classed: concatenate per-class rows into ONE flat row
+        # array [rows, 1, 42|3]; the stitch indices are flat rows
+        # (split_lanes_classes), so _gather_a14 works with segw == 1
+        off = np.concatenate(
+            [np.asarray(o).reshape(-1, 42) for o, _ in outs])[:, None]
+        ca = np.concatenate(
+            [np.asarray(c).reshape(-1, 3) for _, c in outs])[:, None]
+        res = (off, ca)
+        DEVICE_WARMED = True
+        return res
     if isinstance(outs, tuple):
         off, ca = outs
         res = (np.asarray(off), np.asarray(ca))

@@ -35,6 +35,7 @@ import threading
 _LOCK = threading.Lock()
 _CALLS: dict = {}          # (kind, key) -> jitted exported.call
 _SAVING: set = set()       # (kind, key) with an export attempt made
+_SEEN_JIT: set = set()     # (kind, key) already traced via jit here
 _THREADS: list = []        # in-flight background export threads
 
 # Each export costs one extra trace (~2-4 s of host CPU). A mixed-
@@ -91,6 +92,13 @@ def _try_call(kind: str, key: str):
     with _LOCK:
         if (kind, key) in _CALLS:
             return _CALLS[(kind, key)]
+        # NEVER switch paths mid-process: once this signature ran the
+        # jit path here, its executable is warm — loading an artifact
+        # that a background save just produced would pay a fresh
+        # deserialize + compile for zero gain (observed poisoning a
+        # timed loop 10x when the save landed mid-measurement)
+        if (kind, key) in _SEEN_JIT:
+            return None
     path = os.path.join(d, f"{kind}_{key}.jaxexp")
     try:
         with open(path, "rb") as fh:
@@ -121,6 +129,9 @@ def _save(kind: str, key: str, export_thunk, background: bool):
     process. No-op when disabled, already saved, over the per-process
     cap, or on any export error (the normal jit path is always
     intact; FOLDCOMP_TPU_AOT_DEBUG=1 prints swallowed errors)."""
+    with _LOCK:
+        # the caller just ran the jit path for this signature
+        _SEEN_JIT.add((kind, key))
     if not _enabled():
         return
     d = _aot_dir()

@@ -397,102 +397,95 @@ def _blocked(x, rows, np_):
     return x.reshape(rows, np_ // 128, 128)
 
 
-@partial(jax.jit, static_argnames=("refine_iters", "interpret", "nl_out"))
-def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
-                     fwd9, rev9, is_first, seg_m, refine_iters: int = 2,
-                     interpret: bool = False, nl_out: int | None = None):
-    """Fused-kernel ragged-lane decode (pack_decode_batch_lanes arrays).
+# field order (psi, omega, phi, n_ca_c, ca_c_n, c_n_ca) — header
+# column order is (phi, psi, omega, ...) (foldcomp.h:131)
+_FIELD_COLS = np.asarray([1, 2, 0, 3, 4, 5])
 
-    Returns per-lane compact rows: (off i16 [NL, SEG, 42], ca f32
-    [NL, SEG, 3]) — row [42] = the residue's [14, 3] milli-angstrom
-    offsets from its CA. The host row-gathers each protein's residues
-    ((lane_of, rec_of) index); no residue gather runs on device — the
-    XLA gather is index-rate-bound (~17 ns/index: ~10 ms at B=2048,
-    round-4 measurement), while the lane transpose here is free."""
+
+def _class_prep(seg_records, mins_lane, cont_lane, sc_codes_seg,
+                fwd9, rev9, seg_m):
+    """XLA prologue for one lane class -> blocked kernel inputs.
+
+    The records stay PACKED (byte-plane-major [8, SEG, N] u8 from the
+    pack); the backbone kernels unpack + dequant in VMEM
+    (_unpack_ang6_into). Here: just the residue-code plane (k3's
+    chemistry selects + proline bond length) and the per-lane quantizer
+    rows reordered to the kernel field order. Side-chain torsions ride
+    as s-major u8 rows (s*11 + j) straight from the pack's [SEG, 11, NL]
+    layout; the sidechain kernel dequantizes in VMEM (round 5: the f32
+    dequant+transpose here cost 44 B/res of HBM round-trip — 4x the u8
+    codes — in a kernel set that is not bandwidth-bound but pays every
+    avoidable pass)."""
+    _, seg, np_ = seg_records.shape
+    assert np_ % _LANE_PAD == 0, "pack_decode_batch_lanes pads lanes"
+    res_code = (seg_records[0].astype(I32) >> 3)           # [SEG, N]
+    bl_ca = jnp.where(res_code == PRO_CODE, _PRO_N_TO_CA, _N_TO_CA)
+    mins6 = mins_lane.T[_FIELD_COLS]                       # [6, N]
+    cont6 = cont_lane.T[_FIELD_COLS]
+    sct = sc_codes_seg.reshape(11 * seg, np_)
+    tat = (3 * seg_m).astype(I32)[None, :]                 # [1, N]
+    return dict(
+        seg=seg, np=np_,
+        recs_p=_blocked(seg_records.reshape(8 * seg, np_), 8 * seg, np_),
+        blca_p=_blocked(bl_ca, seg, np_),
+        sct_p=_blocked(sct, 11 * seg, np_),
+        code_p=_blocked(res_code, seg, np_),
+        fwd9_p=_blocked(fwd9, 9, np_),
+        rev9_p=_blocked(rev9, 9, np_),
+        tat_p=_blocked(tat, 1, np_),
+        mins6_p=_blocked(mins6, 6, np_),
+        cont6_p=_blocked(cont6, 6, np_))
+
+
+def _bb_in_specs(seg):
+    return [_spec(8 * seg, _G_BB), _spec(seg, _G_BB),
+            _spec(9, _G_BB), _spec(9, _G_BB), _spec(1, _G_BB),
+            _spec(6, _G_BB), _spec(6, _G_BB)]
+
+
+def _run_tails(pr, interpret):
+    """kernel 1: forward tails from anchor seeds -> [9, NP]."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    _, seg, n = seg_records.shape
+    seg, np_ = pr["seg"], pr["np"]
     t = 3 * seg
-    assert n % _LANE_PAD == 0, "pack_decode_batch_lanes pads lanes"
-    np_ = n
-
-    # ---- XLA prologue: the records stay PACKED (byte-plane-major
-    # [8, SEG, N] u8 from the pack); the backbone kernels unpack +
-    # dequant in VMEM (_unpack_ang6_into). Here: just the residue-code
-    # plane (k3's chemistry selects + proline bond length) and the
-    # per-lane quantizer rows reordered to the kernel field order ----
-    res_code = (seg_records[0].astype(I32) >> 3)           # [SEG, N]
-    bl_ca = jnp.where(res_code == PRO_CODE, _PRO_N_TO_CA, _N_TO_CA)
-    # field order (psi, omega, phi, n_ca_c, ca_c_n, c_n_ca) — header
-    # column order is (phi, psi, omega, ...) (foldcomp.h:131)
-    _FIELD_COLS = np.asarray([1, 2, 0, 3, 4, 5])
-    mins6 = mins_lane.T[_FIELD_COLS]                       # [6, N]
-    cont6 = cont_lane.T[_FIELD_COLS]
-    # s-major u8 torsion rows (s*11 + j) straight from the pack's
-    # [SEG, 11, NL] layout; the sidechain kernel dequantizes in VMEM
-    # (round 5: the f32 dequant+transpose here cost 44 B/res of HBM
-    # round-trip — 4x the u8 codes — in a kernel set that is not
-    # bandwidth-bound but pays every avoidable pass)
-    sct = sc_codes_seg.reshape(11 * seg, n)
-    tat = (3 * seg_m).astype(I32)[None, :]                 # [1, N]
-
-    recs_p = _blocked(seg_records.reshape(8 * seg, np_), 8 * seg, np_)
-    blca_p = _blocked(bl_ca, seg, np_)
-    sct_p = _blocked(sct, 11 * seg, np_)
-    code_p = _blocked(res_code, seg, np_)
-    fwd9_p = _blocked(fwd9, 9, np_)
-    rev9_p = _blocked(rev9, 9, np_)
-    tat_p = _blocked(tat, 1, np_)
-    mins6_p = _blocked(mins6, 6, np_)
-    cont6_p = _blocked(cont6, 6, np_)
-
-    grid_bb = (np_ // (128 * _G_BB),)
     vmem = pltpu.VMEM
-    bb_in_specs = [_spec(8 * seg, _G_BB), _spec(seg, _G_BB),
-                   _spec(9, _G_BB), _spec(9, _G_BB), _spec(1, _G_BB),
-                   _spec(6, _G_BB), _spec(6, _G_BB)]
+    tails = pl.pallas_call(
+        _make_tails_kernel(seg),
+        grid=(np_ // (128 * _G_BB),),
+        in_specs=_bb_in_specs(seg),
+        out_specs=_spec(9, _G_BB),
+        out_shape=jax.ShapeDtypeStruct((9, np_ // 128, 128), F32),
+        scratch_shapes=[vmem((t, _G_BB, 128), F32) for _ in range(3)]
+        + [vmem((6 * seg, _G_BB, 128), F32)],
+        interpret=interpret,
+    )(pr["recs_p"], pr["blca_p"], pr["fwd9_p"], pr["rev9_p"],
+      pr["tat_p"], pr["mins6_p"], pr["cont6_p"])
+    return tails.reshape(9, np_)
 
-    if refine_iters >= 2:
-        # ---- kernel 1: forward tails from anchor seeds ----
-        tails = pl.pallas_call(
-            _make_tails_kernel(seg),
-            grid=grid_bb,
-            in_specs=bb_in_specs,
-            out_specs=_spec(9, _G_BB),
-            out_shape=jax.ShapeDtypeStruct((9, np_ // 128, 128), F32),
-            scratch_shapes=[vmem((t, _G_BB, 128), F32) for _ in range(3)]
-            + [vmem((6 * seg, _G_BB, 128), F32)],
-            interpret=interpret,
-        )(recs_p, blca_p, fwd9_p, rev9_p, tat_p, mins6_p, cont6_p)
 
-        # ---- XLA middle: segment s re-seeded by segment s-1's tail ----
-        # Ragged lanes are protein-contiguous, so the shift is a roll by
-        # ONE lane; each protein's first segment keeps its own anchor
-        # seed (foldcomp.cpp:849-857: prevAtoms = last 3 blended atoms).
-        tails = tails.reshape(9, np_)
-        rolled = jnp.roll(tails, 1, axis=1)
-        seeds2 = []
-        for atom in range(3):
-            for comp in range(3):
-                seeds2.append(jnp.where(is_first, fwd9[atom * 3 + comp],
-                                        rolled[comp * 3 + atom]))
-        seeds_p = _blocked(jnp.stack(seeds2, axis=0), 9, np_)
-    else:
-        seeds_p = fwd9_p
+def _run_backbone_sc(pr, seeds_p, interpret, nl_out):
+    """kernels 2+3 + epilogue for one class -> (off_t, ca_t) rows."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
+    seg, np_ = pr["seg"], pr["np"]
+    t = 3 * seg
+    vmem = pltpu.VMEM
     # ---- kernel 2: backbone (forward + reverse sweep + blend) ----
     bb_shape = jax.ShapeDtypeStruct((t, np_ // 128, 128), F32)
     bbx, bby, bbz = pl.pallas_call(
         _make_backbone_kernel(seg),
-        grid=grid_bb,
-        in_specs=bb_in_specs,
+        grid=(np_ // (128 * _G_BB),),
+        in_specs=_bb_in_specs(seg),
         out_specs=(_spec(t, _G_BB),) * 3,
         out_shape=(bb_shape,) * 3,
         scratch_shapes=[vmem((t, _G_BB, 128), F32) for _ in range(6)]
         + [vmem((6 * seg, _G_BB, 128), F32)],
         interpret=interpret,
-    )(recs_p, blca_p, seeds_p, rev9_p, tat_p, mins6_p, cont6_p)
+    )(pr["recs_p"], pr["blca_p"], seeds_p, pr["rev9_p"], pr["tat_p"],
+      pr["mins6_p"], pr["cont6_p"])
 
     # ---- kernel 3: side chains + compact int16 (2D grid: lanes x
     # residue blocks, so VMEM is independent of the segment width) ----
@@ -515,7 +508,7 @@ def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
             jax.ShapeDtypeStruct((3 * seg, np_ // 128, 128), F32),
         ),
         interpret=interpret,
-    )(bbx, bby, bbz, code_p, sct_p)
+    )(bbx, bby, bbz, pr["code_p"], pr["sct_p"])
 
     # ---- XLA epilogue: transpose to per-lane rows (measured free — the
     # relayout hides in the fusion; a per-residue gather here would cost
@@ -530,3 +523,98 @@ def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
         off_t = off_t[:nl_out]
         ca_t = ca_t[:nl_out]
     return off_t, ca_t
+
+
+@partial(jax.jit, static_argnames=("refine_iters", "interpret", "nl_out"))
+def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
+                     fwd9, rev9, is_first, seg_m, refine_iters: int = 2,
+                     interpret: bool = False, nl_out: int | None = None):
+    """Fused-kernel ragged-lane decode (pack_decode_batch_lanes arrays).
+
+    Returns per-lane compact rows: (off i16 [NL, SEG, 42], ca f32
+    [NL, SEG, 3]) — row [42] = the residue's [14, 3] milli-angstrom
+    offsets from its CA. The host row-gathers each protein's residues
+    ((lane_of, rec_of) index); no residue gather runs on device — the
+    XLA gather is index-rate-bound (~17 ns/index: ~10 ms at B=2048,
+    round-4 measurement), while the lane transpose here is free."""
+    pr = _class_prep(seg_records, mins_lane, cont_lane, sc_codes_seg,
+                     fwd9, rev9, seg_m)
+    np_ = pr["np"]
+
+    if refine_iters >= 2:
+        tails = _run_tails(pr, interpret)
+        # ---- XLA middle: segment s re-seeded by segment s-1's tail ----
+        # Ragged lanes are protein-contiguous, so the shift is a roll by
+        # ONE lane; each protein's first segment keeps its own anchor
+        # seed (foldcomp.cpp:849-857: prevAtoms = last 3 blended atoms).
+        rolled = jnp.roll(tails, 1, axis=1)
+        seeds2 = []
+        for atom in range(3):
+            for comp in range(3):
+                seeds2.append(jnp.where(is_first, fwd9[atom * 3 + comp],
+                                        rolled[comp * 3 + atom]))
+        seeds_p = _blocked(jnp.stack(seeds2, axis=0), 9, np_)
+    else:
+        seeds_p = pr["fwd9_p"]
+
+    return _run_backbone_sc(pr, seeds_p, interpret, nl_out)
+
+
+@partial(jax.jit, static_argnames=("refine_iters", "interpret",
+                                   "nl_outs"))
+def decode_seg_fused_classes(recs_t, mins_t, cont_t, sct_t, fwd_t,
+                             rev_t, isf_t, segm_t, prev_idx,
+                             refine_iters: int = 2,
+                             interpret: bool = False,
+                             nl_outs: tuple = ()):
+    """Width-classed fused decode: one jit, one kernel set per class.
+
+    On mixed corpora the reference's floored anchor interval gives each
+    protein ONE tail segment up to 2x wider than its others
+    (_setAnchor, foldcomp.cpp:745-761), and a single rectangular lane
+    array pads EVERY lane to the widest — measured 1.7x lane-residue
+    padding at production scale even with width-bucket batching,
+    because the tail drags the protein's normal-width lanes into the
+    wide bucket. Here lanes are grouped into width CLASSES (arrays
+    tuples, one entry per class, lanes permuted by the pack so classes
+    are contiguous); each class runs the standard three-kernel pipeline
+    at its own SEG. The only cross-lane coupling — segment s re-seeded
+    by segment s-1's blended tail — becomes an explicit gather over the
+    concatenated tails (`prev_idx` [NL_total] i32, built by the pack;
+    a protein's lanes may now live in different classes). Per-lane math
+    is IDENTICAL to decode_seg_fused, so outputs are bit-equal lane for
+    lane.
+
+    Returns a tuple of per-class (off_t, ca_t) row arrays; the pack
+    emits flat row indices (lane_of = global row, rec_of = 0) so the
+    host stitch concatenates classes and gathers exactly as before."""
+    n_cls = len(recs_t)
+    prs = [_class_prep(recs_t[i], mins_t[i], cont_t[i], sct_t[i],
+                       fwd_t[i], rev_t[i], segm_t[i])
+           for i in range(n_cls)]
+
+    if refine_iters >= 2:
+        tails_g = jnp.concatenate(
+            [_run_tails(p, interpret) for p in prs], axis=1)
+        fwd_g = jnp.concatenate(fwd_t, axis=1)
+        isf_g = jnp.concatenate(isf_t)
+        prev = tails_g[:, prev_idx]                        # [9, NLtot]
+        seeds_rows = []
+        for atom in range(3):
+            for comp in range(3):
+                seeds_rows.append(jnp.where(
+                    isf_g, fwd_g[atom * 3 + comp],
+                    prev[comp * 3 + atom]))
+        seeds_g = jnp.stack(seeds_rows, axis=0)
+        bases = np.cumsum([0] + [p["np"] for p in prs])
+        seeds_list = [
+            _blocked(seeds_g[:, bases[i]:bases[i + 1]], 9, prs[i]["np"])
+            for i in range(n_cls)]
+    else:
+        seeds_list = [p["fwd9_p"] for p in prs]
+
+    outs = []
+    for i, p in enumerate(prs):
+        nl = nl_outs[i] if i < len(nl_outs) else None
+        outs.append(_run_backbone_sc(p, seeds_list[i], interpret, nl))
+    return tuple(outs)

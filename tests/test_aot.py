@@ -22,6 +22,7 @@ def lanes_arrays(tmp_path, monkeypatch):
     monkeypatch.setenv("FOLDCOMP_TPU_JAX_CACHE", str(tmp_path))
     aot._SAVING.clear()
     aot._CALLS.clear()
+    aot._SEEN_JIT.clear()
     fczs = [encode(synthesize(30, 1)), encode(synthesize(12, 2))]
     arrays, metas = pack_decode_batch_lanes(fczs)
     arrays = dict(arrays)
@@ -74,3 +75,18 @@ def test_disabled_by_env(lanes_arrays, monkeypatch):
     d = aot._aot_dir()
     files = os.listdir(d) if d and os.path.isdir(d) else []
     assert not [f for f in files if f.endswith(".jaxexp")]
+
+
+def test_no_mid_process_switch(lanes_arrays):
+    """Once a signature ran the jit path in-process, a later-appearing
+    artifact must NOT be loaded (switching would pay a fresh compile
+    mid-stream — observed poisoning a timed loop 10x)."""
+    aot.save_decode_aot(lanes_arrays, 2, None, background=False)
+    d = aot._aot_dir()
+    os.makedirs(d, exist_ok=True)
+    key = aot._decode_key(lanes_arrays, 2, None)
+    path = os.path.join(d, f"decode_{key}.jaxexp")
+    with open(path, "wb") as fh:          # artifact appears afterwards
+        fh.write(b"whatever")
+    assert aot.try_decode_call(lanes_arrays, 2, None) is None
+    assert os.path.exists(path)           # and is NOT touched/deleted
