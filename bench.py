@@ -398,7 +398,13 @@ def bench_device_decode_mixed(jax, n_entries=512, batch_size=128, iters=5):
     for f in fczs:
         by_w.setdefault(seg_sort_key(f)[0], []).append(f)
     groups = [by_w[w] for w in sorted(by_w)]
-    full, pad_overhead = measure(groups)
+    # baseline: width-bucket batching WITHOUT lane classes (the auto
+    # default would class the big groups; pin it off for the A/B)
+    os.environ["FOLDCOMP_TPU_WCLASS"] = "0"
+    try:
+        full, pad_overhead = measure(groups)
+    finally:
+        os.environ.pop("FOLDCOMP_TPU_WCLASS", None)
     # width-classed lanes (split_lanes_classes): the protein's wide
     # tail segment no longer drags its normal-width lanes to the wide
     # SEG — per-lane width classes, re-seed routed by index

@@ -721,12 +721,23 @@ def split_lanes_classes(arrays, metas, seg_bucket: int = 8,
     return class_arrays, new_metas
 
 
-def use_wclass() -> bool:
-    """Width-classed decode opt-in (FOLDCOMP_TPU_WCLASS=1): distinct
-    jit signatures per class composition make it a large-batch tool —
-    the bench's production-scale mixed measurement A/Bs it."""
+def use_wclass() -> str:
+    """Width-classed decode mode: "1" always, "0" never, "auto"
+    (default) only for big batches where the savings gate holds.
+
+    Every class composition is its own jit signature (3 Pallas kernels
+    x classes to compile on first touch), so small streamed windows
+    would compile-storm through a remote-compile tunnel; auto requires
+    >= _WCLASS_MIN_LANES real lanes so the one-time compiles amortize
+    and the padding win (measured +19% on an AFDB-like corpus,
+    PROFILE.md) is worth taking by default."""
     import os
-    return os.environ.get("FOLDCOMP_TPU_WCLASS", "0") == "1"
+    v = os.environ.get("FOLDCOMP_TPU_WCLASS", "auto")
+    return v if v in ("0", "1") else "auto"
+
+
+_WCLASS_MIN_LANES = 4096
+_WCLASS_MIN_SAVE = 0.2
 
 
 def pack_decode_batch_auto(fczs):
@@ -742,10 +753,15 @@ def pack_decode_batch_auto(fczs):
     if use_fused_decode():
         got = pack_decode_batch_lanes(fczs, max_seg=96)
         if got is not None:
-            if use_wclass():
-                split = split_lanes_classes(*got)
-                if split is not None:
-                    return split
+            mode = use_wclass()
+            if mode != "0":
+                nl_est = sum(f.n_anchor - 1 for f in fczs)
+                if mode == "1" or nl_est >= _WCLASS_MIN_LANES:
+                    split = split_lanes_classes(
+                        *got, min_save=(0.15 if mode == "1"
+                                        else _WCLASS_MIN_SAVE))
+                    if split is not None:
+                        return split
             return got
     return pack_decode_batch_seg(fczs)
 
