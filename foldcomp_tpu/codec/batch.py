@@ -644,9 +644,12 @@ def split_lanes_classes(arrays, metas, seg_bucket: int = 8,
     if len(widths) < 2:
         return None
     padded_single = segpad * _round_up(nl, LANE_PAD)
+
+    def _lane_pad(c):
+        return _round_up(c, 512) if c <= 512 else _round_up(c, LANE_PAD)
+
     padded_cls = sum(
-        int(v) * _round_up(int((cw == v).sum()), LANE_PAD)
-        for v in widths)
+        int(v) * _lane_pad(int((cw == v).sum())) for v in widths)
     if padded_cls > (1.0 - min_save) * padded_single:
         return None
 
@@ -668,7 +671,12 @@ def split_lanes_classes(arrays, metas, seg_bucket: int = 8,
     for ci, v in enumerate(widths):
         idx = order[cls_of[order] == ci]
         n_c = len(idx)
-        nlp_c = _round_up(n_c, LANE_PAD)
+        # small classes run a half-width lane group (g=4, 512-lane
+        # quantum — decode_seg_fused_classes derives g from the padded
+        # shape) so the per-class grid rounding stops costing up to
+        # 1023 pad lanes each
+        nlp_c = _round_up(n_c, 512) if n_c <= 512 \
+            else _round_up(n_c, LANE_PAD)
         segw = int(v)
         r8 = np.zeros((8, segw, nlp_c), np.uint8)
         r8[:, :, :n_c] = recs[:, :segw][:, :, idx]

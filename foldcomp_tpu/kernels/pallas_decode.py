@@ -403,7 +403,7 @@ _FIELD_COLS = np.asarray([1, 2, 0, 3, 4, 5])
 
 
 def _class_prep(seg_records, mins_lane, cont_lane, sc_codes_seg,
-                fwd9, rev9, seg_m):
+                fwd9, rev9, seg_m, g: int = _G_BB):
     """XLA prologue for one lane class -> blocked kernel inputs.
 
     The records stay PACKED (byte-plane-major [8, SEG, N] u8 from the
@@ -417,7 +417,7 @@ def _class_prep(seg_records, mins_lane, cont_lane, sc_codes_seg,
     codes — in a kernel set that is not bandwidth-bound but pays every
     avoidable pass)."""
     _, seg, np_ = seg_records.shape
-    assert np_ % _LANE_PAD == 0, "pack_decode_batch_lanes pads lanes"
+    assert np_ % (128 * g) == 0, "pack_decode_batch_lanes pads lanes"
     res_code = (seg_records[0].astype(I32) >> 3)           # [SEG, N]
     bl_ca = jnp.where(res_code == PRO_CODE, _PRO_N_TO_CA, _N_TO_CA)
     mins6 = mins_lane.T[_FIELD_COLS]                       # [6, N]
@@ -425,7 +425,7 @@ def _class_prep(seg_records, mins_lane, cont_lane, sc_codes_seg,
     sct = sc_codes_seg.reshape(11 * seg, np_)
     tat = (3 * seg_m).astype(I32)[None, :]                 # [1, N]
     return dict(
-        seg=seg, np=np_,
+        seg=seg, np=np_, g=g,
         recs_p=_blocked(seg_records.reshape(8 * seg, np_), 8 * seg, np_),
         blca_p=_blocked(bl_ca, seg, np_),
         sct_p=_blocked(sct, 11 * seg, np_),
@@ -437,10 +437,10 @@ def _class_prep(seg_records, mins_lane, cont_lane, sc_codes_seg,
         cont6_p=_blocked(cont6, 6, np_))
 
 
-def _bb_in_specs(seg):
-    return [_spec(8 * seg, _G_BB), _spec(seg, _G_BB),
-            _spec(9, _G_BB), _spec(9, _G_BB), _spec(1, _G_BB),
-            _spec(6, _G_BB), _spec(6, _G_BB)]
+def _bb_in_specs(seg, g):
+    return [_spec(8 * seg, g), _spec(seg, g),
+            _spec(9, g), _spec(9, g), _spec(1, g),
+            _spec(6, g), _spec(6, g)]
 
 
 def _run_tails(pr, interpret):
@@ -448,17 +448,17 @@ def _run_tails(pr, interpret):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    seg, np_ = pr["seg"], pr["np"]
+    seg, np_, g = pr["seg"], pr["np"], pr["g"]
     t = 3 * seg
     vmem = pltpu.VMEM
     tails = pl.pallas_call(
         _make_tails_kernel(seg),
-        grid=(np_ // (128 * _G_BB),),
-        in_specs=_bb_in_specs(seg),
-        out_specs=_spec(9, _G_BB),
+        grid=(np_ // (128 * g),),
+        in_specs=_bb_in_specs(seg, g),
+        out_specs=_spec(9, g),
         out_shape=jax.ShapeDtypeStruct((9, np_ // 128, 128), F32),
-        scratch_shapes=[vmem((t, _G_BB, 128), F32) for _ in range(3)]
-        + [vmem((6 * seg, _G_BB, 128), F32)],
+        scratch_shapes=[vmem((t, g, 128), F32) for _ in range(3)]
+        + [vmem((6 * seg, g, 128), F32)],
         interpret=interpret,
     )(pr["recs_p"], pr["blca_p"], pr["fwd9_p"], pr["rev9_p"],
       pr["tat_p"], pr["mins6_p"], pr["cont6_p"])
@@ -470,19 +470,19 @@ def _run_backbone_sc(pr, seeds_p, interpret, nl_out):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    seg, np_ = pr["seg"], pr["np"]
+    seg, np_, g = pr["seg"], pr["np"], pr["g"]
     t = 3 * seg
     vmem = pltpu.VMEM
     # ---- kernel 2: backbone (forward + reverse sweep + blend) ----
     bb_shape = jax.ShapeDtypeStruct((t, np_ // 128, 128), F32)
     bbx, bby, bbz = pl.pallas_call(
         _make_backbone_kernel(seg),
-        grid=(np_ // (128 * _G_BB),),
-        in_specs=_bb_in_specs(seg),
-        out_specs=(_spec(t, _G_BB),) * 3,
+        grid=(np_ // (128 * g),),
+        in_specs=_bb_in_specs(seg, g),
+        out_specs=(_spec(t, g),) * 3,
         out_shape=(bb_shape,) * 3,
-        scratch_shapes=[vmem((t, _G_BB, 128), F32) for _ in range(6)]
-        + [vmem((6 * seg, _G_BB, 128), F32)],
+        scratch_shapes=[vmem((t, g, 128), F32) for _ in range(6)]
+        + [vmem((6 * seg, g, 128), F32)],
         interpret=interpret,
     )(pr["recs_p"], pr["blca_p"], seeds_p, pr["rev9_p"], pr["tat_p"],
       pr["mins6_p"], pr["cont6_p"])
@@ -496,13 +496,14 @@ def _run_backbone_sc(pr, seeds_p, interpret, nl_out):
                             lambda i, j: (j, i, 0),
                             memory_space=pltpu.VMEM)
 
-    grid_sc = (np_ // (128 * _G_SC), seg // sb)
+    gsc = min(g, _G_SC)
+    grid_sc = (np_ // (128 * gsc), seg // sb)
     off, ca = pl.pallas_call(
         _make_sidechain_kernel(),
         grid=grid_sc,
-        in_specs=[_spec2(3, _G_SC), _spec2(3, _G_SC), _spec2(3, _G_SC),
-                  _spec2(1, _G_SC), _spec2(11, _G_SC)],
-        out_specs=(_spec2(42, _G_SC), _spec2(3, _G_SC)),
+        in_specs=[_spec2(3, gsc), _spec2(3, gsc), _spec2(3, gsc),
+                  _spec2(1, gsc), _spec2(11, gsc)],
+        out_specs=(_spec2(42, gsc), _spec2(3, gsc)),
         out_shape=(
             jax.ShapeDtypeStruct((42 * seg, np_ // 128, 128), jnp.int16),
             jax.ShapeDtypeStruct((3 * seg, np_ // 128, 128), F32),
@@ -589,8 +590,12 @@ def decode_seg_fused_classes(recs_t, mins_t, cont_t, sct_t, fwd_t,
     emits flat row indices (lane_of = global row, rec_of = 0) so the
     host stitch concatenates classes and gathers exactly as before."""
     n_cls = len(recs_t)
+    # lane-group size per class from the pack's padding quantum: small
+    # classes are padded to 512 lanes and run g=4 grids
     prs = [_class_prep(recs_t[i], mins_t[i], cont_t[i], sct_t[i],
-                       fwd_t[i], rev_t[i], segm_t[i])
+                       fwd_t[i], rev_t[i], segm_t[i],
+                       g=(_G_BB if recs_t[i].shape[2] % _LANE_PAD == 0
+                          else 4))
            for i in range(n_cls)]
 
     if refine_iters >= 2:
