@@ -776,12 +776,23 @@ def pack_decode_batch_auto(fczs):
 
 def _seg_decode_arrays(arrays, refine_iters=2):
     if "classes" in arrays:       # width-classed ragged lanes
+        from ..kernels import aot
         from ..kernels.pallas_decode import decode_seg_fused_classes
         c = arrays["classes"]
-        return decode_seg_fused_classes(
+        nl_outs = arrays["nl_outs"]
+        call = aot.try_classes_call(c, arrays["prev_idx"], refine_iters,
+                                    nl_outs)
+        if call is not None:
+            return call(c["recs"], c["mins"], c["cont"], c["sct"],
+                        c["fwd"], c["rev"], c["isf"], c["segm"],
+                        arrays["prev_idx"])
+        out = decode_seg_fused_classes(
             c["recs"], c["mins"], c["cont"], c["sct"], c["fwd"],
             c["rev"], c["isf"], c["segm"], arrays["prev_idx"],
-            refine_iters=refine_iters, nl_outs=arrays["nl_outs"])
+            refine_iters=refine_iters, nl_outs=nl_outs)
+        aot.save_classes_aot(c, arrays["prev_idx"], refine_iters,
+                             nl_outs)
+        return out
     if "fwd9" in arrays:          # ragged-lane pack -> fused Pallas path
         from ..kernels import aot
         from ..kernels.pallas_decode import decode_seg_fused

@@ -260,3 +260,50 @@ def save_encode_aot(baseT, deltaT, present, res_code, n_res,
             *specs, pb=pb, parts_eps=parts_eps, planar=True)
 
     _save("encode", key, export_thunk, background)
+
+
+# ---------------------------------------------------------------------------
+# Width-classed fused decode (kernels/pallas_decode.decode_seg_fused_classes)
+# ---------------------------------------------------------------------------
+
+def _classes_named(c: dict, prev_idx):
+    named = []
+    for k in ("recs", "mins", "cont", "sct", "fwd", "rev", "isf",
+              "segm"):
+        for i, v in enumerate(c[k]):
+            named.append((f"{k}{i}", v))
+    named.append(("prev_idx", prev_idx))
+    return tuple(named)
+
+
+def _classes_key(c: dict, prev_idx, refine_iters: int,
+                 nl_outs: tuple) -> str:
+    return _sig_key((refine_iters,) + tuple(nl_outs),
+                    _classes_named(c, prev_idx))
+
+
+def try_classes_call(c: dict, prev_idx, refine_iters: int,
+                     nl_outs: tuple):
+    return _try_call("wclass",
+                     _classes_key(c, prev_idx, refine_iters, nl_outs))
+
+
+def save_classes_aot(c: dict, prev_idx, refine_iters: int,
+                     nl_outs: tuple, background: bool = True):
+    key = _classes_key(c, prev_idx, refine_iters, nl_outs)
+    import jax.numpy as jnp
+    spec = {k: tuple(jnp.zeros(v.shape, v.dtype) for v in c[k])
+            for k in ("recs", "mins", "cont", "sct", "fwd", "rev",
+                      "isf", "segm")}
+    pspec = jnp.zeros(prev_idx.shape, prev_idx.dtype)
+
+    def export_thunk():
+        from jax import export as jexport
+
+        from .pallas_decode import decode_seg_fused_classes
+        return jexport.export(decode_seg_fused_classes)(
+            spec["recs"], spec["mins"], spec["cont"], spec["sct"],
+            spec["fwd"], spec["rev"], spec["isf"], spec["segm"], pspec,
+            refine_iters=refine_iters, nl_outs=nl_outs)
+
+    _save("wclass", key, export_thunk, background)
