@@ -396,10 +396,13 @@ def bench_device_decode_mixed(jax, n_entries=512, batch_size=128, iters=5):
         wait_pending(120.0)  # background AOT exports out of the timing
 
     def measure(batches):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            run_all(batches)
-        return n_res * iters / (time.perf_counter() - t0)
+        best = float("inf")
+        for _ in range(3):     # best-of-3: tunnel floor drift
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                run_all(batches)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return n_res / best
 
     small_b, _ = prep([fczs[b0:b0 + batch_size]
                        for b0 in range(0, n_entries, batch_size)])
