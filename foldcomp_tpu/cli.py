@@ -750,7 +750,11 @@ try:
     mbs = (len(x) / dt) / 1e6
     print(("ok" if mbs >= %f else "slow") + " " + str(round(mbs, 1)))
 except Exception:
-    print("ok 0")                    # device up, probe flaky: trust it
+    # device is up but the 8 MB D2H probe itself failed — that is a
+    # DEGRADED link, not a healthy one; 'slow' keeps the device
+    # available for forced --fast while the hybrid stays native-only
+    # (an engaged device stream on an unmeasurable link extends walls)
+    print("slow 0")
 """
 
 _PROBE_TTL_S = 600.0
