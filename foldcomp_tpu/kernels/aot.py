@@ -43,8 +43,11 @@ _THREADS: list = []        # in-flight background export threads
 # spend so saves never become a meaningful fraction of a job's host
 # budget (the hottest shapes recur first and win the slots).
 _MAX_SAVES_PER_PROCESS = 4
-# Keep the artifact dir bounded: newest-N by mtime survive a save.
-_MAX_ARTIFACTS = 32
+# Keep the artifact dir bounded: newest-N PER KIND survive a save
+# (a global cap let a burst of decode shapes evict the few encode
+# artifacts — observed: 23 decode / 3 encode / 6 wclass at cap 32, and
+# a cold compress then paid the full trace+compile again).
+_MAX_ARTIFACTS_PER_KIND = 24
 
 
 def _enabled() -> bool:
@@ -154,12 +157,14 @@ def _save(kind: str, key: str, export_thunk, background: bool):
             with open(tmp, "wb") as fh:
                 fh.write(blob)
             os.replace(tmp, path)
-            # bound the artifact dir (oldest-by-mtime beyond the cap)
+            # bound the artifact dir (oldest-by-mtime beyond the
+            # per-kind cap)
             files = sorted(
                 (os.path.join(d, f) for f in os.listdir(d)
-                 if f.endswith(".jaxexp")),
+                 if f.endswith(".jaxexp")
+                 and f.startswith(kind + "_")),
                 key=lambda p: os.path.getmtime(p), reverse=True)
-            for old in files[_MAX_ARTIFACTS:]:
+            for old in files[_MAX_ARTIFACTS_PER_KIND:]:
                 try:
                     os.unlink(old)
                 except OSError:
