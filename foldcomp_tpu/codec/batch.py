@@ -158,6 +158,7 @@ class SegDecodeMeta:
     lane_of: np.ndarray    # i64 [n]
     rec_of: np.ndarray     # i64 [n]
     res_base: int = 0      # row offset in the residue-space output [R]
+    sc_codes: np.ndarray | None = None  # u8 stream, bb-only wire mode
 
 
 def pack_decode_batch_seg(fczs, s_bucket: int = 4, seg_bucket: int = 8):
@@ -748,6 +749,21 @@ _WCLASS_MIN_LANES = 4096
 _WCLASS_MIN_SAVE = 0.2
 
 
+def use_bb_wire() -> bool:
+    """bb-only D2H wire opt-in (FOLDCOMP_TPU_WIRE=bb): the device ships
+    blended N/CA/C rows (~36 B/residue vs 96 for full-atom rows) and
+    the host places O + side chains with the native C codec
+    (fcz_place_sc_from_bb — the reference float op order, so the
+    side chains land CLOSER to the exact decoder than the device f32
+    kernel's). For links in the 10-100 MB/s range where the full-atom
+    wire is the e2e bound; needs the native library."""
+    import os
+    if os.environ.get("FOLDCOMP_TPU_WIRE") != "bb":
+        return False
+    from ..native import get_lib
+    return get_lib() is not None
+
+
 def pack_decode_batch_auto(fczs):
     """Backend-matched pack: ragged lanes for the fused decode, the
     [B, S] grid for the XLA cores.
@@ -761,6 +777,13 @@ def pack_decode_batch_auto(fczs):
     if use_fused_decode():
         got = pack_decode_batch_lanes(fczs, max_seg=96)
         if got is not None:
+            if use_bb_wire():
+                import dataclasses
+                arrays, metas = got
+                metas = [dataclasses.replace(
+                    m, sc_codes=np.asarray(f.sc_codes, np.uint8))
+                    for m, f in zip(metas, fczs)]
+                return dict(arrays, bb_wire=True), metas
             mode = use_wclass()
             if mode != "0":
                 nl_est = sum(f.n_anchor - 1 for f in fczs)
@@ -798,6 +821,13 @@ def _seg_decode_arrays(arrays, refine_iters=2):
         from ..kernels.pallas_decode import decode_seg_fused
         nl_out = arrays.get("nl_out")
         nl_out = int(nl_out) if nl_out is not None else None
+        if arrays.get("bb_wire"):
+            return ("bb", decode_seg_fused(
+                arrays["seg_records"], arrays["mins_lane"],
+                arrays["cont_lane"], arrays["sc_codes_seg"],
+                arrays["fwd9"], arrays["rev9"], arrays["is_first"],
+                arrays["seg_m"], refine_iters=refine_iters,
+                nl_out=nl_out, wire="bb"))
         # AOT artifact for this exact signature: skip the ~1.5 s jit
         # trace on fresh processes (kernels/aot.py)
         call = aot.try_decode_call(arrays, refine_iters, nl_out)
@@ -822,6 +852,11 @@ def _seg_decode_arrays(arrays, refine_iters=2):
 def _outs_to_host(outs):
     """Device decode output -> host arrays (full or compact form)."""
     global DEVICE_WARMED
+    if isinstance(outs, tuple) and outs and isinstance(outs[0], str) \
+            and outs[0] == "bb":
+        res = ("bb", np.asarray(outs[1]))
+        DEVICE_WARMED = True
+        return res
     if isinstance(outs, tuple) and outs and isinstance(outs[0], tuple):
         # width-classed: concatenate per-class rows into ONE flat row
         # array [rows, 1, 42|3]; the stitch indices are flat rows
@@ -849,6 +884,19 @@ def _gather_a14(outs_np, m):
     at m.res_base; segment-space outputs ([N, SEG, ...]) stitch via the
     host residue fancy-index."""
     sl = slice(m.res_base, m.res_base + m.n_residue)
+    if isinstance(outs_np, tuple) and isinstance(outs_np[0], str) \
+            and outs_np[0] == "bb":
+        # bb-only wire: [NL, SEG, 9] f32 backbone rows; O + side chains
+        # placed by the native C codec (reference float op order)
+        from ..native import place_sc_from_bb_native
+        arr = outs_np[1]
+        segw = arr.shape[1]
+        rows = arr.reshape(-1, 9)[m.lane_of * segw + m.rec_of]
+        out = place_sc_from_bb_native(rows.reshape(-1, 3, 3), m.res_code,
+                                      m.sc_codes, m.first_residue)
+        if out is None:
+            raise RuntimeError("bb wire requires the native library")
+        return out
     if isinstance(outs_np, tuple):
         off, ca = outs_np
         if off.ndim == 3 and off.shape[2] == 42:

@@ -526,10 +526,43 @@ def _run_backbone_sc(pr, seeds_p, interpret, nl_out):
     return off_t, ca_t
 
 
-@partial(jax.jit, static_argnames=("refine_iters", "interpret", "nl_out"))
+def _run_backbone_only(pr, seeds_p, interpret, nl_out):
+    """kernel 2 only + bb epilogue -> f32 [NL, SEG, 9] rows
+    (N.xyz, CA.xyz, C.xyz per residue) — the bb-only D2H wire
+    (~36 B/residue vs 96 for full-atom rows); the host places O + side
+    chains with the native C codec (fcz_place_sc_from_bb)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    seg, np_, g = pr["seg"], pr["np"], pr["g"]
+    t = 3 * seg
+    vmem = pltpu.VMEM
+    bb_shape = jax.ShapeDtypeStruct((t, np_ // 128, 128), F32)
+    bbx, bby, bbz = pl.pallas_call(
+        _make_backbone_kernel(seg),
+        grid=(np_ // (128 * g),),
+        in_specs=_bb_in_specs(seg, g),
+        out_specs=(_spec(t, g),) * 3,
+        out_shape=(bb_shape,) * 3,
+        scratch_shapes=[vmem((t, g, 128), F32) for _ in range(6)]
+        + [vmem((6 * seg, g, 128), F32)],
+        interpret=interpret,
+    )(pr["recs_p"], pr["blca_p"], seeds_p, pr["rev9_p"], pr["tat_p"],
+      pr["mins6_p"], pr["cont6_p"])
+    bb = jnp.stack([bbx.reshape(seg, 3, np_), bby.reshape(seg, 3, np_),
+                    bbz.reshape(seg, 3, np_)], axis=2)  # [seg,atom,comp,N]
+    bb_t = jnp.transpose(bb, (3, 0, 1, 2)).reshape(np_, seg, 9)
+    if nl_out is not None and nl_out < np_:
+        bb_t = bb_t[:nl_out]
+    return bb_t
+
+
+@partial(jax.jit, static_argnames=("refine_iters", "interpret", "nl_out",
+                                   "wire"))
 def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
                      fwd9, rev9, is_first, seg_m, refine_iters: int = 2,
-                     interpret: bool = False, nl_out: int | None = None):
+                     interpret: bool = False, nl_out: int | None = None,
+                     wire: str = "full"):
     """Fused-kernel ragged-lane decode (pack_decode_batch_lanes arrays).
 
     Returns per-lane compact rows: (off i16 [NL, SEG, 42], ca f32
@@ -537,7 +570,11 @@ def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
     offsets from its CA. The host row-gathers each protein's residues
     ((lane_of, rec_of) index); no residue gather runs on device — the
     XLA gather is index-rate-bound (~17 ns/index: ~10 ms at B=2048,
-    round-4 measurement), while the lane transpose here is free."""
+    round-4 measurement), while the lane transpose here is free.
+
+    wire="bb": skip the side-chain kernel and return f32 backbone rows
+    [NL, SEG, 9] instead — the degraded-link wire (see
+    _run_backbone_only)."""
     pr = _class_prep(seg_records, mins_lane, cont_lane, sc_codes_seg,
                      fwd9, rev9, seg_m)
     np_ = pr["np"]
@@ -558,6 +595,8 @@ def decode_seg_fused(seg_records, mins_lane, cont_lane, sc_codes_seg,
     else:
         seeds_p = pr["fwd9_p"]
 
+    if wire == "bb":
+        return _run_backbone_only(pr, seeds_p, interpret, nl_out)
     return _run_backbone_sc(pr, seeds_p, interpret, nl_out)
 
 

@@ -127,6 +127,9 @@ def _bind(lib):
     lib.fcz_pack_encode_wire_range.argtypes = [
         c.c_int64, c.c_int64, vpp, i32p, c.c_int64, c.c_int64,
         f32p, i32p, i16p, u16p, c.c_int64]
+    lib.fcz_place_sc_from_bb.restype = c.c_int64
+    lib.fcz_place_sc_from_bb.argtypes = [
+        c.c_int64, f32p, i32p, u8p, c.c_int64, c.c_char, f32p]
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.fcz_encode_atoms.restype = c.c_int64
     lib.fcz_encode_atoms.argtypes = [
@@ -358,3 +361,23 @@ def parse_pdb_native(data: bytes):
         residue_index=residue_index, coords=coords, occupancy=occ,
         temp_factor=temp,
         title=title_buf.raw[:title_len.value].decode("latin1"))
+
+
+def place_sc_from_bb_native(bb, codes, sc_codes, first_res: str):
+    """O + side-chain placement from an external backbone (the bb-only
+    decode wire): [n, 3, 3] N/CA/C rows -> [n, 14, 3] atom slots via
+    native/fccodec.c fcz_place_sc_from_bb (reference float op order).
+    None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    bbc = np.ascontiguousarray(bb, np.float32)
+    n = bbc.shape[0]
+    codes_c = np.ascontiguousarray(codes, np.int32)
+    sc = np.ascontiguousarray(sc_codes, np.uint8)
+    out = np.empty((n, 14, 3), np.float32)
+    ch = (first_res[:1] or "?").encode("latin1")
+    got = lib.fcz_place_sc_from_bb(n, bbc, codes_c, sc, len(sc), ch, out)
+    if got < 0:
+        return None
+    return out

@@ -1496,3 +1496,62 @@ int64_t fcz_pack_encode_wire(
                                       atom14, baseT, deltaT, present,
                                       n_live);
 }
+
+/* ------------------------------------------------------------------ */
+/* Side-chain placement from an EXTERNAL backbone (the bb-only decode
+ * wire, ROADMAP round-5 #2): on degraded host<->device links the
+ * device ships only blended N/CA/C rows (~36 B/residue vs 96 B for
+ * full-atom rows) and the host places O + side chains here with the
+ * reference float op order (place_atom above, nerf.cpp:39-104;
+ * tables/codes exactly as the exact decode loop at line ~364,
+ * including the residue-0 display-name table quirk, foldcomp.cpp:862).
+ *
+ * bb:  [n][3][3] f32 (N, CA, C per residue, component-minor)
+ * out: [n][14][3] f32 — slots 0..2 copied, 3..cnt-1 placed, rest 0.
+ * Returns the number of sc codes consumed, or -1 on bad args. */
+int64_t fcz_place_sc_from_bb(int64_t n, const float* bb,
+                             const int32_t* codes,
+                             const uint8_t* sc_codes, int64_t n_sc,
+                             char first_res, float* out14)
+{
+    if (n < 0) return -1;
+    float sc_min = -180.0f;
+    float sc_cf = (180.0f - sc_min) / (float)255;
+    v3 slot[FC_MAX_ATOM];
+    int64_t sc_pos = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int code = codes[i];
+        int name_code = (i == 0) ? code_of_one(first_res)
+                                 : (code < FC_NUM_CODES ? code : 23);
+        int tbl = name_code;
+        int cnt = (code >= 20 || tbl >= 20) ? 3 : FC_N_ATOMS[tbl];
+        const float* b = bb + i * 9;
+        slot[0].x = b[0]; slot[0].y = b[1]; slot[0].z = b[2];
+        slot[1].x = b[3]; slot[1].y = b[4]; slot[1].z = b[5];
+        slot[2].x = b[6]; slot[2].y = b[7]; slot[2].z = b[8];
+        int nsc = (code < 20) ? FC_N_ATOMS[code] - 3 : 0;
+        for (int k = 3; k < cnt; k++) {
+            float tor = (k - 3 < nsc && sc_pos + (k - 3) < n_sc)
+                ? (float)sc_codes[sc_pos + (k - 3)] * sc_cf + sc_min
+                : 0.0f;
+            slot[k] = place_atom(slot[FC_PRED[tbl][k][0]],
+                                 slot[FC_PRED[tbl][k][1]],
+                                 slot[FC_PRED[tbl][k][2]],
+                                 FC_BLEN[tbl][k], FC_BANG[tbl][k], tor);
+        }
+        sc_pos += nsc;
+        float* o = out14 + i * 42;
+        for (int k = 0; k < FC_MAX_ATOM; k++) {
+            if (k < cnt) {
+                o[3 * k] = slot[k].x;
+                o[3 * k + 1] = slot[k].y;
+                o[3 * k + 2] = slot[k].z;
+            } else {
+                o[3 * k] = 0.0f;
+                o[3 * k + 1] = 0.0f;
+                o[3 * k + 2] = 0.0f;
+            }
+        }
+    }
+    return sc_pos;
+}
