@@ -749,19 +749,41 @@ _WCLASS_MIN_LANES = 4096
 _WCLASS_MIN_SAVE = 0.2
 
 
+# below ~this D2H rate the full-atom wire (96 B/res) bounds the e2e
+# wall and the host side-chain pass (~0.5 us/res) is cheaper than the
+# saved transfer; above it the full wire is effectively free
+_BB_WIRE_MAX_MBS = 200.0
+_BB_WIRE_MIN_MBS = 5.0
+
+
 def use_bb_wire() -> bool:
-    """bb-only D2H wire opt-in (FOLDCOMP_TPU_WIRE=bb): the device ships
-    blended N/CA/C rows (~36 B/residue vs 96 for full-atom rows) and
-    the host places O + side chains with the native C codec
-    (fcz_place_sc_from_bb — the reference float op order, so the
-    side chains land CLOSER to the exact decoder than the device f32
-    kernel's). For links in the 10-100 MB/s range where the full-atom
-    wire is the e2e bound; needs the native library."""
+    """bb-only D2H wire: the device ships blended N/CA/C rows
+    (~36 B/residue vs 96 for full-atom rows) and the host places O +
+    side chains with the native C codec (fcz_place_sc_from_bb — the
+    reference float op order, so the side chains land at least as
+    close to the exact decoder as the device f32 kernel's).
+
+    FOLDCOMP_TPU_WIRE=bb forces it, =full pins the full wire; unset =
+    AUTO from the measured link probe: engage for links in the
+    [5, 200) MB/s band where the full-atom wire bounds the e2e wall
+    (measured: +10% wall, -37% host CPU on this ~10-40 MB/s tunnel).
+    Needs the native library."""
     import os
-    if os.environ.get("FOLDCOMP_TPU_WIRE") != "bb":
-        return False
+
     from ..native import get_lib
-    return get_lib() is not None
+    env = os.environ.get("FOLDCOMP_TPU_WIRE")
+    if env == "bb":
+        return get_lib() is not None
+    if env:                      # "full" or anything else pins full
+        return False
+    try:
+        from ..cli import _probe_info
+        result, mbs = _probe_info()
+    except Exception:  # noqa: BLE001
+        return False
+    return result in ("ok", "slow") \
+        and _BB_WIRE_MIN_MBS <= mbs < _BB_WIRE_MAX_MBS \
+        and get_lib() is not None
 
 
 def pack_decode_batch_auto(fczs):
@@ -822,12 +844,17 @@ def _seg_decode_arrays(arrays, refine_iters=2):
         nl_out = arrays.get("nl_out")
         nl_out = int(nl_out) if nl_out is not None else None
         if arrays.get("bb_wire"):
-            return ("bb", decode_seg_fused(
+            call = aot.try_bbdec_call(arrays, refine_iters, nl_out)
+            if call is not None:
+                return ("bb", call(*aot._decode_args(arrays)))
+            out = decode_seg_fused(
                 arrays["seg_records"], arrays["mins_lane"],
                 arrays["cont_lane"], arrays["sc_codes_seg"],
                 arrays["fwd9"], arrays["rev9"], arrays["is_first"],
                 arrays["seg_m"], refine_iters=refine_iters,
-                nl_out=nl_out, wire="bb"))
+                nl_out=nl_out, wire="bb")
+            aot.save_bbdec_aot(arrays, refine_iters, nl_out)
+            return ("bb", out)
         # AOT artifact for this exact signature: skip the ~1.5 s jit
         # trace on fresh processes (kernels/aot.py)
         call = aot.try_decode_call(arrays, refine_iters, nl_out)

@@ -312,3 +312,30 @@ def save_classes_aot(c: dict, prev_idx, refine_iters: int,
             refine_iters=refine_iters, nl_outs=nl_outs)
 
     _save("wclass", key, export_thunk, background)
+
+
+# ---------------------------------------------------------------------------
+# bb-only fused decode (decode_seg_fused with wire="bb")
+# ---------------------------------------------------------------------------
+
+def try_bbdec_call(arrays: dict, refine_iters: int, nl_out):
+    return _try_call("bbdec", _decode_key(arrays, refine_iters, nl_out))
+
+
+def save_bbdec_aot(arrays: dict, refine_iters: int, nl_out,
+                   background: bool = True):
+    key = _decode_key(arrays, refine_iters, nl_out)
+    import jax.numpy as jnp
+    specs = {k: jnp.zeros(v.shape, v.dtype)
+             for k, v in arrays.items()
+             if v is not None and hasattr(v, "dtype")}
+
+    def export_thunk():
+        from jax import export as jexport
+
+        from .pallas_decode import decode_seg_fused
+        return jexport.export(decode_seg_fused)(
+            *_decode_args(specs), refine_iters=refine_iters,
+            nl_out=nl_out, wire="bb")
+
+    _save("bbdec", key, export_thunk, background)

@@ -64,3 +64,26 @@ def test_bb_wire_matches_full_path():
             dev_b.append(np.abs(b[r, :cnt] - e[pos:pos + cnt]).max())
             pos += cnt
         assert max(dev_b) <= max(dev_a) + 1e-3, (i, max(dev_a), max(dev_b))
+
+
+def test_use_bb_wire_env_and_probe(monkeypatch):
+    from foldcomp_tpu.codec import batch as B
+
+    # env pins
+    monkeypatch.setenv("FOLDCOMP_TPU_WIRE", "full")
+    assert B.use_bb_wire() is False
+    monkeypatch.setenv("FOLDCOMP_TPU_WIRE", "bb")
+    assert B.use_bb_wire() is (get_lib() is not None)
+    # auto: probe drives the decision
+    monkeypatch.delenv("FOLDCOMP_TPU_WIRE", raising=False)
+    import foldcomp_tpu.cli as cli
+    for result, mbs, want in (("slow", 9.9, True), ("ok", 150.0, True),
+                              ("ok", 800.0, False), ("slow", 0.0, False),
+                              ("none", 0.0, False)):
+        monkeypatch.setattr(cli, "_probe_info", lambda r=result, m=mbs:
+                            (r, m))
+        got = B.use_bb_wire()
+        if get_lib() is None:
+            assert got is False
+        else:
+            assert got is want, (result, mbs)
