@@ -61,7 +61,12 @@ def _force(out):
     full-output transfer."""
     import jax
     import numpy as np
-    leaf = jax.tree.leaves(out)[0] if not hasattr(out, "shape") else out
+    if hasattr(out, "shape"):
+        leaf = out
+    else:
+        # skip non-array leaves (the bb wire tags its output tuple)
+        leaf = next(l for l in jax.tree.leaves(out)
+                    if hasattr(l, "ndim"))
     if leaf.ndim:
         # ONE indexing op (not one per rank): each distinct-rank [0]
         # spawns a jit(dynamic_slice)+jit(squeeze) pair, ~0.5 s each to
@@ -489,6 +494,7 @@ def bench_e2e(workdir, fcz_db, pdb_db, n_res_total, flags=("--fast",),
     env = dict(os.environ)   # KEEP the accelerator env: the default
     repo = str(pathlib.Path(__file__).parent)   # path may use the device
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("FOLDCOMP_TPU_WIRE", None)   # children run the product default
 
     code = """\
 import json, sys, time
@@ -549,6 +555,7 @@ def bench_e2e_paired(workdir, fcz_db, pdb_db, n_res_total, threads=4):
     env = dict(os.environ)
     repo = str(pathlib.Path(__file__).parent)
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("FOLDCOMP_TPU_WIRE", None)
 
     code = """\
 import json, os, sys, time
@@ -684,6 +691,7 @@ def bench_warm_start():
     repo = str(pathlib.Path(__file__).parent)
     env = dict(os.environ)
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("FOLDCOMP_TPU_WIRE", None)   # product default in the child
     code = """\
 import sys, time
 t0 = time.perf_counter()
@@ -726,6 +734,11 @@ def main():
         pass
     from foldcomp_tpu.backend import ensure_backend
     ensure_backend()
+
+    # the device-resident keys measure the FULL decode wire (the bb
+    # wire is a link-band e2e optimization and auto-engages on this
+    # tunnel); e2e subprocesses get the product default back
+    os.environ.setdefault("FOLDCOMP_TPU_WIRE", "full")
 
     f = _load_fcz()
     frag, _ = _load_fragment()

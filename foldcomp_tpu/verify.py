@@ -163,6 +163,38 @@ def device_parity_check() -> dict:
         if not ok:
             out["failures"].append(f"{label}: dev={dev:.2e} rmsd={r}")
 
+        # -- decode: the bb-only wire (device backbone + native host
+        # side-chain placement; auto-selected in the [5, 200) MB/s
+        # link band) --
+        from .native import get_lib
+        if get_lib() is not None:
+            import dataclasses
+
+            def pack_bb(fs):
+                arrays, metas = pack_decode_batch_lanes(fs)
+                metas = [dataclasses.replace(
+                    m, sc_codes=np.asarray(f.sc_codes, np.uint8))
+                    for m, f in zip(metas, fs)]
+                return arrays, metas
+
+            def run_bb(arrays):
+                out_bb = decode_seg_fused(
+                    arrays["seg_records"], arrays["mins_lane"],
+                    arrays["cont_lane"], arrays["sc_codes_seg"],
+                    arrays["fwd9"], arrays["rev9"], arrays["is_first"],
+                    arrays["seg_m"], wire="bb")
+                return ("bb", np.asarray(out_bb))
+
+            ok, dev, r = _check_decode(batch, batch_coords, orig0,
+                                       pack_bb, run_bb)
+            out["checked"].append("decode_bb")
+            out["decode_bb_max_dev_A"] = round(dev, 6)
+            if r is not None:
+                out["decode_bb_rmsd"] = round(r, 6)
+            if not ok:
+                out["failures"].append(
+                    f"decode_bb: dev={dev:.2e} rmsd={r}")
+
     # -- decode: XLA core (compiled on the live backend) --
     def run_xla(arrays):
         off, ca = decode_seg_core(
