@@ -846,7 +846,12 @@ def _seg_decode_arrays(arrays, refine_iters=2):
         if arrays.get("bb_wire"):
             call = aot.try_bbdec_call(arrays, refine_iters, nl_out)
             if call is not None:
-                return ("bb", call(*aot._decode_args(arrays)))
+                got = call(*aot._decode_args(arrays))
+                # trust only the expected (off, ca) pytree — a stale
+                # artifact from an older wire format must not be
+                # silently iterated into garbage
+                if isinstance(got, (tuple, list)) and len(got) == 2:
+                    return ("bb",) + tuple(got)
             out = decode_seg_fused(
                 arrays["seg_records"], arrays["mins_lane"],
                 arrays["cont_lane"], arrays["sc_codes_seg"],
@@ -854,7 +859,7 @@ def _seg_decode_arrays(arrays, refine_iters=2):
                 arrays["seg_m"], refine_iters=refine_iters,
                 nl_out=nl_out, wire="bb")
             aot.save_bbdec_aot(arrays, refine_iters, nl_out)
-            return ("bb", out)
+            return ("bb",) + tuple(out)
         # AOT artifact for this exact signature: skip the ~1.5 s jit
         # trace on fresh processes (kernels/aot.py)
         call = aot.try_decode_call(arrays, refine_iters, nl_out)
@@ -881,7 +886,7 @@ def _outs_to_host(outs):
     global DEVICE_WARMED
     if isinstance(outs, tuple) and outs and isinstance(outs[0], str) \
             and outs[0] == "bb":
-        res = ("bb", np.asarray(outs[1]))
+        res = ("bb", np.asarray(outs[1]), np.asarray(outs[2]))
         DEVICE_WARMED = True
         return res
     if isinstance(outs, tuple) and outs and isinstance(outs[0], tuple):
@@ -913,14 +918,22 @@ def _gather_a14(outs_np, m):
     sl = slice(m.res_base, m.res_base + m.n_residue)
     if isinstance(outs_np, tuple) and isinstance(outs_np[0], str) \
             and outs_np[0] == "bb":
-        # bb-only wire: [NL, SEG, 9] f32 backbone rows; O + side chains
-        # placed by the native C codec (reference float op order)
+        # bb-only wire: N/C i16 offsets from the f32 CA at a 0.1 mA
+        # quantum (finer than the full wire's — frame errors amplify
+        # ~5x through the host side-chain placement); dequantize, then
+        # O + side chains placed by the native C codec
         from ..native import place_sc_from_bb_native
-        arr = outs_np[1]
-        segw = arr.shape[1]
-        rows = arr.reshape(-1, 9)[m.lane_of * segw + m.rec_of]
-        out = place_sc_from_bb_native(rows.reshape(-1, 3, 3), m.res_code,
-                                      m.sc_codes, m.first_residue)
+        _, off, ca = outs_np
+        segw = off.shape[1]
+        idx = m.lane_of * segw + m.rec_of
+        o = off.reshape(-1, 6)[idx].astype(F32) * np.float32(0.0001)
+        c = ca.reshape(-1, 3)[idx]
+        bb = np.empty((len(idx), 3, 3), np.float32)
+        bb[:, 0] = c + o[:, :3]
+        bb[:, 1] = c
+        bb[:, 2] = c + o[:, 3:]
+        out = place_sc_from_bb_native(bb, m.res_code, m.sc_codes,
+                                      m.first_residue)
         if out is None:
             raise RuntimeError("bb wire requires the native library")
         return out

@@ -64,6 +64,14 @@ def _aot_dir():
     return os.path.join(cache, "aot")
 
 
+# Artifact FORMAT versions, baked into every key: an artifact's inputs
+# can stay identical while its OUTPUT contract changes (the bbdec wire
+# went f32 [NL,SEG,9] -> (i16 offsets, f32 ca) with the same input
+# signature — a stale artifact then quietly serves the OLD format).
+# Bump the kind's version whenever its output pytree changes.
+_FORMAT_VERSION = {"decode": 1, "encode": 1, "wclass": 1, "bbdec": 2}
+
+
 def _sig_key(static_parts, arrays) -> str:
     """sha1 over jax version + backend + statics + array signatures.
 
@@ -198,8 +206,10 @@ def wait_pending(timeout: float = 30.0):
 # Fused decode (kernels/pallas_decode.decode_seg_fused)
 # ---------------------------------------------------------------------------
 
-def _decode_key(arrays: dict, refine_iters: int, nl_out) -> str:
-    return _sig_key((refine_iters, nl_out), sorted(arrays.items()))
+def _decode_key(arrays: dict, refine_iters: int, nl_out,
+                kind: str = "decode") -> str:
+    return _sig_key((f"v{_FORMAT_VERSION[kind]}", refine_iters, nl_out),
+                    sorted(arrays.items()))
 
 
 def _decode_args(arrays: dict):
@@ -241,7 +251,8 @@ def _encode_args_named(baseT, deltaT, present, res_code, n_res):
 
 
 def _encode_key(args_named, pb: int, parts_eps: float) -> str:
-    return _sig_key((pb, parts_eps), args_named)
+    return _sig_key((f"v{_FORMAT_VERSION['encode']}", pb, parts_eps),
+                    args_named)
 
 
 def try_encode_call(baseT, deltaT, present, res_code, n_res,
@@ -283,8 +294,8 @@ def _classes_named(c: dict, prev_idx):
 
 def _classes_key(c: dict, prev_idx, refine_iters: int,
                  nl_outs: tuple) -> str:
-    return _sig_key((refine_iters,) + tuple(nl_outs),
-                    _classes_named(c, prev_idx))
+    return _sig_key((f"v{_FORMAT_VERSION['wclass']}", refine_iters)
+                    + tuple(nl_outs), _classes_named(c, prev_idx))
 
 
 def try_classes_call(c: dict, prev_idx, refine_iters: int,
@@ -319,12 +330,13 @@ def save_classes_aot(c: dict, prev_idx, refine_iters: int,
 # ---------------------------------------------------------------------------
 
 def try_bbdec_call(arrays: dict, refine_iters: int, nl_out):
-    return _try_call("bbdec", _decode_key(arrays, refine_iters, nl_out))
+    return _try_call("bbdec", _decode_key(arrays, refine_iters, nl_out,
+                                          kind="bbdec"))
 
 
 def save_bbdec_aot(arrays: dict, refine_iters: int, nl_out,
                    background: bool = True):
-    key = _decode_key(arrays, refine_iters, nl_out)
+    key = _decode_key(arrays, refine_iters, nl_out, kind="bbdec")
     import jax.numpy as jnp
     specs = {k: jnp.zeros(v.shape, v.dtype)
              for k, v in arrays.items()

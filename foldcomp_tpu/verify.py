@@ -178,12 +178,12 @@ def device_parity_check() -> dict:
                 return arrays, metas
 
             def run_bb(arrays):
-                out_bb = decode_seg_fused(
+                off_bb, ca_bb = decode_seg_fused(
                     arrays["seg_records"], arrays["mins_lane"],
                     arrays["cont_lane"], arrays["sc_codes_seg"],
                     arrays["fwd9"], arrays["rev9"], arrays["is_first"],
                     arrays["seg_m"], wire="bb")
-                return ("bb", np.asarray(out_bb))
+                return ("bb", np.asarray(off_bb), np.asarray(ca_bb))
 
             ok, dev, r = _check_decode(batch, batch_coords, orig0,
                                        pack_bb, run_bb)

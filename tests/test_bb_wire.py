@@ -27,7 +27,8 @@ def _run(arrays, metas, wire):
         arrays["is_first"], arrays["seg_m"], refine_iters=2,
         interpret=True, nl_out=int(nl) if nl is not None else None,
         wire=wire)
-    host = _outs_to_host(("bb", out) if wire == "bb" else out)
+    host = _outs_to_host((("bb",) + tuple(out)) if wire == "bb"
+                         else out)
     return [_gather_a14(host, m) for m in metas]
 
 
@@ -48,9 +49,9 @@ def test_bb_wire_matches_full_path():
     from foldcomp_tpu.core.aatable import N_ATOMS
     for i, (a, b, f) in enumerate(zip(full, bb, fczs)):
         assert a.shape == b.shape, i
-        # the compact full path quantizes offsets to milli-angstroms;
-        # backbone equality holds to that grid
-        assert np.abs(a[:, :3] - b[:, :3]).max() <= 1e-3 + 1e-6, i
+        # the bb wire's 0.1 mA backbone quantum is finer than the full
+        # wire's 1 mA, so slots agree within the full wire's grid
+        assert np.abs(a[:, :3] - b[:, :3]).max() <= 1.2e-3, i
         # side chains vs the exact decoder: the native placement must be
         # no farther than the device kernel's (same backbone input)
         e = exact[i]
