@@ -90,3 +90,20 @@ def test_no_mid_process_switch(lanes_arrays):
         fh.write(b"whatever")
     assert aot.try_decode_call(lanes_arrays, 2, None) is None
     assert os.path.exists(path)           # and is NOT touched/deleted
+
+
+def test_kind_and_format_version_separate_keys(lanes_arrays):
+    """bbdec and decode share the input signature but NOT the key —
+    artifact kinds carry a format version so an output-contract change
+    (the bbdec f32->i16 wire) can never serve a stale pytree."""
+    k_dec = aot._decode_key(lanes_arrays, 2, None)
+    k_bb = aot._decode_key(lanes_arrays, 2, None, kind="bbdec")
+    assert k_dec != k_bb
+    # bumping a kind's version must change its key
+    old = aot._FORMAT_VERSION["bbdec"]
+    try:
+        aot._FORMAT_VERSION["bbdec"] = old + 1
+        assert aot._decode_key(lanes_arrays, 2, None,
+                               kind="bbdec") != k_bb
+    finally:
+        aot._FORMAT_VERSION["bbdec"] = old
